@@ -1,0 +1,199 @@
+"""Normalization composites (SURVEY.md §2.10, OP-ML-01/02).
+
+Functional long-form implementations of the reference's two
+normalizer estimators, plus ``pyspark.ml`` Estimator/Model wrappers
+(see estimators.py). Everything is a lazy DataFrame plan — no UDFs,
+no driver-side matrices.
+
+Reference semantics reproduced:
+  * UpperQuartile: feature_selection_and_normalization.py:8-31
+    (pandas) / :34-58 (Dask twin).
+  * TMM: feature_selection_and_normalization.py:61-115 (pandas only).
+Both "adapted from edgeR calcNormFactors.R" per the reference's own
+docstring; factors symmetrized to multiply to ~1 before use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gexp_ml_dask_spark.operators.aggregates import (
+    percentile,
+    symmetrize_factors,
+)
+from gexp_ml_dask_spark.operators.filters import drop_zero_genes
+from gexp_ml_dask_spark.operators.joins import scale_rows
+
+
+def upper_quartile_factors(
+    gexp: DataFrame,
+    q: float = 0.75,
+    sample_col: str = "sample_id",
+    gene_col: str = "gene_id",
+    value_col: str = "value",
+    exact: bool = True,
+) -> DataFrame:
+    """UpperQuartile fit: (sample_id, norm_factor, scaling_factor).
+
+    fit(X) = drop all-zero genes (fsn.py:21), per-sample
+    quantile(q)/sum (fsn.py:28), geometric-mean symmetrization
+    (fsn.py:24). Two shuffles total (per-gene keep-list agg,
+    per-sample factor agg); the 1-row geomean broadcasts.
+    """
+    kept = drop_zero_genes(gexp, gene_col, value_col)
+    factors = kept.groupBy(sample_col).agg(
+        F.try_divide(percentile(value_col, q, exact), F.sum(value_col)).alias(
+            "norm_factor"
+        )
+    )
+    return symmetrize_factors(factors, "norm_factor", "scaling_factor")
+
+
+def upper_quartile_transform(
+    gexp: DataFrame,
+    q: float = 0.75,
+    sample_col: str = "sample_id",
+    gene_col: str = "gene_id",
+    value_col: str = "value",
+    exact: bool = True,
+) -> DataFrame:
+    """UpperQuartile fit_transform: the normalized long table
+    (zero genes dropped, values row-scaled by the symmetrized
+    factor; fsn.py transform :31)."""
+    kept = drop_zero_genes(gexp, gene_col, value_col)
+    factors = upper_quartile_factors(
+        gexp, q, sample_col, gene_col, value_col, exact
+    )
+    return scale_rows(kept, factors, sample_col, value_col, "scaling_factor")
+
+
+def tmm_factors(
+    gexp: DataFrame,
+    log_ratio_trim: float = 0.3,
+    abs_expr_trim: float = 0.05,
+    sample_col: str = "sample_id",
+    gene_col: str = "gene_id",
+    value_col: str = "value",
+    exact: bool = True,
+) -> DataFrame:
+    """TMM fit: (sample_id, norm_factor, scaling_factor).
+
+    Long-form derivation of feature_selection_and_normalization.py:
+    71-112 (see each step's citation inline). The reference's
+    per-row pandas applies become three hash aggregates + two global
+    quantile scalars; ±inf/NaN are scrubbed to null so Spark
+    aggregates skip them exactly like the nan-functions do.
+    """
+    v = F.col(value_col)
+
+    # fit :73 — drop genes that are zero across all samples.
+    g = drop_zero_genes(gexp, gene_col, value_col)
+
+    # :74 pseudoref — PER-GENE (pandas axis=0 == per column):
+    # quantile(0.75 of positive values) / sum(all values).
+    pseudoref = g.groupBy(gene_col).agg(
+        F.try_divide(
+            percentile(F.when(v > 0, v), 0.75, exact), F.sum(v)
+        ).alias("ref_value")
+    )
+
+    # Per-sample library size (:98 sample_total_counts). The row sum
+    # equals the sum over the (s>0 | ref>0) mask because masked-out
+    # genes contribute 0.
+    sample_totals = g.groupBy(sample_col).agg(F.sum(v).alias("sample_total"))
+
+    # Global pseudoref total (:107): every ref>0 gene is in every
+    # row's mask, so the per-row ref total is one global scalar.
+    ref_total = pseudoref.agg(F.sum("ref_value").alias("ref_total"))
+
+    joined = (
+        g.join(F.broadcast(pseudoref), gene_col)
+        .join(F.broadcast(sample_totals), sample_col)
+        .crossJoin(F.broadcast(ref_total))
+    )
+
+    # :96-100 log_ratio (despite the name, not a log): for s>0 genes,
+    # (total - g) / (total * g). try_divide -> null on degenerate 0.
+    log_ratio = F.when(
+        v > 0,
+        F.try_divide(
+            F.col("sample_total") - v, F.col("sample_total") * v
+        ),
+    )
+
+    # :102-112 absolute expression: only genes with s>0 AND ref>0
+    # yield values (numerator needs s>0, denominator needs ref>0;
+    # pandas index alignment NaNs out the rest).
+    num = F.try_divide(v, F.col("sample_total"))
+    den = F.try_divide(F.col("ref_value"), F.col("ref_total"))
+    log_num = F.when(num > 0, F.log2(num))  # replace(0,1)->log2(1)=0 unreachable for s>0
+    log_den_raw = F.when(den > 0, F.log2(den))
+    # :112 inner replace(0,1): a log2(den) that is exactly 0 -> 1.
+    log_den = F.when(log_den_raw == 0, F.lit(1.0)).otherwise(log_den_raw)
+    abs_expr = F.when(
+        (v > 0) & (F.col("ref_value") > 0),
+        F.try_divide(log_num, log_den) / F.lit(2.0),
+    )
+
+    def _definite(c: F.Column) -> F.Column:
+        """:85-86 replace([inf,-inf], nan) — scrub non-finite to null."""
+        return F.when(
+            c.isNull()
+            | F.isnan(c)
+            | (c == F.lit(float("inf")))
+            | (c == F.lit(float("-inf"))),
+            F.lit(None).cast("double"),
+        ).otherwise(c)
+
+    mat = joined.select(
+        sample_col,
+        gene_col,
+        _definite(log_ratio).alias("log_ratio"),
+        _definite(abs_expr).alias("abs_expr"),
+    )
+
+    # :88-92 global (matrix-wide) nanquantile trim bounds.
+    lr = F.col("log_ratio")
+    ae = F.col("abs_expr")
+    bounds = mat.agg(
+        percentile(F.when(~F.isnan(lr), lr), log_ratio_trim, exact).alias("lr_lo"),
+        percentile(F.when(~F.isnan(lr), lr), 1 - log_ratio_trim, exact).alias("lr_hi"),
+        percentile(F.when(~F.isnan(ae), ae), abs_expr_trim, exact).alias("ae_lo"),
+        percentile(F.when(~F.isnan(ae), ae), 1 - abs_expr_trim, exact).alias("ae_hi"),
+    )
+
+    trimmed = mat.crossJoin(F.broadcast(bounds)).select(
+        sample_col,
+        F.when((lr > F.col("lr_lo")) & (lr < F.col("lr_hi")), lr).alias("t_lr"),
+        F.when((ae > F.col("ae_lo")) & (ae < F.col("ae_hi")), ae).alias("t_ae"),
+    )
+
+    # :94 ((t_lr * t_ae) / t_lr).mean(axis=1) — algebraically the
+    # mean of t_ae over genes where BOTH survive the trim (the
+    # reference's own quirk, kept for parity; avg skips nulls like
+    # the pandas NaN-mean).
+    factors = trimmed.groupBy(sample_col).agg(
+        F.avg(F.when(F.col("t_lr").isNotNull(), F.col("t_ae"))).alias("norm_factor")
+    )
+
+    # :78 symmetrize.
+    return symmetrize_factors(factors, "norm_factor", "scaling_factor")
+
+
+def tmm_transform(
+    gexp: DataFrame,
+    log_ratio_trim: float = 0.3,
+    abs_expr_trim: float = 0.05,
+    sample_col: str = "sample_id",
+    gene_col: str = "gene_id",
+    value_col: str = "value",
+    exact: bool = True,
+) -> DataFrame:
+    """TMM fit_transform (fsn.py:114-115): values row-scaled by the
+    symmetrized TMM factor. Transform does NOT drop genes — the
+    reference's transform multiplies the input as-is."""
+    factors = tmm_factors(
+        gexp, log_ratio_trim, abs_expr_trim, sample_col, gene_col, value_col, exact
+    )
+    return scale_rows(gexp, factors, sample_col, value_col, "scaling_factor")

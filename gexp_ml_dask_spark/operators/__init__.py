@@ -1,0 +1,10 @@
+from gexp_ml_dask_spark.operators import (
+    aggregates,
+    filters,
+    joins,
+    physical,
+    scalars,
+    sorts,
+)
+
+__all__ = ["aggregates", "filters", "joins", "physical", "scalars", "sorts"]

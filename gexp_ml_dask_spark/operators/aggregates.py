@@ -1,0 +1,133 @@
+"""Aggregation operators (SURVEY.md §2.4, OP-AGG-01..10).
+
+Every reference aggregation is an axis-wise matrix reduction; on the
+long form each is a single shuffle-once hash aggregate with map-side
+partial aggregation (free from Spark). Exact percentiles use
+``percentile`` (linear interpolation — matches pandas
+``Series.quantile`` and DuckDB ``quantile_cont``); at 100 TB switch
+``exact=False`` to use ``percentile_approx`` (single-pass sketch, no
+per-group sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+APPROX_ACCURACY = 10_000
+
+
+def percentile(col: str | Column, q: float, exact: bool = True) -> Column:
+    """Exact linear-interpolation quantile (pandas/DuckDB semantics),
+    or the scale-path sketch when ``exact`` is False."""
+    c = F.col(col) if isinstance(col, str) else col
+    if exact:
+        return F.percentile(c, F.lit(q))
+    return F.percentile_approx(c, F.lit(q), F.lit(APPROX_ACCURACY))
+
+
+def per_gene_mean(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:
+    """OP-AGG-01 — per-gene mean (``X.mean(axis=0)``,
+    functions/dask_pipeline.py:36)."""
+    return gexp.groupBy(gene_col).agg(F.avg(value_col).alias("mean_value"))
+
+
+def per_gene_variance(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:
+    """OP-AGG-02 — per-gene sample variance, ddof=1 (pandas default
+    of ``X.var(axis=0)``, functions/dask_pipeline.py:37)."""
+    return gexp.groupBy(gene_col).agg(F.var_samp(value_col).alias("var_value"))
+
+
+def per_gene_stats(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:
+    """OP-AGG-01+02 fused: one shuffle computes both statistics the
+    threshold filter (OP-FIL-02) needs — the reference runs two
+    separate passes (dask_pipeline.py:36-37)."""
+    return gexp.groupBy(gene_col).agg(
+        F.avg(value_col).alias("mean_value"),
+        F.var_samp(value_col).alias("var_value"),
+    )
+
+
+def scalar_quantile(stats: DataFrame, col: str, q: float, exact: bool = True) -> DataFrame:
+    """OP-AGG-03 — scalar quantile of a per-group statistic
+    (``mean.quantile(0.25)``, dask_pipeline.py:39-40). Returns a
+    1-row DataFrame suitable for a broadcast cross join."""
+    return stats.agg(percentile(col, q, exact).alias(f"{col}_q"))
+
+
+def per_sample_uq_factor(
+    gexp: DataFrame,
+    q: float = 0.75,
+    sample_col: str = "sample_id",
+    value_col: str = "value",
+    exact: bool = True,
+) -> DataFrame:
+    """OP-AGG-04 — the upper-quartile norm factor: per-sample
+    ``quantile(q) / sum`` (feature_selection_and_normalization.py:28).
+    One hash aggregate; both statistics share the shuffle."""
+    return gexp.groupBy(sample_col).agg(
+        (percentile(value_col, q, exact) / F.sum(value_col)).alias("norm_factor")
+    )
+
+
+def symmetrize_factors(
+    factors: DataFrame,
+    factor_col: str = "norm_factor",
+    out_col: str = "scaling_factor",
+) -> DataFrame:
+    """OP-AGG-05 — geometric-mean symmetrization:
+    ``factor / exp(mean(log(factor.replace(0,1))))``
+    (feature_selection_and_normalization.py:24). The global geomean
+    is a scalar aggregate broadcast back over the factors (empty
+    window avoided: cross join of a 1-row agg broadcasts for free).
+    """
+    logs = F.log(F.when(F.col(factor_col) == 0, F.lit(1.0)).otherwise(F.col(factor_col)))
+    geo = factors.agg(F.exp(F.avg(logs)).alias("_geomean"))
+    return (
+        factors.crossJoin(F.broadcast(geo))
+        .withColumn(out_col, F.col(factor_col) / F.col("_geomean"))
+        .drop("_geomean")
+    )
+
+
+def per_sample_sum(gexp: DataFrame, sample_col: str = "sample_id", value_col: str = "value") -> DataFrame:
+    """OP-AGG-06 — per-sample library size (``sample.sum()``,
+    feature_selection_and_normalization.py:28,98)."""
+    return gexp.groupBy(sample_col).agg(F.sum(value_col).alias("total"))
+
+
+def nan_ignoring_quantile(
+    df: DataFrame, col: str, q: float, exact: bool = True, out: str | None = None
+) -> DataFrame:
+    """OP-AGG-07 — ``np.nanquantile`` equivalent: drop null AND NaN
+    before the exact quantile (feature_selection_and_normalization.py:
+    88-92). Spark keeps NaN distinct from null, so both predicates
+    are required (SURVEY.md §1.1)."""
+    clean = df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col)))
+    return clean.agg(percentile(col, q, exact).alias(out or f"{col}_q"))
+
+
+def distinct_sorted_codes(labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """OP-AGG-09 — sklearn LabelEncoder contract: distinct labels,
+    sorted, coded 0..k-1 (functions/dask_pipeline.py:64-66). The
+    window runs over the tiny distinct-labels dim, not the fact."""
+    from pyspark.sql import Window
+
+    return (
+        labels.select(label_col)
+        .distinct()
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy(label_col)) - 1,
+        )
+    )
+
+
+def per_gene_scaling_stats(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:
+    """OP-AGG-10 — StandardScaler.fit statistics: per-gene mean and
+    population stddev (sklearn ddof=0; functions/dask_pipeline.py:
+    72-73)."""
+    return gexp.groupBy(gene_col).agg(
+        F.avg(value_col).alias("mean_value"),
+        F.stddev_pop(value_col).alias("std_value"),
+    )

@@ -1,0 +1,64 @@
+"""Join operators (SURVEY.md §2.3, OP-JOIN-01..03).
+
+The reference has NO keyed joins — all alignment is positional
+(matching Dask partition divisions, cluster_default_benchmark.py:83).
+The engine replaces every positional alignment with an explicit
+equi-join on ``sample_id``; the small side (per-sample factors,
+labels, mappings) is always broadcast, so the fact table is never
+shuffled for these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scale_rows(
+    gexp: DataFrame,
+    factors: DataFrame,
+    sample_col: str = "sample_id",
+    value_col: str = "value",
+    factor_col: str = "scaling_factor",
+) -> DataFrame:
+    """OP-JOIN-01 — the "scaling join": per-row factor applied across
+    all of a sample's values (``X.mul(scaling_factor, axis=0)``,
+    feature_selection_and_normalization.py:31,58,115). Broadcast
+    inner equi-join: |factors| = n samples << |fact|."""
+    return (
+        gexp.join(F.broadcast(factors.select(sample_col, factor_col)), sample_col, "inner")
+        .withColumn(value_col, F.col(value_col) * F.col(factor_col))
+        .drop(factor_col)
+    )
+
+
+def align_features_labels(
+    features: DataFrame,
+    labels: DataFrame,
+    sample_col: str = "sample_id",
+) -> DataFrame:
+    """OP-JOIN-03 — feature<->label alignment. The reference zips by
+    partition divisions (functions/dask_pipeline.py:48-52); the
+    engine joins by key. Labels are one row per sample — broadcast."""
+    return features.join(F.broadcast(labels), sample_col, "inner")
+
+
+def map_column(
+    df: DataFrame,
+    mapping: DataFrame,
+    col: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    keep_unmapped: bool = True,
+) -> DataFrame:
+    """OP-SCL-06 — dict-map a column (``Series.map(dict)``,
+    brca_data_prep.ipynb cell-6) as a broadcast left join + coalesce.
+    ``keep_unmapped=False`` mirrors pandas' NaN for missing keys."""
+    m = mapping.select(
+        F.col(key_col).alias("_k"), F.col(value_col).alias("_v")
+    )
+    out = df.join(F.broadcast(m), df[col] == F.col("_k"), "left")
+    mapped = (
+        F.coalesce(F.col("_v"), F.col(col)) if keep_unmapped else F.col("_v")
+    )
+    return out.withColumn(col, mapped).drop("_k", "_v")

@@ -1,0 +1,53 @@
+"""Physical-layout operators (SURVEY.md §2.9, OP-PHY-01..04).
+
+The reference hand-places ``.persist()`` at 10+ points and
+``repartition('64MB')`` after heavy filters (functions/
+dask_pipeline.py:19,32,36-37,41,66,74). Spark needs the same
+*persist* decisions (plan reuse does not dedupe across actions) but
+partition sizing is mostly AQE's job (session.py sets the 64 MB
+advisory size).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+PARTITION_BYTES = 64 * 1024 * 1024
+
+
+def repartition_to_size(df: DataFrame, approx_bytes: int, key: str | None = None) -> DataFrame:
+    """OP-PHY-01 — size-targeted repartition
+    (``repartition(partition_size='64MB')``, dask_pipeline.py:41).
+    With ``key`` the shuffle also co-locates by that key so the next
+    join/agg on it is shuffle-free."""
+    n = max(1, math.ceil(approx_bytes / PARTITION_BYTES))
+    return df.repartition(n, key) if key else df.repartition(n)
+
+
+def persist_df(df: DataFrame, eager: bool = False) -> DataFrame:
+    """OP-PHY-02 — ``.persist()``. MEMORY_AND_DISK (deserialized) so
+    a fold-reused training set survives memory pressure by spilling
+    rather than recomputing. ``eager=True`` forces materialization
+    now (the reference's persist is eager; Spark's is lazy)."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        out.count()
+    return out
+
+
+def unpersist_df(df: DataFrame) -> DataFrame:
+    """OP-PHY-02 release — the reference's ``del`` + ``gc.collect()``
+    (dask_pipeline.py:135-147)."""
+    return df.unpersist()
+
+
+def copartition_by_key(df: DataFrame, key: str = "sample_id", n: int | None = None) -> DataFrame:
+    """OP-PHY-04 — the engine's answer to division-aligned label
+    partitioning (brca_data_prep.ipynb cell-20): hash-co-partition
+    both sides by the join key once, reuse across stages. Usually
+    unnecessary — labels broadcast — but correct for fact-fact joins
+    at 100 TB."""
+    return df.repartition(n, key) if n else df.repartition(key)

@@ -1,0 +1,693 @@
+"""Driver-contract query registry.
+
+Each implemented operator from SURVEY.md §2 is registered here as
+  * a PySpark callable ``(spark, sf_dir) -> DataFrame``, built from
+    the engine's operator modules, and
+  * (for ✓-oracle ops) an equivalent ANSI-SQL string DuckDB runs on
+    the same parquet tables.
+
+Conventions enforced for driver hash parity (see repo prompt):
+  * every computed/aggregate column is aliased identically on both
+    sides;
+  * any column produced by floating-point ARITHMETIC is rounded to
+    6 decimals on both sides (partial-aggregation order differs
+    between engines at the ulp level; raw stored values are returned
+    unrounded);
+  * expressions are ANSI-safe (``try_divide``, guarded logs) because
+    the driver's SparkSession runs with ``spark.sql.ansi.enabled``
+    default (true in Spark 4);
+  * integer codes are cast to BIGINT (DuckDB window/rank functions
+    return BIGINT, Spark's return INT);
+  * timestamps never appear raw in results — bucketed/epoch BIGINT.
+
+The gene-expression-shaped queries view ``lineitem`` as a long-form
+expression table: sample=l_orderkey, gene=l_partkey,
+value=l_quantity, row_id=l_linenumber (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gexp_ml_dask_spark.operators import (
+    aggregates as agg,
+)
+from gexp_ml_dask_spark.operators import (
+    filters as fil,
+)
+from gexp_ml_dask_spark.operators import (
+    joins as jn,
+)
+from gexp_ml_dask_spark.operators import (
+    sorts as srt,
+)
+from gexp_ml_dask_spark.sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def r6(col: F.Column | str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 6)
+
+
+def gexp(spark: SparkSession, sf_dir: str, value: str = "l_quantity") -> DataFrame:
+    """lineitem as the canonical long-form expression table."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("sample_id"),
+        F.col("l_partkey").alias("gene_id"),
+        F.col("l_linenumber").cast("long").alias("row_id"),
+        F.col(value).alias("value"),
+    )
+
+
+# Shared oracle CTE: same long-form view in SQL.
+_G = (
+    "SELECT l_orderkey AS sample_id, l_partkey AS gene_id, "
+    "CAST(l_linenumber AS BIGINT) AS row_id, {value} AS value FROM lineitem"
+)
+G_QTY = _G.format(value="l_quantity")
+G_DISC = _G.format(value="l_discount")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_src_01_parquet_scan",
+    f"SELECT sample_id, gene_id, row_id, value FROM ({G_QTY}) g",
+)
+def op_src_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-01: parquet scan + projection (pruned at the scan)."""
+    return gexp(spark, sf_dir)
+
+
+@register(
+    "op_src_02_csv_scan",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def op_src_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-02: CSV scan with schema inference. Round-trips the
+    (int/string-only) region table through CSV to exercise the
+    header+inference path against the parquet oracle."""
+    from gexp_ml_dask_spark.sources.readers import read_csv_inferred
+
+    path = "/tmp/gexp_spark_artifacts/region_csv"
+    load_table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    return read_csv_inferred(spark, path, force_double=False).select(
+        "r_regionkey", "r_name"
+    )
+
+
+@register(
+    "op_src_03_tsv_scan",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 0",
+)
+def op_src_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-03: TSV scan with NA markers + dropna. Region-0
+    nations are masked to the reference's ``'--`` NA token on write;
+    the read drops them (lung_data_prep.ipynb cell-3 semantics)."""
+    from gexp_ml_dask_spark.sources.readers import read_tsv_projected
+
+    path = "/tmp/gexp_spark_artifacts/nation_tsv"
+    (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.when(F.col("n_regionkey") == 0, F.lit("'--"))
+            .otherwise(F.col("n_regionkey").cast("string"))
+            .alias("n_regionkey"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "\t")
+        .csv(path)
+    )
+    return read_tsv_projected(
+        spark, path, usecols=["n_nationkey", "n_name", "n_regionkey"]
+    )
+
+
+@register(
+    "op_src_04_json_mapping",
+    "SELECT n_nationkey, r.r_name AS region_name FROM nation n "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey",
+)
+def op_src_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-04: JSON metadata -> mapping -> applied as a broadcast
+    map-join (the reference's dict ``Series.map``)."""
+    from gexp_ml_dask_spark.operators.joins import map_column
+    from gexp_ml_dask_spark.sources.readers import read_json_mapping
+
+    path = "/tmp/gexp_spark_artifacts/region_json"
+    load_table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").json(path)
+    mapping = read_json_mapping(spark, path, "r_regionkey", "r_name")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_regionkey").alias("region_name")
+    )
+    return map_column(nation, mapping, "region_name", keep_unmapped=False)
+
+
+@register(
+    "op_src_07_pivot_long_to_wide",
+    "SELECT sample_id, "
+    "round(sum(CASE WHEN l_returnflag = 'A' THEN value END), 6) AS A, "
+    "round(sum(CASE WHEN l_returnflag = 'N' THEN value END), 6) AS N, "
+    "round(sum(CASE WHEN l_returnflag = 'R' THEN value END), 6) AS R "
+    "FROM (SELECT l_orderkey AS sample_id, l_returnflag, l_quantity AS value "
+    "FROM lineitem) g GROUP BY sample_id",
+)
+def op_src_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-07: long->wide pivot (the missing load_gexp_dataset's
+    merge shape, SURVEY.md §2.1). Explicit pivot values skip the
+    extra distinct scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("sample_id"), "l_returnflag", "l_quantity"
+    )
+    wide = (
+        li.groupBy("sample_id")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return wide.select("sample_id", r6("A").alias("A"), r6("N").alias("N"), r6("R").alias("R"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Filters / projections
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_fil_01_drop_zero_genes",
+    f"WITH g AS ({G_DISC}) SELECT g.* FROM g WHERE g.gene_id IN "
+    "(SELECT gene_id FROM g GROUP BY gene_id HAVING avg(value) > 0)",
+)
+def op_fil_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FIL-01: drop all-zero features (on l_discount, which has
+    real zeros)."""
+    return fil.drop_zero_genes(gexp(spark, sf_dir, "l_discount"))
+
+
+@register(
+    "op_fil_02_stat_threshold_genes",
+    f"WITH g AS ({G_QTY}), "
+    "s AS (SELECT gene_id, avg(value) AS m, var_samp(value) AS v FROM g GROUP BY gene_id), "
+    "t AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY m) AS mt, "
+    "percentile_cont(0.25) WITHIN GROUP (ORDER BY v) AS vt FROM s) "
+    "SELECT s.gene_id FROM s, t WHERE s.m > t.mt AND s.v > t.vt",
+)
+def op_fil_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FIL-02: mean/variance quantile-threshold feature selection
+    (functions/dask_pipeline.py:39-41). Returns the keep-list."""
+    return fil.stat_threshold_genes(gexp(spark, sf_dir))
+
+
+@register(
+    "op_fil_03_positive_values",
+    f"SELECT * FROM ({G_DISC}) g WHERE value > 0",
+)
+def op_fil_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FIL-03: row-level positive-value predicate (pushed to scan)."""
+    return fil.positive_values(gexp(spark, sf_dir, "l_discount"))
+
+
+@register(
+    "op_fil_04_semi_join",
+    "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS row_id, l_quantity "
+    "FROM lineitem WHERE l_orderkey IN "
+    "(SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)",
+)
+def op_fil_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FIL-04 / OP-JOIN-02: key-membership semi-join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("row_id"),
+        "l_quantity",
+    )
+    hv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return fil.semi_join_members(li, hv, "l_orderkey")
+
+
+@register(
+    "op_fil_05_regex_selection",
+    "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '(red|blue)')",
+)
+def op_fil_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FIL-05 / OP-SCL-05: regex str-contains selection."""
+    from gexp_ml_dask_spark.operators.scalars import matches_pattern
+
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(matches_pattern("p_name", "(red|blue)")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "op_fil_07_null_handling",
+    "SELECT sample_id, gene_id, row_id, "
+    "CASE WHEN value = 0 THEN 1.0 ELSE value END AS value "
+    f"FROM ({G_DISC}) g WHERE value IS NOT NULL",
+)
+def op_fil_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FIL-07: dropna + replace(0,1) null/zero handling chain."""
+    g = fil.drop_nulls(gexp(spark, sf_dir, "l_discount"), ["value"])
+    return fil.replace_zero_with_one(g, "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_join_01_scale_rows",
+    f"WITH g AS ({G_QTY}), "
+    "f AS (SELECT sample_id, 1.0 / nullif(sum(value), 0) AS scaling_factor "
+    "FROM g GROUP BY sample_id) "
+    "SELECT g.sample_id, g.gene_id, g.row_id, "
+    "round(g.value * f.scaling_factor, 6) AS value "
+    "FROM g JOIN f USING (sample_id)",
+)
+def op_join_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-01: the scaling join — per-sample factor broadcast
+    onto every row of the sample (X.mul(factor, axis=0))."""
+    g = gexp(spark, sf_dir)
+    factors = g.groupBy("sample_id").agg(
+        F.try_divide(F.lit(1.0), F.sum("value")).alias("scaling_factor")
+    )
+    scaled = jn.scale_rows(g, factors)
+    return scaled.withColumn("value", r6("value"))
+
+
+@register(
+    "op_join_03_align_features_labels",
+    "SELECT l.l_orderkey AS sample_id, CAST(l.l_linenumber AS BIGINT) AS row_id, "
+    "l.l_quantity AS value, o.o_orderstatus AS label "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
+)
+def op_join_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-03: keyed feature<->label alignment replacing the
+    reference's positional division matching."""
+    feats = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("sample_id"),
+        F.col("l_linenumber").cast("long").alias("row_id"),
+        F.col("l_quantity").alias("value"),
+    )
+    labels = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sample_id"),
+        F.col("o_orderstatus").alias("label"),
+    )
+    return jn.align_features_labels(feats, labels)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_agg_01_per_gene_mean",
+    f"SELECT gene_id, round(avg(value), 6) AS mean_value FROM ({G_QTY}) g GROUP BY gene_id",
+)
+def op_agg_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.per_gene_mean(gexp(spark, sf_dir)).withColumn(
+        "mean_value", r6("mean_value")
+    )
+
+
+@register(
+    "op_agg_02_per_gene_variance",
+    f"SELECT gene_id, round(var_samp(value), 6) AS var_value FROM ({G_QTY}) g GROUP BY gene_id",
+)
+def op_agg_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.per_gene_variance(gexp(spark, sf_dir)).withColumn(
+        "var_value", r6("var_value")
+    )
+
+
+@register(
+    "op_agg_03_scalar_quantile",
+    f"WITH s AS (SELECT avg(value) AS mean_value FROM ({G_QTY}) g GROUP BY gene_id) "
+    "SELECT round(percentile_cont(0.25) WITHIN GROUP (ORDER BY mean_value), 6) "
+    "AS mean_value_q FROM s",
+)
+def op_agg_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = agg.per_gene_mean(gexp(spark, sf_dir))
+    return agg.scalar_quantile(stats, "mean_value", 0.25).withColumn(
+        "mean_value_q", r6("mean_value_q")
+    )
+
+
+@register(
+    "op_agg_04_uq_factor",
+    f"SELECT sample_id, round("
+    "percentile_cont(0.75) WITHIN GROUP (ORDER BY value) / nullif(sum(value), 0), 6) "
+    f"AS norm_factor FROM ({G_QTY}) g GROUP BY sample_id",
+)
+def op_agg_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-04: the UpperQuartile norm factor — per-sample
+    q0.75/sum in ONE hash aggregate."""
+    g = gexp(spark, sf_dir)
+    factors = g.groupBy("sample_id").agg(
+        F.try_divide(agg.percentile("value", 0.75), F.sum("value")).alias(
+            "norm_factor"
+        )
+    )
+    return factors.withColumn("norm_factor", r6("norm_factor"))
+
+
+@register(
+    "op_agg_05_symmetrize_factors",
+    f"WITH nf AS (SELECT sample_id, "
+    "percentile_cont(0.75) WITHIN GROUP (ORDER BY value) / nullif(sum(value), 0) AS norm_factor "
+    f"FROM ({G_QTY}) g GROUP BY sample_id), "
+    "geo AS (SELECT exp(avg(ln(CASE WHEN norm_factor = 0 THEN 1 ELSE norm_factor END))) "
+    "AS gm FROM nf) "
+    "SELECT sample_id, round(norm_factor / gm, 6) AS scaling_factor FROM nf, geo",
+)
+def op_agg_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-05: geometric-mean symmetrization of norm factors."""
+    g = gexp(spark, sf_dir)
+    factors = agg.per_sample_uq_factor(g)
+    sym = agg.symmetrize_factors(factors)
+    return sym.select("sample_id", r6("scaling_factor").alias("scaling_factor"))
+
+
+@register(
+    "op_agg_06_per_sample_sum",
+    f"SELECT sample_id, round(sum(value), 6) AS total FROM ({G_QTY}) g GROUP BY sample_id",
+)
+def op_agg_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.per_sample_sum(gexp(spark, sf_dir)).withColumn("total", r6("total"))
+
+
+@register(
+    "op_agg_07_nan_ignoring_quantile",
+    f"WITH d AS (SELECT CASE WHEN value > 0 THEN log2(value) END AS lv FROM ({G_DISC}) g) "
+    "SELECT round(percentile_cont(0.3) WITHIN GROUP (ORDER BY lv), 6) AS lv_q "
+    "FROM d WHERE lv IS NOT NULL",
+)
+def op_agg_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-07: np.nanquantile — quantile over a derived column
+    with undefined entries scrubbed to null first."""
+    g = gexp(spark, sf_dir, "l_discount").withColumn(
+        "lv", F.when(F.col("value") > 0, F.log2("value"))
+    )
+    out = agg.nan_ignoring_quantile(g, "lv", 0.3, out="lv_q")
+    return out.select(r6("lv_q").alias("lv_q"))
+
+
+@register(
+    "op_agg_09_distinct_sorted_codes",
+    "SELECT label, CAST(rank - 1 AS BIGINT) AS code FROM "
+    "(SELECT DISTINCT l_returnflag AS label, "
+    "dense_rank() OVER (ORDER BY l_returnflag) AS rank FROM lineitem) t",
+)
+def op_agg_09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-09: LabelEncoder contract — distinct labels, sorted,
+    coded 0..k-1."""
+    labels = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("label")
+    )
+    return agg.distinct_sorted_codes(labels).select(
+        "label", F.col("code").cast("long").alias("code")
+    )
+
+
+@register(
+    "op_agg_10_scaling_stats",
+    f"SELECT gene_id, round(avg(value), 6) AS mean_value, "
+    f"round(stddev_pop(value), 6) AS std_value FROM ({G_QTY}) g GROUP BY gene_id",
+)
+def op_agg_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        agg.per_gene_scaling_stats(gexp(spark, sf_dir))
+        .withColumn("mean_value", r6("mean_value"))
+        .withColumn("std_value", r6("std_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_sort_01_sort_by_key",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+)
+def op_sort_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return srt.sort_by_key(cust, "c_custkey")
+
+
+@register(
+    "op_sort_02_top_k_variance",
+    f"WITH s AS (SELECT gene_id, round(var_samp(value), 6) AS var_value "
+    f"FROM ({G_QTY}) g GROUP BY gene_id HAVING count(*) >= 2) "
+    "SELECT gene_id, var_value FROM s ORDER BY var_value DESC, gene_id ASC LIMIT 100",
+)
+def op_sort_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SORT-02: top-k genes by variance. Variance rounded BEFORE
+    ordering so ulp-level engine differences can't flip boundary
+    membership; gene_id tie-break for determinism. Spark plans this
+    as TakeOrderedAndProject (per-partition heaps, no total sort)."""
+    g = gexp(spark, sf_dir)
+    stats = (
+        g.groupBy("gene_id")
+        .agg(
+            r6(F.var_samp("value")).alias("var_value"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    return stats.orderBy(F.col("var_value").desc(), F.col("gene_id").asc()).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_scl_01_log2_plus_one",
+    f"SELECT sample_id, gene_id, row_id, round(log2(value + 1.0), 6) AS value "
+    f"FROM ({G_QTY}) g",
+)
+def op_scl_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-01: log2(x+1) — native column expr, never a UDF."""
+    from gexp_ml_dask_spark.operators.scalars import log2_plus_one
+
+    return log2_plus_one(gexp(spark, sf_dir), "value").withColumn("value", r6("value"))
+
+
+@register(
+    "op_scl_02_log_exp",
+    "SELECT sample_id, gene_id, row_id, "
+    "round(CASE WHEN value > 0 THEN ln(value) END, 6) AS ln_v, "
+    "round(exp(least(value, 50.0) / 50.0), 6) AS exp_v, "
+    "round(CASE WHEN value > 0 THEN log2(value) END, 6) AS log2_v "
+    f"FROM ({G_QTY}) g",
+)
+def op_scl_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gexp(spark, sf_dir)
+    v = F.col("value")
+    return g.select(
+        "sample_id",
+        "gene_id",
+        "row_id",
+        r6(F.when(v > 0, F.log(v))).alias("ln_v"),
+        r6(F.exp(F.least(v, F.lit(50.0)) / F.lit(50.0))).alias("exp_v"),
+        r6(F.when(v > 0, F.log2(v))).alias("log2_v"),
+    )
+
+
+@register(
+    "op_scl_03_ratio_arithmetic",
+    f"WITH g AS ({G_QTY}), t AS (SELECT sample_id, sum(value) AS total FROM g GROUP BY sample_id) "
+    "SELECT g.sample_id, g.gene_id, g.row_id, "
+    "round((t.total - g.value) / nullif(t.total * g.value, 0), 6) AS ratio "
+    "FROM g JOIN t USING (sample_id) WHERE g.value > 0",
+)
+def op_scl_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-03: the TMM ratio kernel (total-g)/(total*g) over
+    positive values, factor joined per sample."""
+    from gexp_ml_dask_spark.operators.scalars import ratio_expr
+
+    g = fil.positive_values(gexp(spark, sf_dir))
+    totals = agg.per_sample_sum(g)
+    joined = g.join(F.broadcast(totals), "sample_id")
+    return joined.select(
+        "sample_id",
+        "gene_id",
+        "row_id",
+        r6(
+            F.try_divide(
+                F.col("total") - F.col("value"), F.col("total") * F.col("value")
+            )
+        ).alias("ratio"),
+    )
+
+
+@register(
+    "op_scl_04_conditional_replace",
+    "SELECT sample_id, gene_id, row_id, "
+    "CASE WHEN value = 0 THEN 1.0 ELSE value END AS value "
+    f"FROM ({G_DISC}) g",
+)
+def op_scl_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gexp_ml_dask_spark.operators.scalars import replace_value
+
+    return replace_value(gexp(spark, sf_dir, "l_discount"), "value", 0.0, 1.0)
+
+
+@register(
+    "op_scl_06_map_column",
+    "SELECT c_custkey, n.n_name AS nation_name FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey",
+)
+def op_scl_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-06: dict-map a column = broadcast join against the
+    mapping dim."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("string").alias("nation_name")
+    )
+    mapping = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("key"),
+        F.col("n_name").alias("value"),
+    )
+    return jn.map_column(cust, mapping, "nation_name", keep_unmapped=False)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 ML composites (SQL-expressible parts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_ml_01_upper_quartile",
+    f"WITH g AS ({G_QTY}), "
+    "keep AS (SELECT gene_id FROM g GROUP BY gene_id HAVING avg(value) > 0), "
+    "gk AS (SELECT g.* FROM g WHERE g.gene_id IN (SELECT gene_id FROM keep)), "
+    "nf AS (SELECT sample_id, "
+    "percentile_cont(0.75) WITHIN GROUP (ORDER BY value) / nullif(sum(value), 0) AS norm_factor "
+    "FROM gk GROUP BY sample_id), "
+    "geo AS (SELECT exp(avg(ln(CASE WHEN norm_factor = 0 THEN 1 ELSE norm_factor END))) AS gm FROM nf), "
+    "sf AS (SELECT sample_id, norm_factor / gm AS scaling_factor FROM nf, geo) "
+    "SELECT gk.sample_id, gk.gene_id, gk.row_id, "
+    "round(gk.value * sf.scaling_factor, 6) AS value "
+    "FROM gk JOIN sf USING (sample_id)",
+)
+def op_ml_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-01: the full UpperQuartile normalizer (fit+transform)
+    as one lazy plan — zero-gene drop, per-sample q75/sum factors,
+    geometric-mean symmetrization, broadcast scaling join
+    (feature_selection_and_normalization.py:8-31)."""
+    from gexp_ml_dask_spark.ml.normalization import upper_quartile_transform
+
+    out = upper_quartile_transform(gexp(spark, sf_dir))
+    return out.select("sample_id", "gene_id", "row_id", r6("value").alias("value"))
+
+
+@register(
+    "op_ml_04_label_encode",
+    "SELECT label, CAST(rank - 1 AS BIGINT) AS code FROM "
+    "(SELECT DISTINCT o_orderpriority AS label, "
+    "dense_rank() OVER (ORDER BY o_orderpriority) AS rank FROM orders) t",
+)
+def op_ml_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-04: label encoding via MLlib StringIndexer with
+    alphabetAsc ordering (= sklearn LabelEncoder's sorted-classes
+    contract)."""
+    from pyspark.ml.feature import StringIndexer
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("label")
+    )
+    indexer = StringIndexer(
+        inputCol="label", outputCol="code", stringOrderType="alphabetAsc"
+    )
+    model = indexer.fit(orders)
+    return (
+        model.transform(orders)
+        .select("label", F.col("code").cast("long").alias("code"))
+        .distinct()
+    )
+
+
+@register(
+    "op_ml_05_standard_scale",
+    f"WITH g AS ({G_QTY}), "
+    "s AS (SELECT gene_id, avg(value) AS m, stddev_pop(value) AS sd FROM g GROUP BY gene_id) "
+    "SELECT g.sample_id, g.gene_id, g.row_id, "
+    "round((g.value - s.m) / (CASE WHEN sd = 0 OR sd IS NULL THEN 1.0 ELSE sd END), 6) "
+    "AS value FROM g JOIN s USING (gene_id)",
+)
+def op_ml_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-05: standard scaling (x-μ)/σ per gene; σ=0 -> 1 per
+    sklearn's contract."""
+    g = gexp(spark, sf_dir)
+    stats = agg.per_gene_scaling_stats(g)
+    sd = F.col("std_value")
+    safe_sd = F.when(sd.isNull() | (sd == 0), F.lit(1.0)).otherwise(sd)
+    return (
+        g.join(F.broadcast(stats), "gene_id")
+        .select(
+            "sample_id",
+            "gene_id",
+            "row_id",
+            r6((F.col("value") - F.col("mean_value")) / safe_sd).alias("value"),
+        )
+    )
+
+
+@register(
+    "op_ml_10_r2_score",
+    f"WITH g AS ({G_QTY}), "
+    "p AS (SELECT gene_id, avg(value) AS pred FROM g GROUP BY gene_id), "
+    "j AS (SELECT g.value AS y, p.pred FROM g JOIN p USING (gene_id)), "
+    "m AS (SELECT avg(y) AS ybar FROM j) "
+    "SELECT round(1.0 - sum((y - pred) * (y - pred)) / "
+    "nullif(sum((y - ybar) * (y - ybar)), 0), 6) AS r2 FROM j, m",
+)
+def op_ml_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10: r² scoring as pure SQL given a prediction column
+    (prediction := per-gene mean, a deterministic model both engines
+    agree on)."""
+    from gexp_ml_dask_spark.ml.metrics import r2_score_df
+
+    g = gexp(spark, sf_dir)
+    preds = g.groupBy("gene_id").agg(F.avg("value").alias("pred"))
+    scored = g.join(F.broadcast(preds), "gene_id").select(
+        F.col("value").alias("y"), F.col("pred")
+    )
+    return r2_score_df(scored, "y", "pred").select(r6("r2").alias("r2"))

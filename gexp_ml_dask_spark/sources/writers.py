@@ -1,0 +1,41 @@
+"""Sink operators (SURVEY.md §2.1, OP-SRC-05/06)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+# ~64 MB target partition files — the reference's explicit tuning
+# (data/brca_undersample.py:20 `npartitions = bytes/6.4e7`;
+# brca_data_prep.ipynb cell-22).
+TARGET_FILE_BYTES = 64 * 1024 * 1024
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    approx_bytes: int | None = None,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """OP-SRC-05 — snappy parquet sink with ~64 MB output files.
+
+    Reference: ``dd.to_parquet(engine='pyarrow',
+    compression='snappy')`` after repartitioning to bytes/64MB
+    (data/brca_undersample.py:20-27). When ``approx_bytes`` is
+    known we coalesce to ceil(bytes/64MB) writers; otherwise AQE's
+    advisory partition size (set in session.py) already targets
+    64 MB shuffle output.
+    """
+    if approx_bytes is not None:
+        n = max(1, math.ceil(approx_bytes / TARGET_FILE_BYTES))
+        df = df.coalesce(n) if n < 200 else df.repartition(n)
+    df.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """OP-SRC-06 — header CSV sink (``to_csv(index=False)``,
+    data/brca_undersample.py:15-17; no index column exists in Spark,
+    matching index=False)."""
+    df.write.mode(mode).option("header", True).csv(path)
