@@ -22,7 +22,10 @@ from gexp_ml_dask_spark.operators.aggregates import (
     percentile,
     symmetrize_factors,
 )
-from gexp_ml_dask_spark.operators.filters import drop_zero_genes
+from gexp_ml_dask_spark.operators.filters import (
+    drop_never_nonzero_genes,
+    drop_zero_genes,
+)
 from gexp_ml_dask_spark.operators.joins import scale_rows
 
 
@@ -87,8 +90,9 @@ def tmm_factors(
     """
     v = F.col(value_col)
 
-    # fit :73 — drop genes that are zero across all samples.
-    g = drop_zero_genes(gexp, gene_col, value_col)
+    # fit :73 — drop genes that are zero across all samples
+    # ((X != 0).any(axis=0), the any-nonzero form).
+    g = drop_never_nonzero_genes(gexp, gene_col, value_col)
 
     # :74 pseudoref — PER-GENE (pandas axis=0 == per column):
     # quantile(0.75 of positive values) / sum(all values).

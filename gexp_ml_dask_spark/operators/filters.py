@@ -36,6 +36,25 @@ def drop_zero_genes(gexp: DataFrame, gene_col: str = "gene_id", value_col: str =
     return gexp.join(F.broadcast(keep), gene_col, "left_semi")
 
 
+def any_nonzero_genes(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:
+    """OP-FIL-01 (TMM variant) keep-list — genes with ANY nonzero
+    value (``(X != 0).any(axis=0)``, feature_selection_and_
+    normalization.py:73). Differs from the mean>0 form only when
+    values can be negative; both appear in the reference."""
+    return (
+        gexp.groupBy(gene_col)
+        .agg(F.max((F.col(value_col) != 0).cast("int")).alias("_nz"))
+        .filter(F.col("_nz") == 1)
+        .select(gene_col)
+    )
+
+
+def drop_never_nonzero_genes(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:
+    """OP-FIL-01 (TMM variant) — fact restricted to any-nonzero genes."""
+    keep = any_nonzero_genes(gexp, gene_col, value_col)
+    return gexp.join(F.broadcast(keep), gene_col, "left_semi")
+
+
 def stat_threshold_genes(
     gexp: DataFrame,
     q: float = 0.25,

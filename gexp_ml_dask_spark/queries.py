@@ -424,6 +424,28 @@ def op_agg_07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_08_trimmed_masked_mean",
+    f"WITH g AS (SELECT sample_id, l_quantity AS x, nullif(l_discount, 0) AS y "
+    "FROM (SELECT l_orderkey AS sample_id, l_quantity, l_discount FROM lineitem) t) "
+    "SELECT sample_id, round(avg(CASE WHEN y IS NOT NULL THEN x END), 6) AS masked_mean "
+    "FROM g GROUP BY sample_id",
+)
+def op_agg_08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-08: the TMM composite's masked mean — mean of x over
+    entries where a companion column survived (the reference's
+    ``((t_lr * t_ae) / t_lr).mean(axis=1)`` quirk, fsn.py:94:
+    algebraically mean(t_ae | t_lr not null))."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("sample_id"),
+        F.col("l_quantity").alias("x"),
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("y"),
+    )
+    return li.groupBy("sample_id").agg(
+        r6(F.avg(F.when(F.col("y").isNotNull(), F.col("x")))).alias("masked_mean")
+    )
+
+
+@register(
     "op_agg_09_distinct_sorted_codes",
     "SELECT label, CAST(rank - 1 AS BIGINT) AS code FROM "
     "(SELECT DISTINCT l_returnflag AS label, "
@@ -616,6 +638,56 @@ def op_ml_01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = upper_quartile_transform(gexp(spark, sf_dir))
     return out.select("sample_id", "gene_id", "row_id", r6("value").alias("value"))
+
+
+@register(
+    "op_ml_02_tmm",
+    f"WITH g0 AS ({G_QTY}), "
+    "keep AS (SELECT gene_id FROM g0 GROUP BY gene_id "
+    "HAVING count(*) FILTER (value <> 0) > 0), "
+    "g AS (SELECT * FROM g0 WHERE gene_id IN (SELECT gene_id FROM keep)), "
+    "pr AS (SELECT gene_id, percentile_cont(0.75) WITHIN GROUP "
+    "(ORDER BY CASE WHEN value > 0 THEN value END) / nullif(sum(value), 0) "
+    "AS ref_value FROM g GROUP BY gene_id), "
+    "st AS (SELECT sample_id, sum(value) AS sample_total FROM g GROUP BY sample_id), "
+    "rt AS (SELECT sum(ref_value) AS ref_total FROM pr), "
+    "j AS (SELECT g.sample_id, g.value, pr.ref_value, st.sample_total, rt.ref_total "
+    "FROM g JOIN pr USING (gene_id) JOIN st USING (sample_id) CROSS JOIN rt), "
+    "m AS (SELECT sample_id, "
+    "CASE WHEN value > 0 THEN (sample_total - value) / nullif(sample_total * value, 0) END AS lr, "
+    "CASE WHEN value > 0 AND ref_value > 0 THEN "
+    "(CASE WHEN value / sample_total > 0 THEN log2(value / sample_total) END) / "
+    "nullif(CASE WHEN log2(ref_value / ref_total) = 0 THEN 1.0 "
+    "ELSE log2(ref_value / ref_total) END, 0) / 2.0 END AS ae FROM j), "
+    "m2 AS (SELECT sample_id, "
+    "CASE WHEN isfinite(lr) THEN lr END AS lr, "
+    "CASE WHEN isfinite(ae) THEN ae END AS ae FROM m), "
+    "b AS (SELECT "
+    "percentile_cont(0.3) WITHIN GROUP (ORDER BY lr) AS lr_lo, "
+    "percentile_cont(0.7) WITHIN GROUP (ORDER BY lr) AS lr_hi, "
+    "percentile_cont(0.05) WITHIN GROUP (ORDER BY ae) AS ae_lo, "
+    "percentile_cont(0.95) WITHIN GROUP (ORDER BY ae) AS ae_hi FROM m2), "
+    "t AS (SELECT sample_id, "
+    "CASE WHEN lr > lr_lo AND lr < lr_hi THEN lr END AS t_lr, "
+    "CASE WHEN ae > ae_lo AND ae < ae_hi THEN ae END AS t_ae FROM m2, b), "
+    "nf AS (SELECT sample_id, avg(CASE WHEN t_lr IS NOT NULL THEN t_ae END) "
+    "AS norm_factor FROM t GROUP BY sample_id), "
+    "geo AS (SELECT exp(avg(ln(CASE WHEN norm_factor = 0 THEN 1 ELSE norm_factor END))) "
+    "AS gm FROM nf) "
+    "SELECT sample_id, round(norm_factor / gm, 6) AS scaling_factor FROM nf, geo",
+)
+def op_ml_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-02: TMM normalization fit — the hardest composite
+    (feature_selection_and_normalization.py:61-112): pseudoreference
+    from per-gene q75-of-positive/sum, per-(sample,gene) ratio +
+    absolute-expression kernels, ±inf scrub, two-sided global
+    quantile trims, masked trimmed mean, geometric-mean
+    symmetrization. Entirely lazy DataFrame ops — 4 hash aggregates
+    + 2 broadcast scalars, no UDFs."""
+    from gexp_ml_dask_spark.ml.normalization import tmm_factors
+
+    out = tmm_factors(gexp(spark, sf_dir))
+    return out.select("sample_id", r6("scaling_factor").alias("scaling_factor"))
 
 
 @register(
