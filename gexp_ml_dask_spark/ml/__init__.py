@@ -1,3 +1,10 @@
-from gexp_ml_dask_spark.ml import metrics, normalization
+from gexp_ml_dask_spark.ml import (
+    cv,
+    estimators,
+    metrics,
+    models,
+    normalization,
+    pipeline,
+)
 
-__all__ = ["metrics", "normalization"]
+__all__ = ["cv", "estimators", "metrics", "models", "normalization", "pipeline"]

@@ -1,0 +1,109 @@
+"""Model wrappers (SURVEY.md §2.10, OP-ML-07/08/09).
+
+The reference trains XGBoost (functions/dask_pipeline.py:79-104) and
+LightGBM (cluster_default_benchmark.py:137-143); neither package is
+in this container, so the primary path is MLlib (RandomForest for
+multiclass — MLlib's GBTClassifier is binary-only — GBTRegressor for
+regression) with distributed XGBoost used automatically when
+``xgboost.spark`` is importable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+try:  # gated: not in the v1 container, available on real clusters
+    from xgboost.spark import SparkXGBClassifier, SparkXGBRegressor
+
+    HAS_XGBOOST = True
+except Exception:  # pragma: no cover - absent dependency
+    SparkXGBClassifier = SparkXGBRegressor = None
+    HAS_XGBOOST = False
+
+
+def make_classifier(
+    features_col: str = "features",
+    label_col: str = "label_idx",
+    seed: int = 42,
+    prefer_xgboost: bool = True,
+):
+    """OP-ML-07 (classification): XGBClassifier twin. MLlib fallback
+    is RandomForest (multiclass-capable, GBDT-family)."""
+    if prefer_xgboost and HAS_XGBOOST:
+        return SparkXGBClassifier(
+            features_col=features_col, label_col=label_col, random_state=seed
+        )
+    from pyspark.ml.classification import RandomForestClassifier
+
+    return RandomForestClassifier(
+        featuresCol=features_col, labelCol=label_col, seed=seed, numTrees=50
+    )
+
+
+def make_regressor(
+    features_col: str = "features",
+    label_col: str = "label",
+    seed: int = 42,
+    prefer_xgboost: bool = True,
+):
+    """OP-ML-07 (regression): XGBRegressor twin / MLlib GBTRegressor."""
+    if prefer_xgboost and HAS_XGBOOST:
+        return SparkXGBRegressor(
+            features_col=features_col, label_col=label_col, random_state=seed
+        )
+    from pyspark.ml.regression import GBTRegressor
+
+    return GBTRegressor(featuresCol=features_col, labelCol=label_col, seed=seed)
+
+
+def make_hpo_classifier(
+    features_col: str = "features",
+    label_col: str = "label_idx",
+    n_folds: int = 2,
+    parallelism: int = 4,
+    seed: int = 42,
+):
+    """OP-ML-09 — linear-model HPO: the reference's SGDClassifier +
+    RandomizedSearchCV(cv=2) (functions/dask_pipeline.py:107-120)
+    maps to LogisticRegression + a sampled ParamGrid under
+    CrossValidator(numFolds=2, parallelism) — MLlib evaluates grid
+    points concurrently the way dask_ml evaluated sampled params."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    lr = LogisticRegression(featuresCol=features_col, labelCol=label_col)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.001, 0.01, 0.1, 1.0])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5, 1.0])
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="accuracy"
+    )
+    return CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=n_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+
+
+def evaluate_accuracy(predictions: DataFrame, label_col: str = "label_idx") -> float:
+    """OP-ML-10 — MLlib evaluator path (SQL twin in metrics.py)."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    return MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="accuracy"
+    ).evaluate(predictions)
+
+
+def evaluate_r2(predictions: DataFrame, label_col: str = "label") -> float:
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    return RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="r2"
+    ).evaluate(predictions)

@@ -742,6 +742,173 @@ def op_ml_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small per-order feature set for the ML queries: 3 aggregate
+    features + status label. Keeps driver-run model fits fast while
+    exercising the real MLlib path (the full gexp pipeline is
+    exercised in tests/test_pipeline.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.groupBy(F.col("l_orderkey").alias("sample_id")).agg(
+        F.sum("l_quantity").alias("f_qty"),
+        F.avg("l_extendedprice").alias("f_price"),
+        F.count(F.lit(1)).cast("double").alias("f_lines"),
+    )
+    labels = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sample_id"),
+        F.col("o_orderstatus").alias("label"),
+    )
+    return feats.join(F.broadcast(labels), "sample_id")
+
+
+@register("op_ml_03_train_test_split")
+def op_ml_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-03 (rows-only): seeded 70/30 split — returns per-split
+    row counts; membership is engine-specific (SURVEY §7.5)."""
+    from gexp_ml_dask_spark.ml.pipeline import train_test_split
+
+    data = _order_features(spark, sf_dir)
+    train, test = train_test_split(data, 0.3, seed=42)
+    return train.select(F.lit("train").alias("split")).union(
+        test.select(F.lit("test").alias("split"))
+    ).groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("op_ml_06_cv_folds")
+def op_ml_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-06 (rows-only): seeded k-fold assignment — returns fold
+    sizes (statistically ~equal, dask_cv.py:56-57 contract)."""
+    from gexp_ml_dask_spark.ml.cv import with_fold
+
+    data = _order_features(spark, sf_dir)
+    return with_fold(data, k=10, seed=42).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("op_ml_07_gbdt_fit_predict")
+def op_ml_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-07 (rows-only): GBDT-family fit + predict (MLlib
+    RandomForest multiclass / xgboost.spark when importable) —
+    returns per-(label, prediction) counts."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from gexp_ml_dask_spark.ml.models import make_classifier
+    from gexp_ml_dask_spark.ml.pipeline import encode_labels, train_test_split
+
+    data = _order_features(spark, sf_dir)
+    data = VectorAssembler(
+        inputCols=["f_qty", "f_price", "f_lines"], outputCol="features"
+    ).transform(data)
+    data, _ = encode_labels(data, "label", "label_idx")
+    train, test = train_test_split(data, 0.3, seed=42)
+    model = make_classifier("features", "label_idx", seed=42).fit(train)
+    return (
+        model.transform(test)
+        .groupBy(
+            F.col("label_idx").cast("long").alias("label"),
+            F.col("prediction").cast("long").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("op_ml_09_hpo_linear")
+def op_ml_09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-09 (rows-only): linear-model HPO — LogisticRegression
+    under CrossValidator(numFolds=2, parallelism=4) over a sampled
+    grid (the reference's RandomizedSearchCV twin); returns the best
+    params + mean CV accuracy."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from gexp_ml_dask_spark.ml.models import make_hpo_classifier
+    from gexp_ml_dask_spark.ml.pipeline import encode_labels
+
+    data = _order_features(spark, sf_dir)
+    data = VectorAssembler(
+        inputCols=["f_qty", "f_price", "f_lines"], outputCol="features"
+    ).transform(data)
+    data, _ = encode_labels(data, "label", "label_idx")
+    cv_model = make_hpo_classifier("features", "label_idx").fit(data)
+    best = cv_model.bestModel
+    return spark.createDataFrame(
+        [
+            (
+                float(best.getRegParam()),
+                float(best.getElasticNetParam()),
+                float(max(cv_model.avgMetrics)),
+            )
+        ],
+        "best_reg_param double, best_elastic_net double, best_cv_accuracy double",
+    )
+
+
+@register("op_ml_11_stratified_sample")
+def op_ml_11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-11 (rows-only): stratified subsample preserving label
+    proportions; returns per-label sampled counts."""
+    from gexp_ml_dask_spark.ml.pipeline import stratified_sample
+
+    data = _order_features(spark, sf_dir)
+    sampled = stratified_sample(data, n_per_total=200, label_col="label", seed=42)
+    return sampled.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("op_phy_01_sized_repartition")
+def op_phy_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PHY-01 (rows-only): size-targeted repartition — row-
+    preserving physical op."""
+    from gexp_ml_dask_spark.operators.physical import repartition_to_size
+
+    g = gexp(spark, sf_dir)
+    return repartition_to_size(g, approx_bytes=256 * 1024 * 1024).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("op_phy_02_persist_reuse")
+def op_phy_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PHY-02 (rows-only): persist + two dependent aggregations
+    reading the cached plan (the reference's shared mean/var
+    subplan, dask_pipeline.py:36-37)."""
+    from gexp_ml_dask_spark.operators.physical import persist_df, unpersist_df
+
+    g = persist_df(gexp(spark, sf_dir))
+    out = (
+        g.groupBy("gene_id")
+        .agg(F.avg("value").alias("m"), F.var_samp("value").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_genes"),
+            r6(F.avg("m")).alias("grand_mean"),
+        )
+    )
+    result = out.collect()
+    unpersist_df(g)
+    return spark.createDataFrame(result)
+
+
+@register("op_src_05_parquet_sink")
+def op_src_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-05 (rows-only, sink): sized snappy parquet write +
+    read-back round trip."""
+    from gexp_ml_dask_spark.sources.writers import write_parquet_sized
+
+    path = "/tmp/gexp_spark_artifacts/sink_parquet"
+    g = gexp(spark, sf_dir)
+    write_parquet_sized(g, path, approx_bytes=2 * 1024 * 1024)
+    return spark.read.parquet(path)
+
+
+@register("op_src_06_csv_sink")
+def op_src_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-06 (rows-only, sink): header CSV write + read-back."""
+    from gexp_ml_dask_spark.sources.writers import write_csv
+
+    path = "/tmp/gexp_spark_artifacts/sink_csv"
+    nation = load_table(spark, sf_dir, "nation")
+    write_csv(nation, path)
+    return spark.read.options(header=True, inferSchema=True).csv(path)
+
+
 @register(
     "op_ml_10_r2_score",
     f"WITH g AS ({G_QTY}), "

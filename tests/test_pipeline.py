@@ -1,0 +1,138 @@
+"""End-to-end gexp pipeline tests (OP-ML-03..11) — statistical
+checks, as the reference's own cross-framework-agreement strategy
+prescribes for seeded-RNG ops (SURVEY.md §5.2): split proportions,
+fold balance, learnability above baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def make_gexp(spark, n=80, f=24, seed=7):
+    """Synthetic long-form gexp with a planted class signal: genes
+    g0..g7 are shifted up for class B. Returns (gexp, labels_cls,
+    labels_reg)."""
+    rng = np.random.default_rng(seed)
+    classes = rng.choice(["A", "B"], size=n, p=[0.5, 0.5])
+    rows = []
+    for s in range(n):
+        shift = 3.0 if classes[s] == "B" else 0.0
+        for g in range(f):
+            base = rng.lognormal(2.0, 0.5)
+            if g < 8:
+                base *= np.exp(shift * 0.5)
+            rows.append((s, f"g{g:03d}", float(base)))
+    gexp = spark.createDataFrame(
+        rows, "sample_id long, gene_id string, value double"
+    )
+    labels_cls = spark.createDataFrame(
+        [(s, str(classes[s])) for s in range(n)], "sample_id long, label string"
+    )
+    # regression target: linear in the mean of the signal genes + noise
+    sig = {s: np.mean([r[2] for r in rows if r[0] == s and r[1] < "g008"]) for s in range(n)}
+    labels_reg = spark.createDataFrame(
+        [(s, float(np.log1p(sig[s]) * 2.0 + rng.normal(0, 0.1))) for s in range(n)],
+        "sample_id long, label double",
+    )
+    return gexp, labels_cls, labels_reg
+
+
+@pytest.fixture(scope="module")
+def gexp_data(spark):
+    return make_gexp(spark)
+
+
+def test_split_proportions(spark, gexp_data):
+    from gexp_ml_dask_spark.ml.pipeline import train_test_split
+
+    gexp, labels, _ = gexp_data
+    train, test = train_test_split(labels, test_size=0.3, seed=42)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == labels.count()
+    assert 0.5 < n_train / labels.count() < 0.9  # ~0.7 ± randomSplit noise
+
+
+def test_fold_balance(spark, gexp_data):
+    from gexp_ml_dask_spark.ml.cv import with_fold
+
+    _, labels, _ = gexp_data
+    folds = with_fold(labels, k=4, seed=42).groupBy("fold").count().collect()
+    assert len(folds) == 4
+    sizes = [r["count"] for r in folds]
+    assert sum(sizes) == labels.count()
+    assert min(sizes) > 0
+
+
+def test_stratified_sample_exact(spark, gexp_data):
+    from gexp_ml_dask_spark.ml.pipeline import stratified_sample
+
+    _, labels, _ = gexp_data
+    counts = {r["label"]: r["count"] for r in labels.groupBy("label").count().collect()}
+    n = 40
+    sampled = stratified_sample(labels, n, "label", seed=42, exact=True)
+    got = {r["label"]: r["count"] for r in sampled.groupBy("label").count().collect()}
+    total = sum(counts.values())
+    for label, c in counts.items():
+        assert got.get(label, 0) == int(round(c * n / total)), label
+
+
+def test_assemble_vectors_dense_layout(spark, gexp_data):
+    from gexp_ml_dask_spark.ml.pipeline import assemble_vectors
+
+    gexp, _, _ = gexp_data
+    vecs = assemble_vectors(gexp).collect()
+    assert len(vecs) == 80
+    assert all(len(r["features"]) == 24 for r in vecs)
+    # layout check: gene g000's value for sample 0 is vector slot 0
+    v0 = [r for r in vecs if r["sample_id"] == 0][0]["features"]
+    want = gexp.filter(
+        (F.col("sample_id") == 0) & (F.col("gene_id") == "g000")
+    ).collect()[0]["value"]
+    assert v0[0] == pytest.approx(want)
+
+
+def test_assemble_vectors_sparse_ragged(spark, gexp_data):
+    from gexp_ml_dask_spark.ml.pipeline import assemble_vectors
+
+    gexp, _, _ = gexp_data
+    ragged = gexp.filter(F.col("value") > 5.0)  # drop rows -> ragged
+    vecs = assemble_vectors(ragged, dense=False).collect()
+    assert len(vecs) == ragged.select("sample_id").distinct().count()
+    assert all(len(r["features"]) == 24 for r in vecs)
+
+
+def test_classification_pipeline_learns(spark, gexp_data):
+    from gexp_ml_dask_spark.plans import gexp_pipeline
+
+    gexp, labels, _ = gexp_data
+    mean_cv, var_cv, eval_score = gexp_pipeline(
+        gexp, labels, "classification", k_folds=3, cv_parallelism=3
+    )
+    majority = max(
+        r["count"] for r in labels.groupBy("label").count().collect()
+    ) / labels.count()
+    assert eval_score > majority - 0.1, (eval_score, majority)
+    assert mean_cv > majority - 0.1
+    assert var_cv >= 0.0
+
+
+def test_regression_pipeline_learns(spark, gexp_data):
+    from gexp_ml_dask_spark.plans import gexp_pipeline
+
+    gexp, _, labels_reg = gexp_data
+    mean_cv, var_cv, eval_score = gexp_pipeline(
+        gexp, labels_reg, "regression", k_folds=3, cv_parallelism=3
+    )
+    assert eval_score > 0.0  # beats predicting the mean
+    assert var_cv >= 0.0
+
+
+def test_invalid_task_raises(spark, gexp_data):
+    from gexp_ml_dask_spark.plans import gexp_pipeline
+
+    gexp, labels, _ = gexp_data
+    with pytest.raises(ValueError, match="Invalid ML task"):
+        gexp_pipeline(gexp, labels, "clustering")
