@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measurement recipe mirrors the reference's
+(``singlemachine_dataset_samplewise_benchmark.py:52-53``): each query
+is a full cold plan→execute→drain cycle; the timing is end-to-end
+wall seconds for the action (``count`` after a no-op cache-free run is
+NOT used — we drain with ``write.format('noop')`` so every row is
+produced but nothing is collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: the flagship composites plus one representative per
+# operator family — heavy enough to exercise shuffle/agg/join paths,
+# bounded enough to finish in minutes at sf0.1.
+HEADLINE = [
+    "op_ml_01_upper_quartile",      # UQ normalization composite
+    "op_ml_02_tmm",                 # TMM composite (hardest op)
+    "op_fil_02_stat_threshold_genes",  # mean/var thresholds + semi-join
+    "op_sort_02_top_k_variance",    # top-k (TakeOrderedAndProject)
+    "op_src_07_pivot_long_to_wide",  # long→wide pivot
+    "op_llm_01_exact_dedup",        # sha256 hash-groupBy dedup
+    "op_llm_02_minhash_lsh",        # MinHash-LSH near-dup (scale path)
+    "op_llm_03_knn_bruteforce",     # cosine top-k similarity
+    "op_llm_04_text_stats",         # text quality scalars
+    "op_llm_05_tumbling_window",    # event-time windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from __spark_entry__ import queries
+
+    from gexp_ml_dask_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Drain every row without driver collection; noop sink keeps
+        # the full pipeline (shuffles included) on the executors.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

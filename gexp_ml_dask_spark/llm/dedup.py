@@ -1,0 +1,213 @@
+"""Deduplication operators (SURVEY.md §2.11, OP-LLM-01/02 —
+[mandate], no reference file:line).
+
+Five dedup strategies a training-data pipeline needs, ordered by
+cost/recall tradeoff:
+
+  exact        sha2 hash-groupBy              one shuffle, exact
+  ngram        shingle self-join Jaccard      exact near-dup, O(pairs
+                                              sharing a shingle)
+  minhash_lsh  MLlib MinHashLSH               approx Jaccard, scales
+  simhash      per-doc bit-majority signature one shuffle + equality
+                                              (or banded) join
+  embedding    cosine over vectors            semantic near-dup
+
+At 100 TB: exact and simhash are single-shuffle; ngram/embedding
+brute pairs need blocking (LSH band buckets / IVF) — the *_candidates
+forms here take a blocking column for that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gexp_ml_dask_spark.llm.similarity import cosine_expr
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """OP-LLM-01 — exact duplicate groups: (text_hash, keep_id, n).
+    keep-first = min id per sha256(text). One hash aggregate."""
+    return docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """OP-LLM-01 — the deduplicated table (keep-first semantics)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(text_col: str, n: int = 3, sep: str = " ") -> F.Column:
+    """Distinct word n-gram shingles of a text column — pure column
+    expression (no UDF): slice a token array at every offset."""
+    toks = F.split(F.col(text_col), sep)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+) -> DataFrame:
+    """OP-LLM-02 (exact n-gram Jaccard) — near-dup pairs with
+    jaccard >= threshold.
+
+    |A∩B| comes from a self-join on exploded distinct shingles (only
+    pairs sharing >=1 shingle are ever materialized — the classic
+    inverted-index join); |A∪B| = |A|+|B|-|A∩B|. ``block_col``
+    restricts candidates to a blocking key (e.g. an LSH band or
+    source partition) — mandatory at 100 TB, where a hot shingle
+    otherwise fans out quadratically.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(shingles(text_col, n)).alias("_nsh"),
+        F.explode(shingles(text_col, n)).alias("_sh"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    join_cond = (F.col("a._sh") == F.col("b._sh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        left.join(right, join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._nsh").alias("_na"),
+            F.col("b._nsh").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    jac = F.col("_ni") / (F.col("_na") + F.col("_nb") - F.col("_ni"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """OP-LLM-02 (MinHash-LSH) — approximate Jaccard near-dup pairs:
+    tokenize -> HashingTF -> MinHashLSH.approxSimilarityJoin. The
+    scale path: candidates come from LSH band buckets, never a full
+    cross product."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_tokens")
+    tf = HashingTF(
+        inputCol="_tokens", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    featurized = tf.transform(tok.transform(docs)).filter(
+        F.size("_tokens") > 0
+    )
+    lsh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(featurized)
+    joined = lsh.approxSimilarityJoin(
+        featurized, featurized, 1.0 - threshold, distCol="_dist"
+    )
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("_dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (SimHash) — per-doc bit-majority signature over
+    token hashes: explode tokens, xxhash64, per-bit ±1 sums, pack.
+    One shuffle (the groupBy); the 32 bit-sums are one aggregate row.
+    32 bits dodges BIGINT sign wrangling; collisions only shortlist
+    candidates, a verify pass decides."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash-identical groups (hamming-0 candidates). Banded
+    near-hamming joins are the extension point at scale."""
+    sigs = simhash_signatures(docs, bits, id_col, text_col)
+    return sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """OP-LLM-02 (embedding cosine) — semantic near-dup pairs with
+    rounded cosine >= threshold. Brute self-join; pass ``block_col``
+    (LSH bucket / IVF cell / partition key) to keep the pair space
+    linear at scale."""
+    sel = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")]
+    if block_col:
+        sel.append(F.col(block_col))
+    docs = embeddings.select(*sel)
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

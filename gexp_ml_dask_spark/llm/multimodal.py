@@ -1,0 +1,130 @@
+"""Multimodal columns (SURVEY.md §2.11, OP-LLM-06 — [mandate]).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata (datamodel.MEDIA_SCHEMA). The Spark-side plumbing — schema,
+partition sizing, Arrow batch shape, UDF signatures — is real and
+tested; the actual codec calls are STUBBED (Pillow/torchaudio/ffmpeg
+are not in this container) behind ``decode_*`` functions that raise
+``NotImplementedError``, with a deterministic fake feature path so
+the distributed plumbing is exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Payload rows are large (MBs); cap Arrow batches so a batch of
+# decoded frames fits executor memory at scale.
+DECODE_BATCH_ROWS = 64
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real impl: PIL.Image.open(io.BytesIO(payload)).
+    Raises in this container (no imaging libs baked in)."""
+    raise NotImplementedError(
+        "image decode requires Pillow/opencv; not available in this container"
+    )
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB — real impl: soundfile/torchaudio decode."""
+    raise NotImplementedError("audio decode requires soundfile/torchaudio")
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
+    """STUB — real impl: ffmpeg/decord frame sampling."""
+    raise NotImplementedError("video frame sampling requires ffmpeg/decord")
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decoded features': dim floats derived
+    from the payload digest. Stands in for decode+embed so the
+    distributed path (Arrow batches, schema, partitioning) is tested
+    with real data movement."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build a MEDIA_SCHEMA-shaped table from the documents fixture:
+    payload = utf-8 bytes (a stand-in opaque blob), modality rotates
+    image/audio/video, metadata carries source fields."""
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Decode + feature-extract over media payloads via mapInPandas
+    (Arrow batches of whole rows; one Python roundtrip per batch,
+    never per row). ``fake=False`` routes to the real decoders and
+    raises in this container — the flag is the clearly-marked stub
+    boundary, not a hidden fallback."""
+    schema = (
+        "asset_id long, modality string, n_bytes long, features array<double>"
+    )
+
+    # The closure must be self-contained (stdlib/pandas only): it is
+    # cloudpickle'd BY VALUE to workers that may not have this
+    # package on their PYTHONPATH (the driver's vanilla session runs
+    # from a foreign CWD). Referencing module-level helpers here
+    # would serialize them by reference and break on such workers.
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if fake:
+                feats = [
+                    [b / 255.0 for b in _hashlib.sha256(p).digest()[:dim]]
+                    for p in payloads
+                ]
+            else:  # pragma: no cover - codecs absent in container
+                raise NotImplementedError(
+                    "real decode requires Pillow/torchaudio/ffmpeg; "
+                    "see decode_image/decode_audio/sample_video_frames"
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len),
+                    "features": feats,
+                }
+            )
+
+    sized = media.repartition(
+        max(2, media.sparkSession.sparkContext.defaultParallelism)
+    )
+    return sized.mapInPandas(extract, schema)
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass over binary payloads (no decode):
+    byte length + digest prefix per modality — the cheap pre-filter
+    a decode stage runs behind at scale."""
+    return media.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length(F.col("payload"))).alias("total_bytes"),
+        F.round(F.avg(F.length(F.col("payload"))), 6).alias("mean_bytes"),
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11,
+OP-LLM-03 — [mandate]).
+
+Brute-force cosine top-k is the exact baseline (one broadcast of the
+query set, no shuffle of the corpus); the LSH-bucketed variant is
+the 100 TB path — candidates come from sign-hash buckets so each
+query probes a sliver of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — JVM-side fold
+    (``zip_with`` + ``aggregate``), no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity — ANSI-safe (0-norm -> null)."""
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """OP-LLM-03 — exact top-k by cosine for every query vector.
+
+    The query set broadcasts; the corpus is scanned once with no
+    shuffle until the final per-query top-k (window over rounded
+    cosine, deterministic id tie-break — ulp-stable across engines).
+    Self-matches (same id) are excluded.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("_cv"), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id — deterministic
+    hyperplanes derived from a seeded hash so every executor and
+    every run agrees without shipping state: plane j, dim d has
+    component hash(seed, j, d) mapped to [-1, 1]."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(
+            *[
+                (
+                    (F.xxhash64(F.lit(seed), F.lit(j), F.lit(d)) % 10007)
+                    / F.lit(10007.0)
+                )
+                for d in range(dim)
+            ]
+        )
+        bit = F.when(dot_expr(v, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn(out_col, bucket)
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """OP-LLM-03 (scale path) — approximate top-k: candidates only
+    from the query's sign-LSH bucket (equi-join on bucket replaces
+    the cross join; recall traded for a ~2^n_planes candidate
+    reduction). Multi-probe/repeated tables are the recall knobs."""
+    cb = hyperplane_buckets(corpus, n_planes, dim, vec_col, seed).select(
+        id_col, "bucket", F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    qb = hyperplane_buckets(queries, n_planes, dim, vec_col, seed).select(
+        query_id_col, "bucket", F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("_cv"), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

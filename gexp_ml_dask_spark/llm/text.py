@@ -1,0 +1,149 @@
+"""Text-analysis operators (SURVEY.md §2.11, OP-LLM-04 — [mandate]).
+
+All pure column expressions — the hot path of a 100 TB text pipeline
+must stay inside whole-stage codegen; nothing here touches Python at
+runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic. Real deployments swap in fastText/CLD3
+# models via a pandas UDF (OP-LLM-06); the operator contract —
+# per-language evidence scores + argmax — is what matters here.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "une"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(text_col: str | Column, sep: str = " ") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, sep)
+
+
+def stopword_count(text_col: str | Column, words: list[str]) -> Column:
+    """Count of tokens exactly matching any of ``words`` — a
+    size(filter(...)) over the token array, no regex, no UDF."""
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens(text_col), lambda t: F.array_contains(lit_words, t))
+    )
+
+
+def text_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """OP-LLM-04 — per-document quality statistics: length, token
+    count, mean token length, stopword ratio, digit/punct counts,
+    and a composite quality score in [0,1]."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop = stopword_count(text_col, LANG_PROFILES["en"])
+    mean_tok_len = F.try_divide(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("double"),
+        n_tok.cast("double"),
+    )
+    n_digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tok.cast("double"))
+    # composite: in-range token lengths and a sane stopword ratio
+    quality = (
+        F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 0.5).otherwise(0.0)
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 0.5).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        n_digits.cast("long").alias("n_digits"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_count_bpe_ish(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", chars_per_piece: int = 4
+) -> DataFrame:
+    """OP-LLM-04 — token-count estimation: whitespace tokens plus a
+    BPE-ish subword estimate (ceil(len/4) pieces per word — the
+    standard ~4-chars-per-token heuristic), both as column folds."""
+    toks = tokens(text_col)
+    pieces = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.ceil(F.length(t) / F.lit(float(chars_per_piece))).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        pieces.alias("n_bpe_pieces"),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """OP-LLM-04 — stopword-profile language ID: per-language
+    evidence = matching-token count; argmax with lexicographic
+    tie-break. One projection, no shuffle."""
+    profiles = profiles or LANG_PROFILES
+    scores = F.array(
+        *[
+            F.struct(
+                stopword_count(text_col, words).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(profiles.items())
+        ]
+    )
+    # argmax with ties going to the lexicographically SMALLEST lang:
+    max_score = F.array_max(F.transform(scores, lambda s: s["score"]))
+    winners = F.filter(scores, lambda s: s["score"] == max_score)
+    pred = F.array_min(F.transform(winners, lambda s: s["lang"]))
+    return docs.select(
+        F.col(id_col),
+        max_score.cast("long").alias("lang_score"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 — document fingerprint: min/max md5 over word
+    n-gram shingles (a 2-hash MinHash; winnowing-style selection of
+    extreme hashes from the rolling shingle stream). Engine-portable
+    (md5 hex is standard) and UDF-free."""
+    from gexp_ml_dask_spark.llm.dedup import shingles
+
+    sh = shingles(text_col, n)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )

@@ -44,7 +44,7 @@ from gexp_ml_dask_spark.operators import (
 from gexp_ml_dask_spark.operators import (
     sorts as srt,
 )
-from gexp_ml_dask_spark.sources.readers import load_table
+from gexp_ml_dask_spark.sources.readers import load_events, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -930,3 +930,316 @@ def op_ml_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"), F.col("pred")
     )
     return r2_score_df(scored, "y", "pred").select(r6("r2").alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# §2.11 [mandate] LLM-pipeline operators (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_llm_01_exact_dedup",
+    "SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n "
+    "FROM documents GROUP BY 1",
+)
+def op_llm_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-01: exact dedup groups — sha256 hash-groupBy,
+    keep-first. One shuffle at any scale."""
+    from gexp_ml_dask_spark.llm.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_02_ngram_jaccard",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sh), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, "
+    "count(*) AS ni FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2, 3, 4) "
+    "SELECT id_a, id_b, round(ni / (na + nb - ni), 6) AS jaccard FROM p "
+    "WHERE round(ni / (na + nb - ni), 6) >= 0.4",
+)
+def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (exact n-gram Jaccard): shingle inverted-index
+    self-join — only pairs sharing a shingle materialize."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
+    )
+
+
+@register("op_llm_02_minhash_lsh")
+def op_llm_02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (MinHash-LSH, rows-only): approx-Jaccard candidate
+    pairs via banded MinHash — the 100 TB dedup path."""
+    from gexp_ml_dask_spark.llm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("op_llm_02_simhash")
+def op_llm_02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (SimHash, rows-only): bit-majority signatures;
+    identical-signature groups as hamming-0 candidates."""
+    from gexp_ml_dask_spark.llm.dedup import simhash_dup_groups
+
+    return simhash_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_02_embedding_neardup",
+    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+    "FROM c a JOIN c b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4",
+)
+def op_llm_02_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (embedding cosine near-dup): brute pair join at
+    oracle scale; block_col (LSH/IVF) bounds it at 100 TB."""
+    from gexp_ml_dask_spark.llm.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "op_llm_03_knn_bruteforce",
+    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5), "
+    "s AS (SELECT q.query_id, c.vec_id, "
+    "round(list_cosine_similarity(c.v, q.qv), 6) AS cosine "
+    "FROM c, q WHERE c.vec_id <> q.query_id), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, vec_id ASC) AS rank FROM s) "
+    "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10",
+)
+def op_llm_03_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03: exact kNN — broadcast query set, corpus scanned
+    once, per-query top-k window on rounded cosine."""
+    from gexp_ml_dask_spark.llm.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce(emb, queries, k=10)
+
+
+@register("op_llm_03_knn_lsh")
+def op_llm_03_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (scale path, rows-only): sign-LSH bucketed kNN —
+    candidates restricted to the query's hyperplane bucket."""
+    from gexp_ml_dask_spark.llm.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(emb, queries, k=10, n_planes=4)
+
+
+@register(
+    "op_llm_04_text_stats",
+    "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) "
+    "SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens, "
+    "round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / nullif(len(toks), 0), 6) "
+    "AS mean_token_len, "
+    "len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS n_stopwords, "
+    "round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) * 1.0 "
+    "/ nullif(len(toks), 0), 6) AS stopword_ratio, "
+    "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, "
+    "round(CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / nullif(len(toks), 0) "
+    "BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END + "
+    "CASE WHEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) * 1.0 "
+    "/ nullif(len(toks), 0) BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END, 6) AS quality "
+    "FROM t",
+)
+def op_llm_04_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04: per-document quality statistics — pure column
+    folds, whole-stage-codegen'd."""
+    from gexp_ml_dask_spark.llm.text import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_04_token_count",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+    "SELECT doc_id, len(toks) AS n_words, "
+    "list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) "
+    "AS n_bpe_pieces FROM t",
+)
+def op_llm_04_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04: whitespace + BPE-ish (~4 chars/piece) token counts."""
+    from gexp_ml_dask_spark.llm.text import token_count_bpe_ish
+
+    return token_count_bpe_ish(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_04_language_id",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "s AS (SELECT doc_id, "
+    "len(list_filter(toks, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de, "
+    "len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS s_en, "
+    "len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS s_es, "
+    "len(list_filter(toks, x -> list_contains(['le','la','les','des','une'], x))) AS s_fr, "
+    "len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh "
+    "FROM t) "
+    "SELECT doc_id, greatest(s_de, s_en, s_es, s_fr, s_zh) AS lang_score, "
+    "CASE greatest(s_de, s_en, s_es, s_fr, s_zh) "
+    "WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es' "
+    "WHEN s_fr THEN 'fr' ELSE 'zh' END AS lang_pred FROM s",
+)
+def op_llm_04_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04: stopword-profile language ID (argmax, alpha
+    tie-break — the CASE in the oracle checks langs in alpha order)."""
+    from gexp_ml_dask_spark.llm.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_04_fingerprints",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 5, 0) + 2), "
+    "i -> array_to_string(toks[i:i+4], ' '))) AS shs FROM t) "
+    "SELECT doc_id, list_min(list_transform(shs, s -> md5(s))) AS fp_min, "
+    "list_max(list_transform(shs, s -> md5(s))) AS fp_max, "
+    "len(shs) AS n_shingles FROM sh",
+)
+def op_llm_04_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04: min/max-md5 shingle fingerprints (2-hash MinHash)."""
+    from gexp_ml_dask_spark.llm.text import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"), n=5)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 [mandate] OP-LLM-05 — event-time windows (batch oracles; the
+# streaming twins live in gexp_ml_dask_spark.streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_llm_05_tumbling_window",
+    "SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start, "
+    "event_type, count(*) AS n, round(sum(value), 6) AS total "
+    "FROM events GROUP BY 1, 2",
+)
+def op_llm_05_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05: 10-min tumbling event-time windows (epoch-aligned,
+    so the SQL twin is floor(epoch/600)*600)."""
+    from gexp_ml_dask_spark.streaming import tumbling_window_counts
+
+    return tumbling_window_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "op_llm_05_sliding_window",
+    "SELECT CAST(300 * (floor(epoch(ts) / 300) - k) AS BIGINT) AS window_start, "
+    "event_type, count(*) AS n "
+    "FROM events, (VALUES (0), (1)) t(k) "
+    "WHERE epoch(ts) < 300 * (floor(epoch(ts) / 300) - k) + 600 "
+    "GROUP BY 1, 2",
+)
+def op_llm_05_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05: 10-min windows sliding by 5 — every event lands in
+    exactly width/slide windows."""
+    from gexp_ml_dask_spark.streaming import sliding_window_counts
+
+    return sliding_window_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "op_llm_05_session_windows",
+    "WITH o AS (SELECT user_id, ts, value, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+    "m AS (SELECT user_id, ts, value, CASE WHEN prev IS NULL "
+    "OR ts - prev > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s FROM o), "
+    "s AS (SELECT user_id, ts, value, sum(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+    "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, "
+    "count(*) AS n_events, round(sum(value), 6) AS total "
+    "FROM s GROUP BY user_id, sid",
+)
+def op_llm_05_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05: gap-based per-user session windows via
+    F.session_window; the oracle is the classic gaps-and-islands."""
+    from gexp_ml_dask_spark.streaming import session_windows_batch
+
+    return session_windows_batch(load_events(spark, sf_dir))
+
+
+@register("op_llm_05_streaming_watermark")
+def op_llm_05_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05 (rows-only): the REAL Structured Streaming path —
+    parquet file source -> withWatermark -> tumbling windows ->
+    memory sink, driven to completion; returns the sink contents.
+    Batch-equivalence with op_llm_05_tumbling_window is asserted in
+    tests/test_streaming.py."""
+    from gexp_ml_dask_spark.streaming import streaming_tumbling_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    agg = streaming_tumbling_counts(
+        spark, f"{sf_dir}/events.parquet", raw_schema
+    )
+    name = "op_llm_05_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register("op_llm_06_multimodal_features")
+def op_llm_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-06 (rows-only): multimodal plumbing — documents as
+    binary payloads -> Arrow-batched mapInPandas feature extraction
+    (deterministic fake; real decoders stubbed) -> per-modality
+    rollup."""
+    from gexp_ml_dask_spark.llm.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        r6(F.avg(F.element_at(F.col("features"), 1))).alias("mean_f0"),
+    )
+
+
+@register("op_phy_03_assemble_vectors")
+def op_phy_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PHY-03 (rows-only): long-form -> ML vector assembly
+    (ragged/sparse path); returns per-sample vector norms so the
+    result is hash-friendly (VectorUDT isn't)."""
+    from pyspark.ml.functions import vector_to_array
+
+    from gexp_ml_dask_spark.ml.pipeline import assemble_vectors
+
+    g = gexp(spark, sf_dir).filter(F.col("sample_id") < 1000)
+    vecs = assemble_vectors(g, dense=False)
+    arr = vector_to_array(F.col("features"))
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    return vecs.select("sample_id", r6(norm).alias("vec_norm"))

@@ -17,6 +17,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with its NANOSECOND timestamp column
+    normalized to a proper TimestampType (microseconds).
+
+    The driver's events.parquet stores ``timestamp[ns]``, which
+    Spark 4 rejects (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set — a session-
+    mutable conf, so setting it here also covers the driver's
+    vanilla session. The nanos->micros conversion uses integer
+    ``div`` (a double roundtrip at 1e18 nanos loses exactness).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """OP-SRC-01 — parquet scan.
 

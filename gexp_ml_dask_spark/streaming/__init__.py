@@ -1,0 +1,13 @@
+from gexp_ml_dask_spark.streaming.windows import (
+    session_windows_batch,
+    sliding_window_counts,
+    streaming_tumbling_counts,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_windows_batch",
+    "streaming_tumbling_counts",
+]

@@ -1,0 +1,144 @@
+"""Event-time windows (SURVEY.md §2.11, OP-LLM-05 — [mandate]).
+
+The same windowed aggregations exist twice by design:
+  * BATCH form (F.window / session_window on a static DataFrame) —
+    SQL-oracle checkable, and exactly what a backfill job runs;
+  * STREAMING form (readStream + withWatermark) — the online path,
+    identical grouping expressions, late data bounded by the
+    watermark.
+Spark guarantees the two agree on closed windows — that equivalence
+is the testing strategy (batch oracle for a streaming operator).
+
+Window starts are epoch-aligned (Spark aligns F.window to
+1970-01-01 UTC), so the SQL twin is floor(epoch/width)*width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time windows: per (window, key) count + sum.
+    One shuffle on (window, key)."""
+    return (
+        events.groupBy(F.window(ts_col, width).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 6).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            key_col,
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows
+    (Spark expands them JVM-side; no row explosion in user code)."""
+    return (
+        events.groupBy(
+            F.window(ts_col, width, slide).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def session_windows_batch(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session windows (gap-based) on a static frame via
+    ``F.session_window`` — the same expression the streaming form
+    uses; the SQL oracle is the classic gaps-and-islands (lag +
+    conditional cumsum)."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    spark,
+    source_path: str,
+    schema,
+    width: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """The online twin of tumbling_window_counts: file-source stream
+    with a watermark bounding late data/state (the state store drops
+    windows older than max(event_time) - watermark). Returns the
+    unstarted streaming DataFrame; callers pick sink + trigger.
+
+    Example sink for tests/backfills::
+
+        q = (df.writeStream.outputMode("append").format("memory")
+               .queryName("agg").start())
+        q.processAllAvailable()
+    """
+    from pyspark.sql.types import LongType
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if source_path.endswith(".parquet"):
+        # file streaming sources need a DIRECTORY; narrow to the one
+        # table file with a glob filter
+        base, _, fname = source_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        source_path = base
+    stream = reader.load(source_path)
+    if isinstance(stream.schema[ts_col].dataType, LongType):
+        # nanosecond-timestamp file read as long (see
+        # sources.readers.load_events) — integer-exact nanos->micros.
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            key_col,
+            "n",
+            "total",
+        )
+    )

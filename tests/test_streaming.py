@@ -1,0 +1,76 @@
+"""Streaming window tests (OP-LLM-05): the streaming path must agree
+with its batch twin on closed windows — Spark's own guarantee, used
+here as the oracle (SURVEY.md §5.2 cross-framework agreement)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_equals_batch_tumbling(spark):
+    from gexp_ml_dask_spark.streaming import (
+        streaming_tumbling_counts,
+        tumbling_window_counts,
+    )
+
+    from gexp_ml_dask_spark.sources.readers import load_events
+
+    events = load_events(spark, SF_SMOKE)
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_window_counts(events).collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    agg = streaming_tumbling_counts(
+        spark, f"{SF_SMOKE}/events.parquet", raw_schema
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total"])
+            for r in spark.table("t_stream_test").collect()
+        }
+    finally:
+        q.stop()
+
+    assert stream == batch
+
+
+def test_session_windows_merge_by_gap(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:03:00", 1.0),  # within 5 min -> same session
+        (1, "2024-01-01 00:20:00", 1.0),  # gap > 5 min -> new session
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from gexp_ml_dask_spark.streaming import session_windows_batch
+
+    out = session_windows_batch(events, gap="5 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    from gexp_ml_dask_spark.sources.readers import load_events
+    from gexp_ml_dask_spark.streaming import sliding_window_counts
+
+    events = load_events(spark, SF_SMOKE)
+
+    out = sliding_window_counts(events)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * events.count()
