@@ -56,6 +56,36 @@ def make_regressor(
     return GBTRegressor(featuresCol=features_col, labelCol=label_col, seed=seed)
 
 
+def make_lightgbm_classifier(
+    features_col: str = "features",
+    label_col: str = "label_idx",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """OP-ML-08 — LightGBM variant (`cluster_default_benchmark.py:
+    137-143,210-216` DaskLGBMClassifier/LGBMClassifier). SynapseML's
+    LightGBMClassifier when importable (real clusters); fallback is
+    OneVsRest over MLlib's binary GBTClassifier — a true gradient-
+    boosted-tree multiclass path, unlike the RandomForest stand-in
+    used for OP-ML-07."""
+    try:  # pragma: no cover - synapseml absent in this container
+        from synapse.ml.lightgbm import LightGBMClassifier
+
+        return LightGBMClassifier(featuresCol=features_col, labelCol=label_col)
+    except Exception:
+        from pyspark.ml.classification import GBTClassifier, OneVsRest
+
+        gbt = GBTClassifier(
+            featuresCol=features_col,
+            labelCol=label_col,
+            seed=seed,
+            maxIter=max_iter,
+        )
+        return OneVsRest(
+            classifier=gbt, featuresCol=features_col, labelCol=label_col
+        )
+
+
 def make_hpo_classifier(
     features_col: str = "features",
     label_col: str = "label_idx",

@@ -269,6 +269,23 @@ def op_fil_05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_fil_06_scan_projection",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000",
+)
+def op_fil_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FIL-06: column projection + predicate at the scan
+    (``usecols=[...]``, lung_data_prep.ipynb cell-3). Catalyst pushes
+    both into the parquet reader — the physical plan must show
+    ReadSchema with exactly these two columns and a PushedFilters
+    entry (asserted in tests/test_pipeline.py)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_totalprice") > 150000)
+    )
+
+
+@register(
     "op_fil_07_null_handling",
     "SELECT sample_id, gene_id, row_id, "
     "CASE WHEN value = 0 THEN 1.0 ELSE value END AS value "
@@ -812,6 +829,34 @@ def op_ml_07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("op_ml_08_lightgbm_variant")
+def op_ml_08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-08 (rows-only): the LightGBM benchmark variant
+    (cluster_default_benchmark.py:137-143) — SynapseML LightGBM when
+    present, else OneVsRest(GBTClassifier); returns per-(label,
+    prediction) counts like OP-ML-07."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from gexp_ml_dask_spark.ml.models import make_lightgbm_classifier
+    from gexp_ml_dask_spark.ml.pipeline import encode_labels, train_test_split
+
+    data = _order_features(spark, sf_dir)
+    data = VectorAssembler(
+        inputCols=["f_qty", "f_price", "f_lines"], outputCol="features"
+    ).transform(data)
+    data, _ = encode_labels(data, "label", "label_idx")
+    train, test = train_test_split(data, 0.3, seed=42)
+    model = make_lightgbm_classifier("features", "label_idx", seed=42).fit(train)
+    return (
+        model.transform(test)
+        .groupBy(
+            F.col("label_idx").cast("long").alias("label"),
+            F.col("prediction").cast("long").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register("op_ml_09_hpo_linear")
 def op_ml_09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-ML-09 (rows-only): linear-model HPO — LogisticRegression
@@ -884,6 +929,26 @@ def op_phy_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.collect()
     unpersist_df(g)
     return spark.createDataFrame(result)
+
+
+@register("op_phy_04_copartitioned_join")
+def op_phy_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PHY-04 (rows-only): division-aligned label partitioning
+    (brca_data_prep.ipynb cell-20) re-expressed as explicit
+    co-partitioning — both sides hash-repartitioned on the join key
+    so the join reuses the exchange (one shuffle per side, no extra
+    exchange above the join; asserted on the plan in tests)."""
+    from gexp_ml_dask_spark.operators.physical import copartition_by_key
+
+    feats = gexp(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sample_id"),
+        F.col("o_orderstatus").alias("label"),
+    )
+    feats_p = copartition_by_key(feats, "sample_id", n=32)
+    labels_p = copartition_by_key(labels, "sample_id", n=32)
+    joined = feats_p.join(labels_p.hint("merge"), "sample_id")
+    return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
 @register("op_src_05_parquet_sink")

@@ -1,0 +1,99 @@
+"""Physical-plan assertions — the scale posture, checked.
+
+Correctness says what a query returns; these tests pin HOW Spark
+executes it: filters/projections reach the parquet scan, small dims
+broadcast instead of shuffling the fact side, co-partitioned joins
+add no exchange above the join, and hot paths stay inside
+whole-stage codegen. A regression here is a 100 TB regression even
+when sf0.01 results stay identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from gexp_ml_dask_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_scan_projection_pushes_down(spark, registry):
+    """OP-FIL-06: predicate AND projection must reach the scan."""
+    p = plan(registry["op_fil_06_scan_projection"](spark, SF_ORACLE))
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in p
+    # ReadSchema prunes to exactly the two selected columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_custkey" not in read_schema and "o_comment" not in read_schema
+
+
+def test_gexp_scan_prunes_columns(spark, registry):
+    """The canonical long-form view reads 4 of lineitem's 16 cols."""
+    p = plan(registry["op_src_01_parquet_scan"](spark, SF_ORACLE))
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_scaling_join_broadcasts_factors(spark, registry):
+    """OP-JOIN-01: per-sample factors are tiny relative to the fact
+    table — the join must be broadcast-hash, not sort-merge (no
+    full-fact shuffle on the join key)."""
+    p = plan(registry["op_join_01_scale_rows"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_copartitioned_join_reuses_exchange(spark, registry):
+    """OP-PHY-04: with both sides explicitly hash-partitioned on the
+    key, the sort-merge join must consume those exchanges directly —
+    exactly two shuffles (one per side), none added above them."""
+    df = registry["op_phy_04_copartitioned_join"](spark, SF_ORACLE)
+    p = plan(df)
+    assert "SortMergeJoin" in p
+    # exactly 2 exchanges on the join key (one repartition per side),
+    # plus the final groupBy's own exchange — nothing added above the
+    # join to re-satisfy its distribution
+    assert p.count("hashpartitioning(sample_id") == 2, p
+    assert p.count("hashpartitioning(") == 3, p
+
+
+def test_per_gene_agg_is_partial_then_final(spark, registry):
+    """OP-AGG-01: hash aggregate must be partial (map-side combine)
+    then final — one shuffle carrying per-gene partials, never rows."""
+    p = plan(registry["op_agg_01_per_gene_mean"](spark, SF_ORACLE))
+    assert p.count("HashAggregate") >= 2
+    assert "hashpartitioning(gene_id" in p
+
+
+def test_text_stats_is_codegen_no_python(spark, registry):
+    """OP-LLM-04: quality stats are pure column folds — the plan must
+    contain zero Python evals and at least one codegen span."""
+    p = plan(registry["op_llm_04_text_stats"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "codegen id" in p  # at least one whole-stage codegen span
+
+
+def test_topk_plans_as_take_ordered(spark, registry):
+    """OP-SORT-02: top-k by variance must plan as
+    TakeOrderedAndProject, not a global sort."""
+    p = plan(registry["op_sort_02_top_k_variance"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_knn_broadcasts_queries(spark, registry):
+    """OP-LLM-03: the query set is small — it must broadcast so the
+    corpus is scanned exactly once with no corpus-side shuffle before
+    scoring."""
+    p = plan(registry["op_llm_03_knn_bruteforce"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
