@@ -101,6 +101,83 @@ def hyperplane_buckets(
     return df.withColumn(out_col, bucket)
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """OP-LLM-03 (IVF scale path) — inverted-file ANN: KMeans
+    centroids partition the corpus into ``n_cells`` cells; each query
+    probes only its ``n_probe`` nearest cells, so the scored
+    candidate set is ~n_probe/n_cells of the corpus.
+
+    The corpus is assigned to cells once (reusable across query
+    batches — persist the assigned table in a serving setup); the
+    centroid table is tiny and broadcast. Recall knobs: n_probe up,
+    n_cells down.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).withColumn("_fv", array_to_vector(F.col("_cv")))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell"
+    ).fit(c)
+    assigned = model.transform(c).select(
+        id_col, F.col("_cell").cast("long").alias("_cell"), "_cv"
+    )
+
+    # Centroids: n_cells small vectors -> literal rows, broadcast.
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "_cell long, _centroid array<double>",
+    )
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    # Rank cells per query by euclidean distance to the centroid,
+    # keep the n_probe nearest.
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_d2").asc(), F.col("_cell").asc())
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", d2)
+        .withColumn("_cell_rank", F.row_number().over(wq))
+        .filter(F.col("_cell_rank") <= n_probe)
+        .select(query_id_col, "_cell", "_qv")
+    )
+
+    scored = assigned.join(F.broadcast(probed), "_cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("_cv"), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -25,6 +25,7 @@ from gexp_ml_dask_spark.operators.aggregates import (
 from gexp_ml_dask_spark.operators.filters import (
     drop_never_nonzero_genes,
     drop_zero_genes,
+    nonzero_genes,
 )
 from gexp_ml_dask_spark.operators.joins import scale_rows
 
@@ -42,7 +43,8 @@ def upper_quartile_factors(
     fit(X) = drop all-zero genes (fsn.py:21), per-sample
     quantile(q)/sum (fsn.py:28), geometric-mean symmetrization
     (fsn.py:24). Two shuffles total (per-gene keep-list agg,
-    per-sample factor agg); the 1-row geomean broadcasts.
+    per-sample factor agg); symmetrization is a single-pass window
+    over the tiny factors table.
     """
     kept = drop_zero_genes(gexp, gene_col, value_col)
     factors = kept.groupBy(sample_col).agg(
@@ -60,14 +62,30 @@ def upper_quartile_transform(
     gene_col: str = "gene_id",
     value_col: str = "value",
     exact: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """UpperQuartile fit_transform: the normalized long table
     (zero genes dropped, values row-scaled by the symmetrized
-    factor; fsn.py transform :31)."""
-    kept = drop_zero_genes(gexp, gene_col, value_col)
-    factors = upper_quartile_factors(
-        gexp, q, sample_col, gene_col, value_col, exact
+    factor; fsn.py transform :31).
+
+    The keep-list (<= #genes rows) feeds TWO plan branches (the
+    factor agg and the output join both read ``kept``); Catalyst
+    recomputes shared subplans per branch, so it is persisted (the
+    reference places a persist at exactly this point, fsn.py:47-48 /
+    dask_pipeline.py:32). The fact table itself is never cached — it
+    is scanned twice (factor agg + output join), both scans
+    column-pruned.
+    """
+    keep = nonzero_genes(gexp, gene_col, value_col)
+    if cache:
+        keep = keep.persist()
+    kept = gexp.join(F.broadcast(keep), gene_col, "left_semi")
+    factors = kept.groupBy(sample_col).agg(
+        F.try_divide(percentile(value_col, q, exact), F.sum(value_col)).alias(
+            "norm_factor"
+        )
     )
+    factors = symmetrize_factors(factors, "norm_factor", "scaling_factor")
     return scale_rows(kept, factors, sample_col, value_col, "scaling_factor")
 
 
@@ -79,6 +97,7 @@ def tmm_factors(
     gene_col: str = "gene_id",
     value_col: str = "value",
     exact: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """TMM fit: (sample_id, norm_factor, scaling_factor).
 
@@ -87,7 +106,19 @@ def tmm_factors(
     per-row pandas applies become three hash aggregates + two global
     quantile scalars; ±inf/NaN are scrubbed to null so Spark
     aggregates skip them exactly like the nan-functions do.
+
+    ``cache=True`` persists (a) the tiny keep-list/pseudoref tables
+    that feed two branches each, and (b) the per-cell kernel matrix
+    ``mat``, which the global trim-bounds aggregate AND the trim pass
+    both consume — without it Catalyst recomputes the full
+    scan+join+kernel pipeline for each branch. ``mat`` is
+    fact-table-sized, so this is MEMORY_AND_DISK (spills, never
+    OOMs) — the same placement the reference persists at
+    (fsn.py:83-86). Set ``cache=False`` to keep the plan fully lazy
+    and recompute instead, e.g. when the input is already cached.
     """
+    from pyspark.storagelevel import StorageLevel
+
     v = F.col(value_col)
 
     # fit :73 — drop genes that are zero across all samples
@@ -101,6 +132,9 @@ def tmm_factors(
             percentile(F.when(v > 0, v), 0.75, exact), F.sum(v)
         ).alias("ref_value")
     )
+    if cache:
+        # pseudoref feeds both the broadcast join and ref_total.
+        pseudoref = pseudoref.persist()
 
     # Per-sample library size (:98 sample_total_counts). The row sum
     # equals the sum over the (s>0 | ref>0) mask because masked-out
@@ -156,6 +190,10 @@ def tmm_factors(
         _definite(log_ratio).alias("log_ratio"),
         _definite(abs_expr).alias("abs_expr"),
     )
+    if cache:
+        # mat feeds the global bounds agg AND the trim pass; without
+        # a persist the whole scan+join+kernel pipeline runs twice.
+        mat = mat.persist(StorageLevel.MEMORY_AND_DISK)
 
     # :88-92 global (matrix-wide) nanquantile trim bounds.
     lr = F.col("log_ratio")

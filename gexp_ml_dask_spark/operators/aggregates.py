@@ -77,17 +77,23 @@ def symmetrize_factors(
 ) -> DataFrame:
     """OP-AGG-05 — geometric-mean symmetrization:
     ``factor / exp(mean(log(factor.replace(0,1))))``
-    (feature_selection_and_normalization.py:24). The global geomean
-    is a scalar aggregate broadcast back over the factors (empty
-    window avoided: cross join of a 1-row agg broadcasts for free).
+    (feature_selection_and_normalization.py:24).
+
+    Single-pass empty-frame window, NOT a scalar-agg cross join:
+    Catalyst does not dedupe common subplans across branches, so the
+    cross-join form recomputes the (potentially expensive) factors
+    subplan once for the geomean and once for the join side. The
+    window computes factors exactly once. The one-partition shuffle
+    it implies is fine here by construction — factors is per-SAMPLE
+    (rows = samples, not cells), small at any data scale.
     """
-    logs = F.log(F.when(F.col(factor_col) == 0, F.lit(1.0)).otherwise(F.col(factor_col)))
-    geo = factors.agg(F.exp(F.avg(logs)).alias("_geomean"))
-    return (
-        factors.crossJoin(F.broadcast(geo))
-        .withColumn(out_col, F.col(factor_col) / F.col("_geomean"))
-        .drop("_geomean")
+    from pyspark.sql import Window
+
+    logs = F.log(
+        F.when(F.col(factor_col) == 0, F.lit(1.0)).otherwise(F.col(factor_col))
     )
+    geo = F.exp(F.avg(logs).over(Window.partitionBy()))
+    return factors.withColumn(out_col, F.col(factor_col) / geo)
 
 
 def per_sample_sum(gexp: DataFrame, sample_col: str = "sample_id", value_col: str = "value") -> DataFrame:

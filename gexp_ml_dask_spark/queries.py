@@ -1099,6 +1099,20 @@ def op_llm_03_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=10)
 
 
+@register("op_llm_03_knn_ivf")
+def op_llm_03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (IVF, rows-only): KMeans inverted-file ANN — each
+    query probes its 2 nearest of 8 cells; recall vs the brute-force
+    twin is asserted in tests/test_llm_ops.py."""
+    from gexp_ml_dask_spark.llm.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf(emb, queries, k=10, n_cells=8, n_probe=2)
+
+
 @register("op_llm_03_knn_lsh")
 def op_llm_03_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-03 (scale path, rows-only): sign-LSH bucketed kNN —
@@ -1263,6 +1277,37 @@ def op_llm_05_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "op_llm_05_sink"
     q = (
         agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register("op_llm_05_stateful_dedup")
+def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05/06 (rows-only): custom stateful streaming operator —
+    applyInPandasWithState online exact-dedup over a documents
+    stream; per-hash state in the (sharded) state store. Equivalence
+    with batch keep-first is asserted in tests/test_streaming.py."""
+    from gexp_ml_dask_spark.streaming import streaming_first_seen_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    base, fname = f"{sf_dir}", "documents.parquet"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", fname)
+        .load(base)
+    )
+    deduped = streaming_first_seen_dedup(stream)
+    name = "op_llm_05_dedup_sink"
+    q = (
+        deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .start()

@@ -56,6 +56,15 @@ def get_spark(
     if master:
         builder = builder.master(master)
     configs = dict(DEFAULT_CONFIGS)
+    if master and master.startswith("local"):
+        # Local mode: the driver JVM hosts all executor threads, but
+        # Spark's default heap is 1g — 32 concurrent tasks OOM on any
+        # real aggregate. -Xmx is a cap, not a reservation. On a real
+        # cluster spark-submit owns this and the branch is skipped.
+        configs.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     if shuffle_partitions is not None:
         configs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_configs:

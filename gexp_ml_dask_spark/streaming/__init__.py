@@ -1,3 +1,6 @@
+from gexp_ml_dask_spark.streaming.stateful import (
+    streaming_first_seen_dedup,
+)
 from gexp_ml_dask_spark.streaming.windows import (
     session_windows_batch,
     sliding_window_counts,
@@ -10,4 +13,5 @@ __all__ = [
     "sliding_window_counts",
     "session_windows_batch",
     "streaming_tumbling_counts",
+    "streaming_first_seen_dedup",
 ]

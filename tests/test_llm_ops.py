@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -171,3 +171,29 @@ def test_multimodal_plumbing(spark, docs):
     assert {r["modality"] for r in stats} == {"image", "audio", "video"}
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=2/8 cells must recover a solid fraction of
+    the exact top-10 (synthetic embeddings cluster well); and every
+    IVF hit must carry the same cosine the exact path computes."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.llm.similarity import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in knn_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in knn_ivf(emb, queries, k=10, n_cells=8, n_probe=2).collect()
+    }
+    hits = set(exact) & set(approx)
+    assert len(hits) / len(exact) > 0.5, (len(hits), len(exact))
+    for key in hits:
+        assert exact[key] == approx[key]

@@ -74,3 +74,42 @@ def test_sliding_each_event_in_two_windows(spark):
     out = sliding_window_counts(events)
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == 2 * events.count()
+
+
+def test_stateful_dedup_equals_batch_keepfirst(spark):
+    """The applyInPandasWithState online dedup must emit exactly the
+    batch keep-first (text_hash, min doc_id) set when the input
+    arrives as one batch."""
+    from gexp_ml_dask_spark.llm.dedup import exact_dedup_groups
+    from gexp_ml_dask_spark.streaming import streaming_first_seen_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    batch = {
+        (r["text_hash"], r["keep_id"])
+        for r in exact_dedup_groups(docs).collect()
+    }
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(SF_SMOKE)
+    )
+    q = (
+        streaming_first_seen_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stateful_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        online = {
+            (r["text_hash"], r["doc_id"])
+            for r in spark.table("t_stateful_dedup").collect()
+        }
+    finally:
+        q.stop()
+
+    assert online == batch
