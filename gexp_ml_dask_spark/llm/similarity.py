@@ -72,6 +72,75 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """OP-LLM-03/06 — the Arrow-vectorized scoring path: the SAME
+    exact kNN as ``knn_bruteforce`` with the cosine kernel moved into
+    a ``mapInPandas`` numpy matmul.
+
+    Why it exists: the JVM fold (``zip_with``+``aggregate``) contains
+    lambda variables, which evaluate interpreted — fine for small
+    dims, but a (batch x dim) @ (dim x n_queries) BLAS matmul per
+    Arrow batch wins as dim and query count grow. The query set is
+    collected to the driver (it is the broadcast side by definition)
+    and shipped inside the closure; the corpus streams through in
+    Arrow batches. Top-k selection stays in Spark (window), so the
+    plan's shuffle structure is identical to the JVM variant.
+    """
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (nq, dim)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.nan  # 0-norm -> null cosine, like try_divide
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+
+    # Self-contained closure (numpy/pandas only — no package refs).
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = _np.stack(pdf["_cv"].to_numpy())  # (b, dim)
+            c_norm = _np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = _np.nan
+            sims = (c_mat @ q_mat.T) / _np.outer(c_norm, q_norm)  # (b, nq)
+            b = len(pdf)
+            nq = len(q_ids)
+            yield _pd.DataFrame(
+                {
+                    "query_id": _np.tile(_np.array(q_ids), b),
+                    id_col: _np.repeat(pdf[id_col].to_numpy(), nq),
+                    "cosine": _np.round(sims.ravel(), 6),
+                }
+            )
+
+    scored = c.mapInPandas(
+        score, f"query_id long, {id_col} long, cosine double"
+    ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 8,

@@ -1099,6 +1099,20 @@ def op_llm_03_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=10)
 
 
+@register("op_llm_03_knn_pandas")
+def op_llm_03_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03/06 (rows-only): Arrow-vectorized exact kNN — numpy
+    matmul per Arrow batch via mapInPandas; result-identical to the
+    JVM fold (asserted in tests/test_llm_ops.py)."""
+    from gexp_ml_dask_spark.llm.similarity import knn_bruteforce_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce_pandas(emb, queries, k=10)
+
+
 @register("op_llm_03_knn_ivf")
 def op_llm_03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-03 (IVF, rows-only): KMeans inverted-file ANN — each

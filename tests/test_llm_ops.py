@@ -197,3 +197,26 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     assert len(hits) / len(exact) > 0.5, (len(hits), len(exact))
     for key in hits:
         assert exact[key] == approx[key]
+
+
+def test_knn_pandas_equals_jvm(spark):
+    """The Arrow-vectorized scorer must produce the identical top-k
+    (same rounded cosines, same tie-breaks) as the JVM fold."""
+    from gexp_ml_dask_spark.llm.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_pandas,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    jvm = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in knn_bruteforce(emb, queries, k=10).collect()
+    }
+    arrow = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in knn_bruteforce_pandas(emb, queries, k=10).collect()
+    }
+    assert jvm == arrow
