@@ -43,6 +43,34 @@ def align_features_labels(
     return features.join(F.broadcast(labels), sample_col, "inner")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join by key salting — the manual
+    fallback when a hot key overwhelms even AQE's skew-join splitting
+    (AQE splits post-shuffle partitions; salting additionally spreads
+    a single hot key's BUILD side).
+
+    Fact rows get a random salt in [0, salt); the dim side is
+    replicated ``salt`` ways (explode of a literal range — dim-sized
+    sides only). The join key becomes (key, salt), so one hot key
+    lands in ``salt`` tasks instead of one. Row-identical to the
+    plain join for inner/left joins on unique dim keys.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_fact.join(salted_dim, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def map_column(
     df: DataFrame,
     mapping: DataFrame,

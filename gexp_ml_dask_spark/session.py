@@ -33,6 +33,12 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
+    # Stable local warehouse so bucketed saveAsTable works from any
+    # CWD (cluster deployments override with the shared catalog).
+    "spark.sql.warehouse.dir": "/tmp/gexp_spark_warehouse",
+    # Bucketed-table reads: join two same-bucketed tables without
+    # exchanges (on by default; pinned here as load-bearing).
+    "spark.sql.sources.bucketing.enabled": "true",
 }
 
 

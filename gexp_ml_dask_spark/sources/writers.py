@@ -39,3 +39,33 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     data/brca_undersample.py:15-17; no index column exists in Spark,
     matching index=False)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table — the PHYSICAL co-location primitive
+    for repeated fact-fact joins at scale (the persistent analogue of
+    the reference's division-aligned partitioning, OP-PHY-04).
+
+    Two tables bucketed on the same key with the same bucket count
+    sort-merge-join with ZERO exchanges (asserted in
+    tests/test_plans.py): the shuffle is paid once at write time and
+    amortized over every subsequent join/agg on the key. ``sort_col``
+    additionally pre-sorts within buckets, removing the join's Sort.
+    Requires a metastore-backed ``saveAsTable`` (session.py points
+    the warehouse/metastore at stable local dirs; on a real cluster
+    this is the shared catalog)."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

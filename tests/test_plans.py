@@ -97,3 +97,67 @@ def test_knn_broadcasts_queries(spark, registry):
     scoring."""
     p = plan(registry["op_llm_03_knn_bruteforce"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_salted_join_row_equivalent(spark):
+    """Salting must not change join results — same rows as the plain
+    join, hot key spread over `salt` tasks."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 10000).select(
+        (F.when(F.col("id") % 100 < 90, 7).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = fact.join(dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    salted = salted_join(fact, dim, "k", salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the same key/count must sort-merge-join
+    with ZERO exchanges — the write-once shuffle is amortized."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.sources.writers import write_bucketed
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    import shutil
+
+    for t in ("t_li_bucketed", "t_ord_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/gexp_spark_warehouse/{t}", ignore_errors=True)
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", 8, sort_col="l_orderkey")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_ord_bucketed",
+        "l_orderkey",
+        8,
+        sort_col="l_orderkey",
+    )
+    a = spark.table("t_li_bucketed")
+    b = spark.table("t_ord_bucketed")
+    # merge hint: at sf0.01 the dim side is under the broadcast
+    # threshold, and a broadcast join would (correctly) bypass
+    # bucketing; at real scale SMJ is what the planner picks and
+    # bucketing is what removes its exchanges.
+    joined = a.join(b.hint("merge"), "l_orderkey")
+    p = plan(joined)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, p
+    # and it actually runs
+    assert joined.count() > 0
