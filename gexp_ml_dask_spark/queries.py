@@ -627,6 +627,26 @@ def op_scl_06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jn.map_column(cust, mapping, "nation_name", keep_unmapped=False)
 
 
+@register(
+    "op_scl_07_json_extract",
+    "SELECT event_type, count(*) AS n, "
+    "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS mean_k "
+    "FROM events GROUP BY event_type",
+)
+def op_scl_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-07 (OP-SRC-04 family): JSON property extraction from a
+    string column + grouped stats — get_json_object stays JVM-side
+    (no Python, no full from_json struct materialization when one
+    path is needed)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(
+            F.avg(F.get_json_object(F.col("props"), "$.k").cast("long"))
+        ).alias("mean_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 ML composites (SQL-expressible parts)
 # ---------------------------------------------------------------------------
