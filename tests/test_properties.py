@@ -1,0 +1,117 @@
+"""Property-based normalizer invariants (SURVEY.md §5.2).
+
+The reference's normalizers carry algebraic contracts stated in their
+own comments ("adjusted to multiply to 1",
+feature_selection_and_normalization.py:23-24); hypothesis drives them
+over arbitrary well-formed matrices instead of one fixture.
+
+Examples are kept small (Spark round-trip per example) and deadlines
+disabled — JVM latency is not a property failure.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.filterwarnings("ignore::ResourceWarning")
+
+
+def matrix_strategy(min_n=2, max_n=5, min_f=2, max_f=6):
+    """Small dense positive matrices as (n, f, values) — positive
+    values keep every per-sample factor finite and nonzero, the
+    domain the multiply-to-1 contract speaks about."""
+    return st.integers(min_n, max_n).flatmap(
+        lambda n: st.integers(min_f, max_f).flatmap(
+            lambda f: st.lists(
+                st.floats(0.1, 100.0, allow_nan=False, allow_infinity=False),
+                min_size=n * f,
+                max_size=n * f,
+            ).map(lambda vals: (n, f, vals))
+        )
+    )
+
+
+def to_long(spark, n, f, vals):
+    rows = [
+        (s, f"g{g}", float(vals[s * f + g])) for s in range(n) for g in range(f)
+    ]
+    return spark.createDataFrame(
+        rows, "sample_id long, gene_id string, value double"
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(matrix_strategy())
+def test_uq_factors_multiply_to_one(spark, data):
+    """Symmetrized UQ factors multiply to ~1 (fsn.py:23-24)."""
+    from gexp_ml_dask_spark.ml.normalization import upper_quartile_factors
+
+    n, f, vals = data
+    factors = upper_quartile_factors(to_long(spark, n, f, vals)).collect()
+    assert len(factors) == n
+    log_sum = sum(math.log(r["scaling_factor"]) for r in factors)
+    assert abs(log_sum) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(matrix_strategy())
+def test_row_scaling_preserves_zero_pattern(spark, data):
+    """scale_rows multiplies — zeros stay zero, nonzeros stay
+    nonzero (positive factor)."""
+    from gexp_ml_dask_spark.ml.normalization import upper_quartile_transform
+
+    n, f, vals = data
+    # plant a zero per sample (not a whole zero gene, which would be
+    # dropped by OP-FIL-01)
+    vals = list(vals)
+    if f >= 2:
+        for s in range(n):
+            vals[s * f + (s % f)] = 0.0
+    g = to_long(spark, n, f, vals)
+    out = upper_quartile_transform(g).collect()
+    before = {
+        (r["sample_id"], r["gene_id"]): r["value"] for r in g.collect()
+    }
+    for r in out:
+        src = before[(r["sample_id"], r["gene_id"])]
+        if src == 0.0:
+            assert r["value"] == 0.0
+        else:
+            assert r["value"] != 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(0.0, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_log2_plus_one_nonnegative(spark, xs):
+    """log2(x+1) >= 0 for x >= 0 (the reference applies it to FPKM
+    values, which are nonnegative; dask_pipeline.py:43)."""
+    from gexp_ml_dask_spark.operators.scalars import log2_plus_one
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "value double")
+    out = log2_plus_one(df, "value").collect()
+    assert all(r["value"] >= 0.0 for r in out)
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The exact=False scale path must stay within sketch tolerance
+    of the exact percentile (the 100 TB flag, SURVEY.md §4)."""
+    from gexp_ml_dask_spark.operators.aggregates import percentile
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 1000).cast("double").alias("value")
+    )
+    exact, approx = df.agg(
+        percentile("value", 0.75, exact=True).alias("e"),
+        percentile("value", 0.75, exact=False).alias("a"),
+    ).collect()[0]
+    assert abs(exact - approx) / exact < 0.01
