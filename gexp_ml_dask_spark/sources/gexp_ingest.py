@@ -51,14 +51,20 @@ def load_gexp_dataset(
         )
     )
     if mapping is not None:
+        # Rename the mapping's (key, value) BEFORE joining: the fact
+        # table already has a `value` column (the expression value),
+        # and drop-by-name would remove both.
+        m = mapping.select(
+            F.col("key").alias("_map_id"), F.col("value").alias("_map_file")
+        )
         raw = (
             raw.join(
-                F.broadcast(mapping),
-                raw["sample_file"] == mapping["value"],
+                F.broadcast(m),
+                raw["sample_file"] == m["_map_file"],
                 "left",
             )
-            .withColumn("sample_file", F.coalesce("key", "sample_file"))
-            .drop("key", "value")
+            .withColumn("sample_file", F.coalesce("_map_id", "sample_file"))
+            .drop("_map_id", "_map_file")
         )
     # Dense ordinal sample ids: window over the distinct-files dim
     # (tiny: one row per input file), then broadcast back.
