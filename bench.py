@@ -8,11 +8,14 @@ Runs the headline queries from ``__spark_entry__.queries()`` against
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Measurement recipe mirrors the reference's
-(``singlemachine_dataset_samplewise_benchmark.py:52-53``): each query
-is a full cold plan→execute→drain cycle; the timing is end-to-end
-wall seconds for the action (``count`` after a no-op cache-free run is
-NOT used — we drain with ``write.format('noop')`` so every row is
-produced but nothing is collected to the driver).
+(``singlemachine_dataset_samplewise_benchmark.py:52-53``,
+``min(timeit.repeat(repeat=3, number=1))``): each repeat is a full
+plan→execute→drain cycle (plan construction included — some
+composites collect fit scalars at build time), the reported number
+is the min of 3 repeats, and the Spark cache is cleared between
+repeats so no repeat reads a previous repeat's persisted data. We
+drain with ``write.format('noop')`` so every row is produced but
+nothing is collected to the driver.
 """
 
 from __future__ import annotations
@@ -61,15 +64,22 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Drain every row without driver collection; noop sink keeps
-        # the full pipeline (shuffles included) on the executors.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Drain every row without driver collection; noop sink
+            # keeps the full pipeline (shuffles included) on the
+            # executors.
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -28,6 +28,7 @@ from gexp_ml_dask_spark.operators.filters import (
     nonzero_genes,
 )
 from gexp_ml_dask_spark.operators.joins import scale_rows
+from gexp_ml_dask_spark.operators.physical import fan_out
 
 
 def upper_quartile_factors(
@@ -68,18 +69,24 @@ def upper_quartile_transform(
     (zero genes dropped, values row-scaled by the symmetrized
     factor; fsn.py transform :31).
 
-    The keep-list (<= #genes rows) feeds TWO plan branches (the
-    factor agg and the output join both read ``kept``); Catalyst
-    recomputes shared subplans per branch, so it is persisted (the
-    reference places a persist at exactly this point, fsn.py:47-48 /
-    dask_pipeline.py:32). The fact table itself is never cached — it
-    is scanned twice (factor agg + output join), both scans
-    column-pruned.
+    The filtered fact table ``kept`` feeds TWO plan branches (the
+    factor agg and the output join); Catalyst recomputes shared
+    subplans per branch, so with ``cache=True`` it is persisted at
+    exactly the point the reference persists (fsn.py:47-48 /
+    dask_pipeline.py:32) — MEMORY_AND_DISK, so it spills rather than
+    OOMs at scale. The input is first widened to cluster parallelism
+    (guarded no-op when the scan already has enough splits): the
+    zero-gene semi-join is broadcast, so without it every downstream
+    stage inherits the scan's partitioning.
     """
-    keep = nonzero_genes(gexp, gene_col, value_col)
+    from pyspark.storagelevel import StorageLevel
+
     if cache:
-        keep = keep.persist()
+        gexp = fan_out(gexp)
+    keep = nonzero_genes(gexp, gene_col, value_col)
     kept = gexp.join(F.broadcast(keep), gene_col, "left_semi")
+    if cache:
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     factors = kept.groupBy(sample_col).agg(
         F.try_divide(percentile(value_col, q, exact), F.sum(value_col)).alias(
             "norm_factor"
@@ -123,7 +130,14 @@ def tmm_factors(
 
     # fit :73 — drop genes that are zero across all samples
     # ((X != 0).any(axis=0), the any-nonzero form).
+    if cache:
+        gexp = fan_out(gexp)
     g = drop_never_nonzero_genes(gexp, gene_col, value_col)
+    if cache:
+        # g feeds THREE branches (pseudoref, sample_totals, the
+        # kernel join); one cached copy replaces three single-threaded
+        # parquet scans + keep-list semi-joins.
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
 
     # :74 pseudoref — PER-GENE (pandas axis=0 == per column):
     # quantile(0.75 of positive values) / sum(all values).
@@ -195,20 +209,43 @@ def tmm_factors(
         # a persist the whole scan+join+kernel pipeline runs twice.
         mat = mat.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # :88-92 global (matrix-wide) nanquantile trim bounds.
+    # :88-92 global (matrix-wide) nanquantile trim bounds. The trim
+    # values are high-cardinality doubles, the worst case for Spark's
+    # exact Percentile (value->count map per partial); one aggregate
+    # with TWO array-percentiles builds one map per column instead of
+    # two. When ``mat`` is cached this is an estimator-fit scalar:
+    # collect the four bounds once and inline them as literals —
+    # otherwise the uncached broadcast subquery recomputes the whole
+    # percentile pass for every downstream consumer (trim pass,
+    # transform join), tripling the most expensive stage. MLlib fits
+    # do exactly this (fit collects scalars, transform embeds them).
     lr = F.col("log_ratio")
     ae = F.col("abs_expr")
     bounds = mat.agg(
-        percentile(F.when(~F.isnan(lr), lr), log_ratio_trim, exact).alias("lr_lo"),
-        percentile(F.when(~F.isnan(lr), lr), 1 - log_ratio_trim, exact).alias("lr_hi"),
-        percentile(F.when(~F.isnan(ae), ae), abs_expr_trim, exact).alias("ae_lo"),
-        percentile(F.when(~F.isnan(ae), ae), 1 - abs_expr_trim, exact).alias("ae_hi"),
+        percentile(
+            lr, [log_ratio_trim, 1 - log_ratio_trim], exact
+        ).alias("lr_b"),
+        percentile(ae, [abs_expr_trim, 1 - abs_expr_trim], exact).alias("ae_b"),
+    ).select(
+        F.col("lr_b")[0].alias("lr_lo"),
+        F.col("lr_b")[1].alias("lr_hi"),
+        F.col("ae_b")[0].alias("ae_lo"),
+        F.col("ae_b")[1].alias("ae_hi"),
     )
+    if cache:
+        b = bounds.collect()[0]
+        lr_lo, lr_hi = F.lit(b["lr_lo"]), F.lit(b["lr_hi"])
+        ae_lo, ae_hi = F.lit(b["ae_lo"]), F.lit(b["ae_hi"])
+        trimmed_src = mat
+    else:
+        lr_lo, lr_hi = F.col("lr_lo"), F.col("lr_hi")
+        ae_lo, ae_hi = F.col("ae_lo"), F.col("ae_hi")
+        trimmed_src = mat.crossJoin(F.broadcast(bounds))
 
-    trimmed = mat.crossJoin(F.broadcast(bounds)).select(
+    trimmed = trimmed_src.select(
         sample_col,
-        F.when((lr > F.col("lr_lo")) & (lr < F.col("lr_hi")), lr).alias("t_lr"),
-        F.when((ae > F.col("ae_lo")) & (ae < F.col("ae_hi")), ae).alias("t_ae"),
+        F.when((lr > lr_lo) & (lr < lr_hi), lr).alias("t_lr"),
+        F.when((ae > ae_lo) & (ae < ae_hi), ae).alias("t_ae"),
     )
 
     # :94 ((t_lr * t_ae) / t_lr).mean(axis=1) — algebraically the
@@ -231,11 +268,15 @@ def tmm_transform(
     gene_col: str = "gene_id",
     value_col: str = "value",
     exact: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """TMM fit_transform (fsn.py:114-115): values row-scaled by the
     symmetrized TMM factor. Transform does NOT drop genes — the
     reference's transform multiplies the input as-is."""
+    if cache:
+        gexp = fan_out(gexp)
     factors = tmm_factors(
-        gexp, log_ratio_trim, abs_expr_trim, sample_col, gene_col, value_col, exact
+        gexp, log_ratio_trim, abs_expr_trim, sample_col, gene_col, value_col,
+        exact, cache,
     )
     return scale_rows(gexp, factors, sample_col, value_col, "scaling_factor")

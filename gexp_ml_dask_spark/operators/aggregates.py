@@ -17,13 +17,21 @@ from pyspark.sql import functions as F
 APPROX_ACCURACY = 10_000
 
 
-def percentile(col: str | Column, q: float, exact: bool = True) -> Column:
+def percentile(
+    col: str | Column, q: float | list[float], exact: bool = True
+) -> Column:
     """Exact linear-interpolation quantile (pandas/DuckDB semantics),
-    or the scale-path sketch when ``exact`` is False."""
+    or the scale-path sketch when ``exact`` is False. A list ``q``
+    returns an array column from ONE pass — Percentile builds its
+    per-partition value map once per call, so batching quantiles of
+    the same column halves the cost vs two scalar calls."""
     c = F.col(col) if isinstance(col, str) else col
+    qlit = (
+        F.array(*[F.lit(x) for x in q]) if isinstance(q, list) else F.lit(q)
+    )
     if exact:
-        return F.percentile(c, F.lit(q))
-    return F.percentile_approx(c, F.lit(q), F.lit(APPROX_ACCURACY))
+        return F.percentile(c, qlit)
+    return F.percentile_approx(c, qlit, F.lit(APPROX_ACCURACY))
 
 
 def per_gene_mean(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:

@@ -44,6 +44,26 @@ def unpersist_df(df: DataFrame) -> DataFrame:
     return df.unpersist()
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Guarded round-robin repartition: widen a DataFrame to at least
+    cluster parallelism, only when its current plan is narrower.
+
+    Parquet row groups are the unit of scan parallelism; a source
+    written as few large row groups (or few files) caps every
+    downstream narrow stage — broadcast joins and elementwise kernels
+    inherit the scan's partitioning, so a 1-row-group input runs the
+    whole pipeline on one core. At cluster scale inputs have
+    thousands of splits and this is a no-op (the guard keeps it from
+    ever *adding* a shuffle there); it only pays one extra exchange
+    when the input genuinely under-parallelizes the machine.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def copartition_by_key(df: DataFrame, key: str = "sample_id", n: int | None = None) -> DataFrame:
     """OP-PHY-04 — the engine's answer to division-aligned label
     partitioning (brca_data_prep.ipynb cell-20): hash-co-partition
