@@ -23,7 +23,6 @@ from gexp_ml_dask_spark.operators.aggregates import (
     symmetrize_factors,
 )
 from gexp_ml_dask_spark.operators.filters import (
-    drop_never_nonzero_genes,
     drop_zero_genes,
     nonzero_genes,
 )
@@ -129,26 +128,40 @@ def tmm_factors(
     v = F.col(value_col)
 
     # fit :73 — drop genes that are zero across all samples
-    # ((X != 0).any(axis=0), the any-nonzero form).
+    # ((X != 0).any(axis=0), the any-nonzero form). Folded into the
+    # per-gene stats pass: ONE agg computes the keep flag AND the
+    # pseudoref value, and the keep filter is then applied to the
+    # fact table for free by the inner broadcast join against
+    # ``pseudoref`` (which only contains kept genes) — no separate
+    # keep-list aggregate + semi-join pass over the input.
     if cache:
         gexp = fan_out(gexp)
-    g = drop_never_nonzero_genes(gexp, gene_col, value_col)
-    if cache:
-        # g feeds THREE branches (pseudoref, sample_totals, the
-        # kernel join); one cached copy replaces three single-threaded
-        # parquet scans + keep-list semi-joins.
-        g = g.persist(StorageLevel.MEMORY_AND_DISK)
 
     # :74 pseudoref — PER-GENE (pandas axis=0 == per column):
     # quantile(0.75 of positive values) / sum(all values).
-    pseudoref = g.groupBy(gene_col).agg(
-        F.try_divide(
-            percentile(F.when(v > 0, v), 0.75, exact), F.sum(v)
-        ).alias("ref_value")
+    pseudoref = (
+        gexp.groupBy(gene_col)
+        .agg(
+            F.try_divide(
+                percentile(F.when(v > 0, v), 0.75, exact), F.sum(v)
+            ).alias("ref_value"),
+            F.max(F.when(v != 0, F.lit(1)).otherwise(F.lit(0))).alias(
+                "_any_nz"
+            ),
+        )
+        .where(F.col("_any_nz") == 1)
+        .drop("_any_nz")
     )
     if cache:
-        # pseudoref feeds both the broadcast join and ref_total.
+        # pseudoref feeds the broadcast join and ref_total.
         pseudoref = pseudoref.persist()
+
+    # The kept fact table: inner join ≡ the zero-gene drop. It feeds
+    # the sample-totals agg AND the kernel projection; one cached
+    # copy replaces two scan+join passes.
+    g = gexp.join(F.broadcast(pseudoref), gene_col)
+    if cache:
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Per-sample library size (:98 sample_total_counts). The row sum
     # equals the sum over the (s>0 | ref>0) mask because masked-out
@@ -160,8 +173,7 @@ def tmm_factors(
     ref_total = pseudoref.agg(F.sum("ref_value").alias("ref_total"))
 
     joined = (
-        g.join(F.broadcast(pseudoref), gene_col)
-        .join(F.broadcast(sample_totals), sample_col)
+        g.join(F.broadcast(sample_totals), sample_col)
         .crossJoin(F.broadcast(ref_total))
     )
 
@@ -221,23 +233,35 @@ def tmm_factors(
     # do exactly this (fit collects scalars, transform embeds them).
     lr = F.col("log_ratio")
     ae = F.col("abs_expr")
-    bounds = mat.agg(
-        percentile(
-            lr, [log_ratio_trim, 1 - log_ratio_trim], exact
-        ).alias("lr_b"),
-        percentile(ae, [abs_expr_trim, 1 - abs_expr_trim], exact).alias("ae_b"),
-    ).select(
-        F.col("lr_b")[0].alias("lr_lo"),
-        F.col("lr_b")[1].alias("lr_hi"),
-        F.col("ae_b")[0].alias("ae_lo"),
-        F.col("ae_b")[1].alias("ae_hi"),
-    )
     if cache:
-        b = bounds.collect()[0]
-        lr_lo, lr_hi = F.lit(b["lr_lo"]), F.lit(b["lr_hi"])
-        ae_lo, ae_hi = F.lit(b["ae_lo"]), F.lit(b["ae_hi"])
+        from gexp_ml_dask_spark.operators.aggregates import (
+            collect_exact_quantiles,
+        )
+
+        b = collect_exact_quantiles(
+            mat,
+            {
+                "log_ratio": [log_ratio_trim, 1 - log_ratio_trim],
+                "abs_expr": [abs_expr_trim, 1 - abs_expr_trim],
+            },
+        )
+        lr_lo, lr_hi = F.lit(b["log_ratio"][0]), F.lit(b["log_ratio"][1])
+        ae_lo, ae_hi = F.lit(b["abs_expr"][0]), F.lit(b["abs_expr"][1])
         trimmed_src = mat
     else:
+        bounds = mat.agg(
+            percentile(
+                lr, [log_ratio_trim, 1 - log_ratio_trim], exact
+            ).alias("lr_b"),
+            percentile(
+                ae, [abs_expr_trim, 1 - abs_expr_trim], exact
+            ).alias("ae_b"),
+        ).select(
+            F.col("lr_b")[0].alias("lr_lo"),
+            F.col("lr_b")[1].alias("lr_hi"),
+            F.col("ae_b")[0].alias("ae_lo"),
+            F.col("ae_b")[1].alias("ae_hi"),
+        )
         lr_lo, lr_hi = F.col("lr_lo"), F.col("lr_hi")
         ae_lo, ae_hi = F.col("ae_lo"), F.col("ae_hi")
         trimmed_src = mat.crossJoin(F.broadcast(bounds))

@@ -34,6 +34,108 @@ def percentile(
     return F.percentile_approx(c, qlit, F.lit(APPROX_ACCURACY))
 
 
+def collect_exact_quantiles(
+    df: DataFrame, cols: dict[str, list[float]]
+) -> dict[str, list[float]]:
+    """Exact linear-interpolation quantiles of fact-table-sized
+    columns, collected to the driver — the scalable algorithm for an
+    eager fit scalar.
+
+    Spark's exact ``Percentile`` merges per-partition value->count
+    maps on a single reducer: O(distinct values) memory and
+    serialization on one task, which is both the local hot spot for
+    high-cardinality doubles and a non-starter at 100 TB. This
+    instead does rank bracketing:
+
+      1. one ``percentile_approx`` pass sketches values around each
+         target rank, padded by the sketch's worst-case rank error
+         (``n / accuracy``);
+      2. one codegen count pass pins each bracket's exact global
+         start rank;
+      3. one filter pass collects only the in-bracket values
+         (O(n/accuracy) rows) and interpolates driver-side with the
+         same lerp ``lo + (k - floor(k)) * (hi - lo)`` that
+         ``Percentile``/``percentile_cont`` use.
+
+    Falls back to exact ``F.percentile`` for any column whose
+    bracket misses (degenerate distributions), so results are always
+    exact. ``cols`` maps column name -> list of quantiles.
+    """
+    import math
+
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in cols]
+    ).collect()[0]
+
+    # One bracket per (col, quantile) target: [k - pad, k + pad] in
+    # rank space, pad = twice the sketch's worst-case rank error.
+    targets = []  # (name, col, k, n)
+    sketch_exprs = []
+    for c, qs in cols.items():
+        n = counts[c]
+        for i, q in enumerate(qs):
+            if n == 0:
+                continue
+            k = (n - 1) * q
+            pad = n / APPROX_ACCURACY * 2 + 2
+            lo_q = max(0.0, (k - pad) / max(1, n - 1))
+            hi_q = min(1.0, (k + pad) / max(1, n - 1))
+            name = f"{c}__{i}"
+            targets.append((name, c, k, n))
+            sketch_exprs.append(
+                F.percentile_approx(
+                    F.col(c),
+                    F.array(F.lit(lo_q), F.lit(hi_q)),
+                    F.lit(APPROX_ACCURACY),
+                ).alias(name)
+            )
+    if not targets:
+        return {c: [None] * len(qs) for c, qs in cols.items()}
+
+    sketch = df.agg(*sketch_exprs).collect()[0]
+    below = df.agg(
+        *[
+            F.count(F.when(F.col(c) < F.lit(sketch[name][0]), 1)).alias(name)
+            for name, c, _k, _n in targets
+        ]
+    ).collect()[0]
+    in_bracket = [
+        F.when(
+            F.col(c).between(F.lit(sketch[name][0]), F.lit(sketch[name][1])),
+            F.col(c),
+        ).alias(name)
+        for name, c, _k, _n in targets
+    ]
+    any_hit = None
+    for name, *_ in targets:
+        cond = F.col(name).isNotNull()
+        any_hit = cond if any_hit is None else (any_hit | cond)
+    rows = df.select(*in_bracket).where(any_hit).toPandas()
+
+    picked: dict[str, float | None] = {}
+    fallback_cols: set[str] = set()
+    for name, c, k, _n in targets:
+        vals = sorted(v for v in rows[name].tolist() if v == v and v is not None)
+        start = below[name]
+        lo_i, hi_i = math.floor(k) - start, math.ceil(k) - start
+        if lo_i < 0 or hi_i >= len(vals):
+            fallback_cols.add(c)
+            continue
+        lo_v, hi_v = vals[lo_i], vals[hi_i]
+        picked[name] = lo_v + (k - math.floor(k)) * (hi_v - lo_v)
+
+    out: dict[str, list[float | None]] = {}
+    for c, qs in cols.items():
+        if counts[c] == 0:
+            out[c] = [None] * len(qs)
+        elif c in fallback_cols:
+            row = df.agg(percentile(F.col(c), list(qs), exact=True).alias("p")).collect()[0]
+            out[c] = list(row["p"])
+        else:
+            out[c] = [picked[f"{c}__{i}"] for i in range(len(qs))]
+    return out
+
+
 def per_gene_mean(gexp: DataFrame, gene_col: str = "gene_id", value_col: str = "value") -> DataFrame:
     """OP-AGG-01 — per-gene mean (``X.mean(axis=0)``,
     functions/dask_pipeline.py:36)."""
