@@ -53,9 +53,11 @@ def collect_exact_quantiles(
       2. one codegen count pass pins each bracket's exact global
          start rank;
       3. one filter pass collects only the in-bracket values
-         (O(n/accuracy) rows) and interpolates driver-side with the
-         same lerp ``lo + (k - floor(k)) * (hi - lo)`` that
-         ``Percentile``/``percentile_cont`` use.
+         (O(n/accuracy) rows) and interpolates driver-side with
+         Percentile's own two-sided lerp
+         ``(ceil(k) - k) * lo + (k - floor(k)) * hi`` (bit-identical
+         to ``F.percentile``; the one-sided ``lo + frac * (hi - lo)``
+         form differs in the last ulp).
 
     Falls back to exact ``F.percentile`` for any column whose
     bracket misses (degenerate distributions), so results are always
@@ -122,7 +124,12 @@ def collect_exact_quantiles(
             fallback_cols.add(c)
             continue
         lo_v, hi_v = vals[lo_i], vals[hi_i]
-        picked[name] = lo_v + (k - math.floor(k)) * (hi_v - lo_v)
+        if lo_i == hi_i:
+            picked[name] = lo_v
+        else:
+            picked[name] = (
+                (math.ceil(k) - k) * lo_v + (k - math.floor(k)) * hi_v
+            )
 
     out: dict[str, list[float | None]] = {}
     for c, qs in cols.items():

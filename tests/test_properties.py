@@ -115,3 +115,40 @@ def test_approx_percentile_close_to_exact(spark):
         percentile("value", 0.75, exact=False).alias("a"),
     ).collect()[0]
     assert abs(exact - approx) / exact < 0.01
+
+
+@given(
+    st.lists(
+        st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(st.floats(0.0, 1.0), min_size=1, max_size=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_bracketed_quantiles_match_percentile(spark, xs, qs):
+    """collect_exact_quantiles (the driver-scalar fit path: sketch →
+    rank bracket → interpolate) must be bit-identical to Spark's
+    exact Percentile for arbitrary value/quantile sets."""
+    from gexp_ml_dask_spark.operators.aggregates import (
+        collect_exact_quantiles,
+        percentile,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    got = collect_exact_quantiles(df, {"v": qs})["v"]
+    want = list(
+        df.agg(percentile("v", list(qs), exact=True).alias("p")).collect()[0]["p"]
+    )
+    assert got == want
+
+
+def test_bracketed_quantiles_nulls_and_empty(spark):
+    from gexp_ml_dask_spark.operators.aggregates import collect_exact_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (None, None)], "a double, b double"
+    )
+    out = collect_exact_quantiles(df, {"a": [0.5], "b": [0.5, 0.9]})
+    assert out["a"] == [1.5]
+    assert out["b"] == [None, None]
