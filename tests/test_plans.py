@@ -161,3 +161,22 @@ def test_bucketed_join_no_exchange(spark):
     assert "Exchange" not in p, p
     # and it actually runs
     assert joined.count() > 0
+
+
+def test_fan_out_widens_narrow_input(spark):
+    """fan_out repartitions an under-parallelized input to cluster
+    parallelism, and is a NO-OP (same plan object, no added
+    exchange) when the input already has enough partitions."""
+    from gexp_ml_dask_spark.operators.physical import fan_out
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    widened = fan_out(narrow)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    wide = spark.range(0, 1000).repartition(
+        spark.sparkContext.defaultParallelism + 4
+    )
+    assert fan_out(wide) is wide
