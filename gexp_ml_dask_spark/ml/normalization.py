@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gexp_ml_dask_spark.operators.aggregates import (
+    grouped_percentile,
     percentile,
     symmetrize_factors,
 )
@@ -48,9 +49,9 @@ def upper_quartile_factors(
     """
     kept = drop_zero_genes(gexp, gene_col, value_col)
     factors = kept.groupBy(sample_col).agg(
-        F.try_divide(percentile(value_col, q, exact), F.sum(value_col)).alias(
-            "norm_factor"
-        )
+        F.try_divide(
+            grouped_percentile(value_col, q, exact), F.sum(value_col)
+        ).alias("norm_factor")
     )
     return symmetrize_factors(factors, "norm_factor", "scaling_factor")
 
@@ -87,11 +88,13 @@ def upper_quartile_transform(
     if cache:
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     factors = kept.groupBy(sample_col).agg(
-        F.try_divide(percentile(value_col, q, exact), F.sum(value_col)).alias(
-            "norm_factor"
-        )
+        F.try_divide(
+            grouped_percentile(value_col, q, exact), F.sum(value_col)
+        ).alias("norm_factor")
     )
-    factors = symmetrize_factors(factors, "norm_factor", "scaling_factor")
+    factors = symmetrize_factors(
+        factors, "norm_factor", "scaling_factor", eager=cache
+    )
     return scale_rows(kept, factors, sample_col, value_col, "scaling_factor")
 
 
@@ -172,8 +175,12 @@ def tmm_factors(
     # row's mask, so the per-row ref total is one global scalar.
     ref_total = pseudoref.agg(F.sum("ref_value").alias("ref_total"))
 
+    # No broadcast hint on sample_totals: it has one row per SAMPLE
+    # and scales with the data. AQE picks broadcast-hash at runtime
+    # while it is small, shuffle join when it is not. (pseudoref and
+    # ref_total stay hinted — bounded by the gene dimension / scalar.)
     joined = (
-        g.join(F.broadcast(sample_totals), sample_col)
+        g.join(sample_totals, sample_col)
         .crossJoin(F.broadcast(ref_total))
     )
 
@@ -245,6 +252,12 @@ def tmm_factors(
                 "abs_expr": [abs_expr_trim, 1 - abs_expr_trim],
             },
         )
+        # The bounds pass materialized ``mat``; everything upstream
+        # of it (the kept fact table and the pseudoref dim) is dead
+        # weight from here on — release it so the executor store
+        # holds ONE fact-sized dataset, not three.
+        g.unpersist()
+        pseudoref.unpersist()
         lr_lo, lr_hi = F.lit(b["log_ratio"][0]), F.lit(b["log_ratio"][1])
         ae_lo, ae_hi = F.lit(b["abs_expr"][0]), F.lit(b["abs_expr"][1])
         trimmed_src = mat
@@ -280,8 +293,11 @@ def tmm_factors(
         F.avg(F.when(F.col("t_lr").isNotNull(), F.col("t_ae"))).alias("norm_factor")
     )
 
-    # :78 symmetrize.
-    return symmetrize_factors(factors, "norm_factor", "scaling_factor")
+    # :78 symmetrize (eager on the fit path — no single-partition
+    # window over the per-sample factors table).
+    return symmetrize_factors(
+        factors, "norm_factor", "scaling_factor", eager=cache
+    )
 
 
 def tmm_transform(

@@ -34,6 +34,50 @@ def percentile(
     return F.percentile_approx(c, qlit, F.lit(APPROX_ACCURACY))
 
 
+def grouped_percentile(
+    col: str | Column, q: float, exact: bool = True
+) -> Column:
+    """Exact per-GROUP quantile for aggregations with many groups.
+
+    Spark's ``Percentile`` keeps a value->count OpenHashMap per group
+    inside ObjectHashAggregate (which falls back to sort-based
+    aggregation at 128 keys per partition); with group counts that
+    scale with the data (per-sample aggs) this measured 8-9x slower
+    than collecting the group into an array and interpolating with
+    expression-level code (87.8s vs 10.4s at 6M rows / 1.5M groups).
+    ``sort_array(collect_list(...))`` + two-sided lerp is bit-identical
+    to ``F.percentile`` (nulls skipped by collect_list, integral-rank
+    case short-circuited like Percentile does). Group values must fit
+    in one aggregation buffer — true for per-sample/per-gene rows
+    (bounded by #genes / #samples respectively), NOT for global
+    quantiles (use :func:`collect_exact_quantiles`).
+
+    ``exact=False`` delegates to the sketch path like
+    :func:`percentile`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if not exact:
+        return F.percentile_approx(c, F.lit(q), F.lit(APPROX_ACCURACY))
+    a = F.sort_array(F.collect_list(c))
+    n = F.size(a)
+    k = (n.cast("double") - F.lit(1.0)) * F.lit(q)
+    lo_i = F.floor(k).cast("int")
+    hi_i = F.ceil(k).cast("int")
+    lo_v = F.element_at(a, lo_i + 1)
+    hi_v = F.element_at(a, hi_i + 1)
+    # CaseWhen evaluates branches lazily, so element_at never sees an
+    # out-of-range index (ANSI mode would throw). Percentile also
+    # short-circuits equal bracket VALUES (not just equal indexes) —
+    # without that, 0.375*x + 0.625*x can differ from x in the last
+    # ulp.
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.when((lo_i == hi_i) | (lo_v == hi_v), lo_v).otherwise(
+            (hi_i.cast("double") - k) * lo_v
+            + (k - lo_i.cast("double")) * hi_v
+        )
+    )
+
+
 def collect_exact_quantiles(
     df: DataFrame, cols: dict[str, list[float]]
 ) -> dict[str, list[float]]:
@@ -124,7 +168,9 @@ def collect_exact_quantiles(
             fallback_cols.add(c)
             continue
         lo_v, hi_v = vals[lo_i], vals[hi_i]
-        if lo_i == hi_i:
+        if lo_i == hi_i or lo_v == hi_v:
+            # Percentile returns the key directly when the bracket
+            # values coincide — the lerp differs in the last ulp.
             picked[name] = lo_v
         else:
             picked[name] = (
@@ -181,9 +227,13 @@ def per_sample_uq_factor(
 ) -> DataFrame:
     """OP-AGG-04 — the upper-quartile norm factor: per-sample
     ``quantile(q) / sum`` (feature_selection_and_normalization.py:28).
-    One hash aggregate; both statistics share the shuffle."""
+    One hash aggregate; both statistics share the shuffle. Uses the
+    many-groups quantile form (:func:`grouped_percentile`) — group
+    count scales with samples."""
     return gexp.groupBy(sample_col).agg(
-        (percentile(value_col, q, exact) / F.sum(value_col)).alias("norm_factor")
+        (grouped_percentile(value_col, q, exact) / F.sum(value_col)).alias(
+            "norm_factor"
+        )
     )
 
 
@@ -191,24 +241,34 @@ def symmetrize_factors(
     factors: DataFrame,
     factor_col: str = "norm_factor",
     out_col: str = "scaling_factor",
+    eager: bool = False,
 ) -> DataFrame:
     """OP-AGG-05 — geometric-mean symmetrization:
     ``factor / exp(mean(log(factor.replace(0,1))))``
     (feature_selection_and_normalization.py:24).
 
-    Single-pass empty-frame window, NOT a scalar-agg cross join:
-    Catalyst does not dedupe common subplans across branches, so the
-    cross-join form recomputes the (potentially expensive) factors
-    subplan once for the geomean and once for the join side. The
-    window computes factors exactly once. The one-partition shuffle
-    it implies is fine here by construction — factors is per-SAMPLE
-    (rows = samples, not cells), small at any data scale.
-    """
-    from pyspark.sql import Window
+    Lazy form (default): single-pass empty-frame window, NOT a
+    scalar-agg cross join — Catalyst does not dedupe common subplans
+    across branches, so the cross-join form recomputes the
+    (potentially expensive) factors subplan once for the geomean and
+    once for the join side. The window computes factors exactly once
+    but funnels the factors table through ONE partition.
 
+    ``eager=True`` (the estimator-fit path): persist factors, run the
+    geomean as a partial+final aggregate (no single-partition stage),
+    and inline the scalar as a literal — the scale-safe form when the
+    per-sample factors table is itself large.
+    """
     logs = F.log(
         F.when(F.col(factor_col) == 0, F.lit(1.0)).otherwise(F.col(factor_col))
     )
+    if eager:
+        factors = factors.persist()
+        gm = factors.agg(F.exp(F.avg(logs))).collect()[0][0]
+        return factors.withColumn(out_col, F.col(factor_col) / F.lit(gm))
+
+    from pyspark.sql import Window
+
     geo = F.exp(F.avg(logs).over(Window.partitionBy()))
     return factors.withColumn(out_col, F.col(factor_col) / geo)
 

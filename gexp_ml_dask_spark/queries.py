@@ -392,9 +392,9 @@ def op_agg_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0.75/sum in ONE hash aggregate."""
     g = gexp(spark, sf_dir)
     factors = g.groupBy("sample_id").agg(
-        F.try_divide(agg.percentile("value", 0.75), F.sum("value")).alias(
-            "norm_factor"
-        )
+        F.try_divide(
+            agg.grouped_percentile("value", 0.75), F.sum("value")
+        ).alias("norm_factor")
     )
     return factors.withColumn("norm_factor", r6("norm_factor"))
 
@@ -918,10 +918,13 @@ def op_ml_11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("op_phy_01_sized_repartition")
+@register(
+    "op_phy_01_sized_repartition",
+    f"SELECT count(*) AS n FROM ({G_QTY})",
+)
 def op_phy_01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-PHY-01 (rows-only): size-targeted repartition — row-
-    preserving physical op."""
+    """OP-PHY-01: size-targeted repartition — row-preserving
+    physical op, so the oracle is the row count."""
     from gexp_ml_dask_spark.operators.physical import repartition_to_size
 
     g = gexp(spark, sf_dir)
@@ -930,11 +933,17 @@ def op_phy_01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_phy_02_persist_reuse")
+@register(
+    "op_phy_02_persist_reuse",
+    f"WITH g AS ({G_QTY}), "
+    "s AS (SELECT gene_id, avg(value) AS m FROM g GROUP BY gene_id) "
+    "SELECT count(*) AS n_genes, round(avg(m), 6) AS grand_mean FROM s",
+)
 def op_phy_02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-PHY-02 (rows-only): persist + two dependent aggregations
-    reading the cached plan (the reference's shared mean/var
-    subplan, dask_pipeline.py:36-37)."""
+    """OP-PHY-02: persist + two dependent aggregations reading the
+    cached plan (the reference's shared mean/var subplan,
+    dask_pipeline.py:36-37). Caching is physical-only, so the
+    oracle is the same two-level aggregate."""
     from gexp_ml_dask_spark.operators.physical import persist_df, unpersist_df
 
     g = persist_df(gexp(spark, sf_dir))
@@ -951,9 +960,14 @@ def op_phy_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(result)
 
 
-@register("op_phy_04_copartitioned_join")
+@register(
+    "op_phy_04_copartitioned_join",
+    f"WITH g AS ({G_QTY}), "
+    "l AS (SELECT o_orderkey AS sample_id, o_orderstatus AS label FROM orders) "
+    "SELECT label, count(*) AS n FROM g JOIN l USING (sample_id) GROUP BY label",
+)
 def op_phy_04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-PHY-04 (rows-only): division-aligned label partitioning
+    """OP-PHY-04: division-aligned label partitioning
     (brca_data_prep.ipynb cell-20) re-expressed as explicit
     co-partitioning — both sides hash-repartitioned on the join key
     so the join reuses the exchange (one shuffle per side, no extra
@@ -971,10 +985,10 @@ def op_phy_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("op_src_05_parquet_sink")
+@register("op_src_05_parquet_sink", G_QTY)
 def op_src_05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-SRC-05 (rows-only, sink): sized snappy parquet write +
-    read-back round trip."""
+    """OP-SRC-05 (sink): sized snappy parquet write + read-back
+    round trip — lossless, so the oracle is the source select."""
     from gexp_ml_dask_spark.sources.writers import write_parquet_sized
 
     path = "/tmp/gexp_spark_artifacts/sink_parquet"
@@ -983,9 +997,13 @@ def op_src_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-@register("op_src_06_csv_sink")
+@register(
+    "op_src_06_csv_sink",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def op_src_06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-SRC-06 (rows-only, sink): header CSV write + read-back."""
+    """OP-SRC-06 (sink): header CSV write + read-back — quoted
+    strings and int/string-only columns round-trip losslessly."""
     from gexp_ml_dask_spark.sources.writers import write_csv
 
     path = "/tmp/gexp_spark_artifacts/sink_csv"
@@ -1096,8 +1114,7 @@ def op_llm_02_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_llm_03_knn_bruteforce",
+_KNN_ORACLE = (
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
     "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5), "
     "s AS (SELECT q.query_id, c.vec_id, "
@@ -1105,8 +1122,11 @@ def op_llm_02_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM c, q WHERE c.vec_id <> q.query_id), "
     "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
     "ORDER BY cosine DESC, vec_id ASC) AS rank FROM s) "
-    "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10",
+    "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10"
 )
+
+
+@register("op_llm_03_knn_bruteforce", _KNN_ORACLE)
 def op_llm_03_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-03: exact kNN — broadcast query set, corpus scanned
     once, per-query top-k window on rounded cosine."""
@@ -1119,11 +1139,11 @@ def op_llm_03_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=10)
 
 
-@register("op_llm_03_knn_pandas")
+@register("op_llm_03_knn_pandas", _KNN_ORACLE)
 def op_llm_03_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-03/06 (rows-only): Arrow-vectorized exact kNN — numpy
-    matmul per Arrow batch via mapInPandas; result-identical to the
-    JVM fold (asserted in tests/test_llm_ops.py)."""
+    """OP-LLM-03/06: Arrow-vectorized exact kNN — numpy matmul per
+    Arrow batch via mapInPandas; result-identical to the JVM fold,
+    so it shares the brute-force oracle."""
     from gexp_ml_dask_spark.llm.similarity import knn_bruteforce_pandas
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -152,3 +152,39 @@ def test_bracketed_quantiles_nulls_and_empty(spark):
     out = collect_exact_quantiles(df, {"a": [0.5], "b": [0.5, 0.9]})
     assert out["a"] == [1.5]
     assert out["b"] == [None, None]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.floats(0.0, 1.0),
+)
+@settings(max_examples=10, deadline=None)
+def test_grouped_percentile_matches_percentile(spark, rows, q):
+    """grouped_percentile (sort_array + two-sided lerp, the
+    many-groups form) must be bit-identical to Spark's Percentile
+    per group."""
+    from gexp_ml_dask_spark.operators.aggregates import grouped_percentile
+
+    df = spark.createDataFrame(
+        [(int(g), float(v)) for g, v in rows], "g int, v double"
+    )
+    got = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(grouped_percentile("v", q).alias("p"))
+        .collect()
+    }
+    want = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.lit(q)).alias("p"))
+        .collect()
+    }
+    assert got == want
