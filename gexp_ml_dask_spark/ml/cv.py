@@ -32,6 +32,19 @@ def with_fold(df: DataFrame, k: int = 10, seed: int = 42) -> DataFrame:
     )
 
 
+def with_fold_hash(
+    df: DataFrame, k: int = 10, key_col: str = "sample_id", seed: int = 42
+) -> DataFrame:
+    """Fold assignment as a pure function of the row KEY (seeded md5
+    mod k) — unlike ``rand(seed)``, membership does not change with
+    the physical partition layout, so folds are reproducible across
+    scale factors, cluster sizes, and engines (oracle-checkable).
+    Same multinomial size balance, same single narrow projection."""
+    from gexp_ml_dask_spark.ml.pipeline import hash_bucket
+
+    return df.withColumn("fold", hash_bucket(key_col, seed, k))
+
+
 def cross_validate(
     df: DataFrame,
     fit_fn,

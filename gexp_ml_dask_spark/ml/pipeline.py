@@ -84,9 +84,44 @@ def train_test_split(
     =0.3, shuffle=True, random_state=42)``, functions/dask_pipeline.
     py:57-58). Row membership can't match sklearn's RNG row-for-row
     (SURVEY.md §7.5); the contract is the proportion + determinism
-    for a fixed seed."""
+    for a fixed seed. NB ``randomSplit`` membership depends on the
+    physical partition layout — prefer :func:`hash_split` when the
+    split must be reproducible across scales/clusters."""
     train, test = df.randomSplit([1.0 - test_size, test_size], seed=seed)
     return train, test
+
+
+def hash_bucket(
+    key: str | F.Column, seed: int = 42, n_buckets: int = 1000
+) -> F.Column:
+    """Deterministic pseudo-random bucket 0..n_buckets-1 from a key.
+
+    ``rand()``/``randomSplit`` draw per-partition streams, so row
+    membership silently changes whenever the scan splits differently
+    (another scale factor, another cluster, AQE coalescing) — a
+    reproducibility hazard for training pipelines. Hashing the row
+    KEY is partition-layout-independent: the same row lands in the
+    same bucket everywhere, forever. md5 (salted with the seed) is
+    uniform in its leading 32 bits, evaluated JVM-side, and exists
+    in every SQL engine, so splits are oracle-checkable."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    test_size: float = 0.3,
+    key_col: str = "sample_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """OP-ML-03 (scale-stable form) — 1-test_size/test_size split by
+    key hash. Both halves are filters over the same plan (no
+    shuffle, no RNG state); membership is a pure function of
+    (key, seed)."""
+    cut = int(round((1.0 - test_size) * 1000))
+    b = hash_bucket(key_col, seed, 1000)
+    return df.filter(b < cut), df.filter(b >= cut)
 
 
 def encode_labels(
@@ -145,23 +180,38 @@ def stratified_sample(
     label_col: str = "label",
     seed: int = 42,
     exact: bool = True,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """OP-ML-11 — stratified subsample preserving label proportions
     (``train_test_split(..., stratify=labels)``, data/brca_
     undersample.py:29-36).
 
-    ``exact=True`` carves exactly round(n * p_label) rows per label
-    via a per-label window (fine when labels are few); False uses
-    ``sampleBy`` (single pass, approximate sizes — the 100 TB path).
+    ``exact=True`` carves exactly floor(n*p_label + 0.5) rows per
+    label via a per-label window (fine when labels are few); False
+    uses ``sampleBy`` (single pass, approximate sizes — the 100 TB
+    path). ``hash_col`` switches the within-label order from
+    ``rand(seed)`` to the seeded md5 of that key column —
+    partition-layout-independent membership (see
+    :func:`hash_bucket`), reproducible across engines.
     """
+    import math
+
     total = df.count()
     frac = min(1.0, n_per_total / total)
     if not exact:
         labels = [r[0] for r in df.select(label_col).distinct().collect()]
         return df.sampleBy(label_col, {l: frac for l in labels}, seed=seed)
     counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
-    quota = {l: int(round(c * frac)) for l, c in counts.items()}
-    w = Window.partitionBy(label_col).orderBy(F.rand(seed))
+    # floor(x + 0.5): half-up, matching SQL semantics (Python round()
+    # is banker's and would diverge from an oracle on exact halves).
+    quota = {l: int(math.floor(c * frac + 0.5)) for l, c in counts.items()}
+    if hash_col is not None:
+        order = F.md5(
+            F.concat(F.col(hash_col).cast("string"), F.lit(f":{seed}"))
+        )
+        w = Window.partitionBy(label_col).orderBy(order, hash_col)
+    else:
+        w = Window.partitionBy(label_col).orderBy(F.rand(seed))
     ranked = df.withColumn("_rn", F.row_number().over(w))
     quota_df = df.sparkSession.createDataFrame(
         list(quota.items()), f"{label_col} string, _quota int"

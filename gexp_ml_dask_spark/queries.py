@@ -797,28 +797,48 @@ def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(F.broadcast(labels), "sample_id")
 
 
-@register("op_ml_03_train_test_split")
+# Seeded md5 bucket of a BIGINT key, DuckDB side — the twin of
+# pipeline.hash_bucket (md5(key || ':seed'), leading 32 bits).
+_HB = (
+    "CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), ':42')), 1, 8)) "
+    "AS BIGINT) % {n}"
+)
+
+
+@register(
+    "op_ml_03_train_test_split",
+    "WITH d AS (SELECT DISTINCT l_orderkey AS sample_id FROM lineitem) "
+    f"SELECT sample_id, CASE WHEN {_HB.format(key='sample_id', n=1000)} < 700 "
+    "THEN 'train' ELSE 'test' END AS split FROM d",
+)
 def op_ml_03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-ML-03 (rows-only): seeded 70/30 split — returns per-split
-    row counts; membership is engine-specific (SURVEY §7.5)."""
-    from gexp_ml_dask_spark.ml.pipeline import train_test_split
+    """OP-ML-03: seeded 70/30 split via the partition-stable hash
+    form — full row membership is checked against the oracle (the
+    randomSplit form stays available in ml.pipeline but its
+    membership is partition-layout-specific, SURVEY §7.5)."""
+    from gexp_ml_dask_spark.ml.pipeline import hash_split
 
     data = _order_features(spark, sf_dir)
-    train, test = train_test_split(data, 0.3, seed=42)
-    return train.select(F.lit("train").alias("split")).union(
-        test.select(F.lit("test").alias("split"))
-    ).groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    train, test = hash_split(data, 0.3, "sample_id", seed=42)
+    return train.select("sample_id", F.lit("train").alias("split")).unionAll(
+        test.select("sample_id", F.lit("test").alias("split"))
+    )
 
 
-@register("op_ml_06_cv_folds")
+@register(
+    "op_ml_06_cv_folds",
+    "WITH d AS (SELECT DISTINCT l_orderkey AS sample_id FROM lineitem) "
+    f"SELECT sample_id, {_HB.format(key='sample_id', n=10)} AS fold FROM d",
+)
 def op_ml_06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-ML-06 (rows-only): seeded k-fold assignment — returns fold
-    sizes (statistically ~equal, dask_cv.py:56-57 contract)."""
-    from gexp_ml_dask_spark.ml.cv import with_fold
+    """OP-ML-06: seeded k-fold assignment via the key-hash form —
+    fold membership is a pure function of (sample_id, seed) and is
+    checked row-for-row against the oracle."""
+    from gexp_ml_dask_spark.ml.cv import with_fold_hash
 
     data = _order_features(spark, sf_dir)
-    return with_fold(data, k=10, seed=42).groupBy("fold").agg(
-        F.count(F.lit(1)).alias("n")
+    return with_fold_hash(data, k=10, key_col="sample_id", seed=42).select(
+        "sample_id", "fold"
     )
 
 
@@ -907,15 +927,28 @@ def op_ml_09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_ml_11_stratified_sample")
+@register(
+    "op_ml_11_stratified_sample",
+    "WITH d AS (SELECT l_orderkey AS sample_id, min(o_orderstatus) AS label "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1), "
+    "t AS (SELECT count(*) AS n FROM d), "
+    "q AS (SELECT label, floor(count(*) * least(1.0, 200.0 / (SELECT n FROM t)) "
+    "+ 0.5) AS quota FROM d GROUP BY label), "
+    "r AS (SELECT d.*, row_number() OVER (PARTITION BY label ORDER BY "
+    "md5(concat(CAST(sample_id AS VARCHAR), ':42')), sample_id) AS rn FROM d) "
+    "SELECT r.sample_id, r.label FROM r JOIN q USING (label) WHERE rn <= quota",
+)
 def op_ml_11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-ML-11 (rows-only): stratified subsample preserving label
-    proportions; returns per-label sampled counts."""
+    """OP-ML-11: stratified subsample preserving label proportions,
+    seeded-hash order within each label — exact membership checked
+    against the oracle's per-label quota window."""
     from gexp_ml_dask_spark.ml.pipeline import stratified_sample
 
     data = _order_features(spark, sf_dir)
-    sampled = stratified_sample(data, n_per_total=200, label_col="label", seed=42)
-    return sampled.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    sampled = stratified_sample(
+        data, n_per_total=200, label_col="label", seed=42, hash_col="sample_id"
+    )
+    return sampled.select("sample_id", "label")
 
 
 @register(

@@ -136,3 +136,38 @@ def test_invalid_task_raises(spark, gexp_data):
     gexp, labels, _ = gexp_data
     with pytest.raises(ValueError, match="Invalid ML task"):
         gexp_pipeline(gexp, labels, "clustering")
+
+
+def test_hash_split_is_partition_layout_stable(spark):
+    """The property that motivates hash_split over randomSplit:
+    membership is a pure function of (key, seed), so re-partitioning
+    the input (different scan splits, AQE, another cluster) must not
+    move any row between train and test."""
+    from gexp_ml_dask_spark.ml.pipeline import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "sample_id")
+    t1, e1 = hash_split(df, 0.3, "sample_id", seed=42)
+    t2, e2 = hash_split(df.repartition(7), 0.3, "sample_id", seed=42)
+    ids = lambda d: {r[0] for r in d.select("sample_id").collect()}
+    assert ids(t1) == ids(t2)
+    assert ids(e1) == ids(e2)
+    assert ids(t1).isdisjoint(ids(e1))
+    assert len(ids(t1)) + len(ids(e1)) == 2000
+    # ~70/30 within multinomial tolerance
+    assert 0.65 < len(ids(t1)) / 2000 < 0.75
+
+
+def test_with_fold_hash_stable_and_balanced(spark):
+    from gexp_ml_dask_spark.ml.cv import with_fold_hash
+
+    df = spark.range(2000).withColumnRenamed("id", "sample_id")
+    f1 = {r[0]: r[1] for r in with_fold_hash(df, 10).select("sample_id", "fold").collect()}
+    f2 = {
+        r[0]: r[1]
+        for r in with_fold_hash(df.repartition(5), 10)
+        .select("sample_id", "fold")
+        .collect()
+    }
+    assert f1 == f2
+    sizes = [list(f1.values()).count(i) for i in range(10)]
+    assert min(sizes) > 100  # multinomial balance around 200
