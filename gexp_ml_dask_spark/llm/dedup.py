@@ -241,15 +241,26 @@ def simhash_signatures(
     bits: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """OP-LLM-02 (SimHash) — per-doc bit-majority signature over
-    token hashes: explode tokens, xxhash64, per-bit ±1 sums, pack.
+    token hashes: explode tokens, hash, per-bit ±1 sums, pack.
     One shuffle (the groupBy); the 32 bit-sums are one aggregate row.
     32 bits dodges BIGINT sign wrangling; collisions only shortlist
-    candidates, a verify pass decides."""
+    candidates, a verify pass decides.
+
+    ``hasher``: ``xxhash64`` (JVM-native, the scale default) or
+    ``md5_32`` (leading 32 bits of md5 — slower, but reproducible in
+    any SQL engine, so signatures are oracle-checkable)."""
+    if hasher == "md5_32":
+        h = F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("long")
+    elif hasher == "xxhash64":
+        h = F.xxhash64("_t")
+    else:
+        raise ValueError(f"unknown hasher: {hasher}")
     tok = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", h)
     bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
@@ -267,11 +278,15 @@ def simhash_signatures(
 
 
 def simhash_dup_groups(
-    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """SimHash-identical groups (hamming-0 candidates). Banded
     near-hamming joins are the extension point at scale."""
-    sigs = simhash_signatures(docs, bits, id_col, text_col)
+    sigs = simhash_signatures(docs, bits, id_col, text_col, hasher)
     return sigs.groupBy("simhash").agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n")
     )

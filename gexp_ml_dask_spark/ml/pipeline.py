@@ -30,6 +30,7 @@ def assemble_vectors(
     value_col: str = "value",
     out_col: str = "features",
     dense: bool = True,
+    combine_duplicates: bool = True,
 ) -> DataFrame:
     """OP-PHY-03 — long form -> one ML feature Vector per sample
     (replaces the reference's to_dask_array + rechunk,
@@ -45,9 +46,21 @@ def assemble_vectors(
     input — absent pairs become sparse zeros — via an Arrow-batched
     pandas UDF building SparseVectors (the declared escape hatch,
     OP-LLM-06; a JVM scatter for ragged rows doesn't exist).
+
+    ``combine_duplicates`` (default True) sums repeated
+    (sample, gene) pairs first — scipy's COO->CSR contract; without
+    it a duplicate pair corrupts the dense layout and throws in
+    SparseVector. The extra shuffle partial-aggregates map-side and
+    feeds the narrower per-sample shuffle; set False only when
+    uniqueness is guaranteed upstream.
     """
     genes = gene_index(gexp, gene_col)
     n_genes = genes.count()
+
+    if combine_duplicates:
+        gexp = gexp.groupBy(sample_col, gene_col).agg(
+            F.sum(value_col).alias(value_col)
+        )
 
     indexed = gexp.join(F.broadcast(genes), gene_col)
     pairs = indexed.groupBy(sample_col).agg(

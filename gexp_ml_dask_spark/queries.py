@@ -1120,13 +1120,36 @@ def op_llm_02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_llm_02_simhash")
+# SimHash oracle: same 32-bit md5 token hash, per-bit ±1 majority
+# sums, bit-packed — generated per bit position.
+_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << i} ELSE 0 END"
+    for i in range(32)
+)
+_SIMHASH_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) "
+    "AS hv FROM tok), "
+    f"sig AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM h GROUP BY doc_id) "
+    "SELECT simhash, min(doc_id) AS keep_id, count(*) AS n "
+    "FROM sig GROUP BY simhash"
+)
+
+
+@register("op_llm_02_simhash", _SIMHASH_ORACLE)
 def op_llm_02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-02 (SimHash, rows-only): bit-majority signatures;
-    identical-signature groups as hamming-0 candidates."""
+    """OP-LLM-02 (SimHash): bit-majority signatures over md5_32
+    token hashes (engine-reproducible, so the packed signatures are
+    oracle-checked bit-for-bit); identical-signature groups as
+    hamming-0 candidates. The xxhash64 hasher remains the scale
+    default in ml.dedup."""
     from gexp_ml_dask_spark.llm.dedup import simhash_dup_groups
 
-    return simhash_dup_groups(load_table(spark, sf_dir, "documents"))
+    return simhash_dup_groups(
+        load_table(spark, sf_dir, "documents"), hasher="md5_32"
+    )
 
 
 @register(
@@ -1426,11 +1449,19 @@ def op_llm_06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_phy_03_assemble_vectors")
+@register(
+    "op_phy_03_assemble_vectors",
+    f"WITH s AS (SELECT sample_id, gene_id, sum(value) AS v FROM ({G_QTY}) "
+    "WHERE sample_id < 1000 GROUP BY sample_id, gene_id) "
+    "SELECT sample_id, round(sqrt(sum(v * v)), 6) AS vec_norm "
+    "FROM s GROUP BY sample_id",
+)
 def op_phy_03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-PHY-03 (rows-only): long-form -> ML vector assembly
-    (ragged/sparse path); returns per-sample vector norms so the
-    result is hash-friendly (VectorUDT isn't)."""
+    """OP-PHY-03: long-form -> ML vector assembly (ragged/sparse
+    path); returns per-sample vector L2 norms (VectorUDT isn't
+    hash-friendly). The norm is position-independent, so the oracle
+    is a plain sum-of-squares — exact here because the values are
+    small integers (no float-order sensitivity)."""
     from pyspark.ml.functions import vector_to_array
 
     from gexp_ml_dask_spark.ml.pipeline import assemble_vectors

@@ -60,8 +60,12 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_rows_only_queries_run(spark):
-    """Queries without an oracle still must run and return rows."""
+    """Queries without an oracle still must run and return rows.
+    Materialize EVERY column (toPandas), not count() — Catalyst
+    prunes unused deterministic UDF columns, so count() can pass a
+    plan whose UDF throws on real data (caught once with a
+    SparseVector duplicate-index bug)."""
     rows_only = sorted(set(QUERIES) - set(ORACLE))
     for name in rows_only:
-        df = QUERIES[name](spark, SF_ORACLE)
-        assert df.count() >= 0, name
+        pdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+        assert len(pdf) >= 0, name
