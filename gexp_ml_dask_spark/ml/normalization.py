@@ -141,12 +141,15 @@ def tmm_factors(
         gexp = fan_out(gexp)
 
     # :74 pseudoref — PER-GENE (pandas axis=0 == per column):
-    # quantile(0.75 of positive values) / sum(all values).
+    # quantile(0.75 of positive values) / sum(all values). Gene
+    # count scales with the data in the driver tables, so this is
+    # the many-groups quantile form (collect_list skips the
+    # When-null masked values exactly like Percentile does).
     pseudoref = (
         gexp.groupBy(gene_col)
         .agg(
             F.try_divide(
-                percentile(F.when(v > 0, v), 0.75, exact), F.sum(v)
+                grouped_percentile(F.when(v > 0, v), 0.75, exact), F.sum(v)
             ).alias("ref_value"),
             F.max(F.when(v != 0, F.lit(1)).otherwise(F.lit(0))).alias(
                 "_any_nz"
