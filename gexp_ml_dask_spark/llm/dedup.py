@@ -76,10 +76,23 @@ def ngram_jaccard_pairs(
     source partition) — mandatory at 100 TB, where a hot shingle
     otherwise fans out quadratically.
     """
-    exploded = docs.select(
+    # Materialize the shingle array ONCE per document before the
+    # explode. Writing size(shingles(..)) and explode(shingles(..))
+    # in one select plans the size() into a Project ABOVE the
+    # Generate, re-evaluating the whole interpreted higher-order
+    # shingle expression per exploded row — measured 31s -> <2s at
+    # sf0.01 for this query. The intermediate projection pins the
+    # expensive expression below the Generate; size() above it reads
+    # the materialized array attribute.
+    shingled = docs.select(
         F.col(id_col),
-        F.size(shingles(text_col, n)).alias("_nsh"),
-        F.explode(shingles(text_col, n)).alias("_sh"),
+        shingles(text_col, n).alias("_shs"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    exploded = shingled.select(
+        F.col(id_col),
+        F.size("_shs").alias("_nsh"),
+        F.explode("_shs").alias("_sh"),
         *( [F.col(block_col)] if block_col else [] ),
     )
     left = exploded.alias("a")
