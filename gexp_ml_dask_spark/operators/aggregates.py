@@ -104,41 +104,50 @@ def collect_exact_quantiles(
          form differs in the last ulp).
 
     Falls back to exact ``F.percentile`` for any column whose
-    bracket misses (degenerate distributions), so results are always
-    exact. ``cols`` maps column name -> list of quantiles.
+    bracket misses (degenerate distributions, or inputs small enough
+    that the quantile-space pad is under a rank), so results are
+    always exact. ``cols`` maps column name -> list of quantiles.
     """
     import math
 
-    counts = df.agg(
-        *[F.count(F.col(c)).alias(c) for c in cols]
-    ).collect()[0]
-
-    # One bracket per (col, quantile) target: [k - pad, k + pad] in
-    # rank space, pad = twice the sketch's worst-case rank error.
-    targets = []  # (name, col, k, n)
+    # ONE pass computes the counts AND the bracket sketches: the
+    # sketch's worst-case rank error is n/accuracy, which in QUANTILE
+    # space is the n-independent 1/accuracy — so the bracket bounds
+    # don't need n and the count pass folds into the sketch pass
+    # (one fewer full scan of a fact-table-sized input). The
+    # post-hoc coverage check below (floor(k)/ceil(k) inside the
+    # realized bracket) catches any small-n shortfall and falls back
+    # to exact Percentile, so exactness never depends on the pad.
+    pad_q = 2.0 / APPROX_ACCURACY
+    count_exprs = [F.count(F.col(c)).alias(f"__n_{c}") for c in cols]
     sketch_exprs = []
+    target_specs = []  # (name, col, q_index, q)
     for c, qs in cols.items():
-        n = counts[c]
         for i, q in enumerate(qs):
-            if n == 0:
-                continue
-            k = (n - 1) * q
-            pad = n / APPROX_ACCURACY * 2 + 2
-            lo_q = max(0.0, (k - pad) / max(1, n - 1))
-            hi_q = min(1.0, (k + pad) / max(1, n - 1))
             name = f"{c}__{i}"
-            targets.append((name, c, k, n))
+            target_specs.append((name, c, i, q))
             sketch_exprs.append(
                 F.percentile_approx(
                     F.col(c),
-                    F.array(F.lit(lo_q), F.lit(hi_q)),
+                    F.array(
+                        F.lit(max(0.0, q - pad_q)), F.lit(min(1.0, q + pad_q))
+                    ),
                     F.lit(APPROX_ACCURACY),
                 ).alias(name)
             )
+    first = df.agg(*count_exprs, *sketch_exprs).collect()[0]
+    counts = {c: first[f"__n_{c}"] for c in cols}
+
+    targets = []  # (name, col, k, n)
+    for name, c, _i, q in target_specs:
+        n = counts[c]
+        if n == 0:
+            continue
+        targets.append((name, c, (n - 1) * q, n))
     if not targets:
         return {c: [None] * len(qs) for c, qs in cols.items()}
 
-    sketch = df.agg(*sketch_exprs).collect()[0]
+    sketch = first
     below = df.agg(
         *[
             F.count(F.when(F.col(c) < F.lit(sketch[name][0]), 1)).alias(name)

@@ -180,3 +180,20 @@ def test_fan_out_widens_narrow_input(spark):
         spark.sparkContext.defaultParallelism + 4
     )
     assert fan_out(wide) is wide
+
+
+def test_ngram_shingles_materialized_below_generate(spark, registry):
+    """The shingle array must be computed ONCE per document, below
+    the explode. If size(shingles(..)) and explode(shingles(..)) are
+    planned in one projection, the Project ABOVE the Generate
+    re-evaluates the whole interpreted higher-order shingle
+    expression per exploded row (measured 31s -> 5s at sf0.01 when
+    pinned below). Guard: no `transform(...)` lambda appears above a
+    Generate — every post-Generate project reads the materialized
+    array attribute."""
+    df = registry["op_llm_02_ngram_jaccard"](spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
+    # In the optimized plan, size(..) above the Generate must read
+    # the materialized array attribute (_shs#N), never re-run the
+    # lambda chain; i.e. no `size(transform(` anywhere.
+    assert "size(transform(" not in analyzed, analyzed[:4000]
