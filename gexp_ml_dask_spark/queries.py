@@ -391,10 +391,17 @@ def op_agg_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-04: the UpperQuartile norm factor — per-sample
     q0.75/sum in ONE hash aggregate."""
     g = gexp(spark, sf_dir)
-    factors = g.groupBy("sample_id").agg(
-        F.try_divide(
-            agg.grouped_percentile("value", 0.75), F.sum("value")
-        ).alias("norm_factor")
+    qs = agg.sorted_group_quantile(
+        g.select("sample_id", "value"),
+        "sample_id",
+        "value",
+        0.75,
+        extra_aggs={"_total": F.sum("value")},
+        out_col="_q",
+    )
+    factors = qs.select(
+        "sample_id",
+        F.try_divide(F.col("_q"), F.col("_total")).alias("norm_factor"),
     )
     return factors.withColumn("norm_factor", r6("norm_factor"))
 

@@ -188,3 +188,82 @@ def test_grouped_percentile_matches_percentile(spark, rows, q):
         .collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.one_of(
+                st.none(),
+                st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.floats(0.0, 1.0),
+)
+@settings(max_examples=10, deadline=None)
+def test_sorted_group_quantile_matches_percentile(spark, rows, q):
+    """sorted_group_quantile (shuffle-sort + rank pick, the
+    many-tiny-groups scale form) must be bit-identical to Spark's
+    Percentile per group, including null handling, and its
+    extra_aggs must see the same rows as a plain groupBy. The
+    quantile is compared exactly; the companion sum only to relative
+    tolerance — it accumulates in sorted order rather than scan
+    order, and float addition is not associative (plain groupBy's
+    order isn't canonical either: it varies with partitioning)."""
+    import math
+
+    from gexp_ml_dask_spark.operators.aggregates import sorted_group_quantile
+
+    df = spark.createDataFrame(
+        [(int(g), None if v is None else float(v)) for g, v in rows],
+        "g int, v double",
+    )
+    out = {
+        r["g"]: (r["p"], r["s"])
+        for r in sorted_group_quantile(
+            df, "g", "v", q, extra_aggs={"s": F.sum("v")}, out_col="p"
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["p"], r["s"], r["sa"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(q)).alias("p"),
+            F.sum("v").alias("s"),
+            F.sum(F.abs("v")).alias("sa"),
+        )
+        .collect()
+    }
+    assert out.keys() == want.keys()
+    for g in want:
+        wp, ws, sumabs = want[g]
+        op_, os_ = out[g]
+        assert op_ == wp, f"quantile mismatch for group {g}"
+        if ws is None or os_ is None:
+            assert ws == os_
+        else:
+            # error of a reordered float sum is bounded by
+            # n*eps*sum(|v|), not by eps*|sum| (cancellation)
+            assert math.isclose(os_, ws, rel_tol=0.0, abs_tol=1e-10 * sumabs)
+
+
+def test_sorted_group_quantile_masked_value(spark):
+    """A masked value expression (positive-only, as TMM uses) ranks
+    nulls last and excludes them from the count — same as
+    Percentile over the masked column."""
+    from gexp_ml_dask_spark.operators.aggregates import sorted_group_quantile
+
+    df = spark.createDataFrame(
+        [(1, -2.0), (1, 1.0), (1, 3.0), (2, -1.0), (2, -5.0)],
+        "g int, v double",
+    )
+    masked = F.when(F.col("v") > 0, F.col("v"))
+    got = {
+        r["g"]: r["p"]
+        for r in sorted_group_quantile(df, "g", masked, 0.5, out_col="p").collect()
+    }
+    assert got == {1: 2.0, 2: None}
