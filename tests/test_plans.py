@@ -76,6 +76,23 @@ def test_per_gene_agg_is_partial_then_final(spark, registry):
     assert "hashpartitioning(gene_id" in p
 
 
+def test_sorted_group_quantile_single_exchange_no_object_agg(spark, registry):
+    """OP-AGG-04: the many-groups exact quantile must be ONE shuffle —
+    the rank window's hashpartitioning is reused by the groupBy (no
+    second exchange) — and must stay in plain HashAggregate: an
+    ObjectHashAggregate here means per-group object buffers are back,
+    which is the form that loses at data-scaled group counts."""
+    import re
+
+    p = plan(registry["op_agg_04_uq_factor"](spark, SF_ORACLE))
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
+    assert len(exchanges) == 1, p.split("\n\n")[0]
+    assert "ObjectHashAggregate" not in p
+    assert "row_number()" in p
+    # partial+final over the already-partitioned window output
+    assert p.count("HashAggregate") >= 2
+
+
 def test_text_stats_is_codegen_no_python(spark, registry):
     """OP-LLM-04: quality stats are pure column folds — the plan must
     contain zero Python evals and at least one codegen span."""
