@@ -323,6 +323,30 @@ def op_join_01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_join_02_semi_join",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer "
+    "WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders WHERE o_totalprice > 150000)",
+)
+def op_join_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-02: membership semi-join as a first-class join form
+    (df.loc[df.index.isin(other.index)], brca_data_prep.ipynb
+    cell-14). Same kernel as OP-FIL-04, declared from the join side:
+    the probe table keeps only keys present in the (filtered) build
+    side, and no build-side columns enter the output, so Spark plans
+    a LeftSemi broadcast-hash join with the filter pushed below."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    hv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return fil.semi_join_members(cust, hv, "c_custkey")
+
+
+@register(
     "op_join_03_align_features_labels",
     "SELECT l.l_orderkey AS sample_id, CAST(l.l_linenumber AS BIGINT) AS row_id, "
     "l.l_quantity AS value, o.o_orderstatus AS label "
@@ -614,6 +638,24 @@ def op_scl_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.operators.scalars import replace_value
 
     return replace_value(gexp(spark, sf_dir, "l_discount"), "value", 0.0, 1.0)
+
+
+@register(
+    "op_scl_05_str_contains",
+    "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%ring%'",
+)
+def op_scl_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-05: literal str-contains column selection
+    (columns.str.contains, brca_data_prep.ipynb cell-16). The regex
+    form is OP-FIL-05; this is the non-regex contains kernel, which
+    Catalyst keeps as a codegen Contains (StartsWith/EndsWith/
+    Contains never fall back to the regex engine). The reference's
+    60k-alternation regex use case is served by the semi-join port
+    (OP-FIL-05 docstring)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").contains("ring")).select(
+        "p_partkey", "p_name"
+    )
 
 
 @register(
@@ -956,6 +998,37 @@ def op_ml_11(spark: SparkSession, sf_dir: str) -> DataFrame:
         data, n_per_total=200, label_col="label", seed=42, hash_col="sample_id"
     )
     return sampled.select("sample_id", "label")
+
+
+@register(
+    "op_ml_12_incremental_fit",
+    # Closed form of 4 full-batch GD steps on least squares, w0=0:
+    # w_{t+1} = a*w_t + b with a = 1 - 2·lr·Sxx/n, b = 2·lr·Sxy/n
+    # => w_4 = b·(1 + a + a² + a³).
+    "WITH d AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem), "
+    "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x*x) AS sxx, "
+    "sum(x*y) AS sxy FROM d), "
+    "c AS (SELECT n, 1 - 0.0002 * sxx / n AS a, 0.0002 * sxy / n AS b FROM s) "
+    "SELECT CAST(n AS BIGINT) AS n, "
+    "round(b * (1 + a + a*a + a*a*a), 6) AS w FROM c",
+)
+def op_ml_12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-12: incremental/partial-fit hook (the reference forwards
+    ``classes=`` to partial_fit estimators, functions/dask_cv.py:
+    10-18). Spark form: model state on the driver, each epoch ONE
+    codegen aggregation job (scan -> per-partition partial sums ->
+    O(n_features) floats to the driver, no data shuffle — the epoch
+    shape that survives 100 TB). The oracle replays the deterministic
+    full-batch GD trajectory in closed form."""
+    from gexp_ml_dask_spark.ml.incremental import incremental_linear_fit
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    state = incremental_linear_fit(li, "x", "y", lr=1e-4, epochs=4)
+    return spark.createDataFrame(
+        [(int(state["n"]), round(state["w"], 6))], "n BIGINT, w DOUBLE"
+    )
 
 
 @register(

@@ -18,20 +18,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table with its NANOSECOND timestamp column
-    normalized to a proper TimestampType (microseconds).
+    """Load the events table with its timestamp column normalized to
+    a session-timezone ``TimestampType`` (the session is pinned UTC,
+    so epoch values are unchanged).
 
-    The driver's events.parquet stores ``timestamp[ns]``, which
-    Spark 4 rejects (PARQUET_TYPE_ILLEGAL) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set — a session-
-    mutable conf, so setting it here also covers the driver's
-    vanilla session. The nanos->micros conversion uses integer
-    ``div`` (a double roundtrip at 1e18 nanos loses exactness).
+    Driver-generated events.parquet has shipped two physical ``ts``
+    encodings across rounds, both handled here:
+      * ``timestamp[ns]`` — Spark 4 rejects it (PARQUET_TYPE_ILLEGAL)
+        unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (a
+        session-mutable conf, so setting it here also covers the
+        driver's vanilla session); the nanos->micros conversion uses
+        integer ``div`` (a double roundtrip at 1e18 nanos loses
+        exactness).
+      * ``timestamp[us]`` without UTC adjustment — read as
+        TIMESTAMP_NTZ, which ANSI mode can't cast to numeric; under a
+        UTC session the cast to TimestampType is epoch-exact.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -112,7 +112,7 @@ def streaming_tumbling_counts(
                .queryName("agg").start())
         q.processAllAvailable()
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     reader = spark.readStream.schema(schema).format("parquet")
     if source_path.endswith(".parquet"):
@@ -122,12 +122,17 @@ def streaming_tumbling_counts(
         reader = reader.option("pathGlobFilter", fname)
         source_path = base
     stream = reader.load(source_path)
-    if isinstance(stream.schema[ts_col].dataType, LongType):
+    ts_type = stream.schema[ts_col].dataType
+    if isinstance(ts_type, LongType):
         # nanosecond-timestamp file read as long (see
         # sources.readers.load_events) — integer-exact nanos->micros.
         stream = stream.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
+    elif isinstance(ts_type, TimestampNTZType):
+        # micros-NTZ encoding; UTC session => epoch-exact cast (see
+        # sources.readers.load_events).
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, width).alias("w"), F.col(key_col))
