@@ -171,3 +171,32 @@ def test_with_fold_hash_stable_and_balanced(spark):
     assert f1 == f2
     sizes = [list(f1.values()).count(i) for i in range(10)]
     assert min(sizes) > 100  # multinomial balance around 200
+
+
+def test_incremental_fit_matches_closed_form_and_converges(spark):
+    """OP-ML-12: the per-epoch partial-fit loop must reproduce the
+    deterministic full-batch GD trajectory exactly (each epoch is
+    algebra on (n, Sxx, Sxy)), and with enough epochs approach the
+    least-squares optimum Sxy/Sxx."""
+    from gexp_ml_dask_spark.ml.incremental import incremental_linear_fit
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(1, 10, size=500)
+    y = 3.0 * x + rng.normal(0, 0.5, size=500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+
+    n, sxx, sxy = len(x), float(np.sum(x * x)), float(np.sum(x * y))
+    lr, epochs = 1e-3, 5
+    w_ref = 0.0
+    for _ in range(epochs):
+        w_ref -= lr * 2.0 * (sxx * w_ref - sxy) / n
+
+    state = incremental_linear_fit(df, "x", "y", lr=lr, epochs=epochs)
+    assert state["n"] == n
+    assert abs(state["w"] - w_ref) < 1e-9
+
+    # long-run convergence to the least-squares optimum
+    state2 = incremental_linear_fit(df, "x", "y", lr=5e-3, epochs=60)
+    assert abs(state2["w"] - sxy / sxx) < 1e-6

@@ -116,6 +116,16 @@ def test_knn_broadcasts_queries(spark, registry):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_semi_join_is_broadcast_left_semi(spark, registry):
+    """OP-JOIN-02: membership against a filtered dim must plan as a
+    LeftSemi broadcast-hash join (no build-side columns in the
+    output, no fact-side shuffle), with the dim filter below the
+    join's build side."""
+    p = plan(registry["op_join_02_semi_join"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_salted_join_row_equivalent(spark):
     """Salting must not change join results — same rows as the plain
     join, hot key spread over `salt` tasks."""
