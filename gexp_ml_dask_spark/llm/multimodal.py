@@ -18,8 +18,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Payload rows are large (MBs); cap Arrow batches so a batch of
-# decoded frames fits executor memory at scale.
+# Payload rows are large (MBs); decode in slices of at most this
+# many rows so decoded frames fit executor memory at scale — the
+# Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch,
+# default 10k) is tuned for narrow rows and is NOT a safe decode
+# unit for MB-sized payloads. extract_features enforces this cap by
+# re-chunking every incoming Arrow batch.
 DECODE_BATCH_ROWS = 64
 
 
@@ -89,29 +93,37 @@ def extract_features(
     # package on their PYTHONPATH (the driver's vanilla session runs
     # from a foreign CWD). Referencing module-level helpers here
     # would serialize them by reference and break on such workers.
+    batch_rows = DECODE_BATCH_ROWS
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
         for pdf in batches:
-            payloads = pdf["payload"]
-            if fake:
-                feats = [
-                    [b / 255.0 for b in _hashlib.sha256(p).digest()[:dim]]
-                    for p in payloads
-                ]
-            else:  # pragma: no cover - codecs absent in container
-                raise NotImplementedError(
-                    "real decode requires Pillow/torchaudio/ffmpeg; "
-                    "see decode_image/decode_audio/sample_video_frames"
+            # Re-chunk: Arrow hands us up to maxRecordsPerBatch rows
+            # (tuned for narrow rows); decoded frames are orders of
+            # magnitude larger than payloads, so bound the number of
+            # simultaneously-decoded rows explicitly.
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                payloads = chunk["payload"]
+                if fake:
+                    feats = [
+                        [b / 255.0 for b in _hashlib.sha256(p).digest()[:dim]]
+                        for p in payloads
+                    ]
+                else:  # pragma: no cover - codecs absent in container
+                    raise NotImplementedError(
+                        "real decode requires Pillow/torchaudio/ffmpeg; "
+                        "see decode_image/decode_audio/sample_video_frames"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"],
+                        "modality": chunk["modality"],
+                        "n_bytes": payloads.map(len),
+                        "features": feats,
+                    }
                 )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": payloads.map(len),
-                    "features": feats,
-                }
-            )
 
     sized = media.repartition(
         max(2, media.sparkSession.sparkContext.defaultParallelism)

@@ -1478,6 +1478,37 @@ def op_llm_05_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register("op_llm_05_streaming_sessions")
+def op_llm_05_streaming_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-05 (rows-only): stateful streaming SESSION windows —
+    file source -> withWatermark -> session_window merge -> append
+    sink (append is the only mode where a session is emitted exactly
+    once, when the watermark certifies no more events can join it).
+    Closed-session equivalence with the batch form is asserted in
+    tests/test_streaming.py."""
+    from gexp_ml_dask_spark.streaming import streaming_session_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    agg = streaming_session_counts(
+        spark, f"{sf_dir}/events.parquet", raw_schema
+    )
+    name = "op_llm_05_session_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @register("op_llm_05_stateful_dedup")
 def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-05/06 (rows-only): custom stateful streaming operator —

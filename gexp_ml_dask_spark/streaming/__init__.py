@@ -4,6 +4,7 @@ from gexp_ml_dask_spark.streaming.stateful import (
 from gexp_ml_dask_spark.streaming.windows import (
     session_windows_batch,
     sliding_window_counts,
+    streaming_session_counts,
     streaming_tumbling_counts,
     tumbling_window_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_windows_batch",
+    "streaming_session_counts",
     "streaming_tumbling_counts",
     "streaming_first_seen_dedup",
 ]

@@ -92,6 +92,71 @@ def session_windows_batch(
     )
 
 
+def _open_event_stream(spark, source_path: str, schema, ts_col: str):
+    """File-source stream with the ``ts`` column normalized to a
+    session-timezone TimestampType — the streaming twin of
+    ``sources.readers.load_events`` (same two physical encodings
+    handled: nanos-as-long and micros-NTZ)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if source_path.endswith(".parquet"):
+        # file streaming sources need a DIRECTORY; narrow to the one
+        # table file with a glob filter
+        base, _, fname = source_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        source_path = base
+    stream = reader.load(source_path)
+    ts_type = stream.schema[ts_col].dataType
+    if isinstance(ts_type, LongType):
+        # integer-exact nanos->micros (a double roundtrip at 1e18
+        # nanos loses exactness).
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    elif isinstance(ts_type, TimestampNTZType):
+        # micros-NTZ encoding; UTC session => epoch-exact cast.
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
+def streaming_session_counts(
+    spark,
+    source_path: str,
+    schema,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """The online twin of ``session_windows_batch``: gap-based
+    session windows over a file-source stream. Session windows are
+    stateful merges (adjacent events union into one growing window),
+    so a watermark is REQUIRED in append mode — it bounds both state
+    and when a session is final (no event within ``gap`` before the
+    watermark). Returns the unstarted streaming DataFrame; callers
+    pick sink + trigger. Batch equivalence on closed sessions is the
+    test oracle (tests/test_streaming.py)."""
+    stream = _open_event_stream(spark, source_path, schema, ts_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
 def streaming_tumbling_counts(
     spark,
     source_path: str,
@@ -112,27 +177,7 @@ def streaming_tumbling_counts(
                .queryName("agg").start())
         q.processAllAvailable()
     """
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    reader = spark.readStream.schema(schema).format("parquet")
-    if source_path.endswith(".parquet"):
-        # file streaming sources need a DIRECTORY; narrow to the one
-        # table file with a glob filter
-        base, _, fname = source_path.rpartition("/")
-        reader = reader.option("pathGlobFilter", fname)
-        source_path = base
-    stream = reader.load(source_path)
-    ts_type = stream.schema[ts_col].dataType
-    if isinstance(ts_type, LongType):
-        # nanosecond-timestamp file read as long (see
-        # sources.readers.load_events) — integer-exact nanos->micros.
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
-    elif isinstance(ts_type, TimestampNTZType):
-        # micros-NTZ encoding; UTC session => epoch-exact cast (see
-        # sources.readers.load_events).
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = _open_event_stream(spark, source_path, schema, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, width).alias("w"), F.col(key_col))

@@ -113,3 +113,67 @@ def test_stateful_dedup_equals_batch_keepfirst(spark):
         q.stop()
 
     assert online == batch
+
+
+def test_streaming_sessions_equal_batch_on_closed_sessions(spark):
+    """Append-mode session windows emit exactly the sessions the
+    watermark has certified closed; those must match the batch
+    session_window aggregation row-for-row, and every batch session
+    that closes before the final watermark must have been emitted."""
+    from gexp_ml_dask_spark.sources.readers import load_events
+    from gexp_ml_dask_spark.streaming import streaming_session_counts
+
+    events = load_events(spark, SF_SMOKE)
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total"],
+        )
+        for r in events.groupBy(
+            F.session_window(F.col("ts"), "5 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "total",
+        )
+        .collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    agg = streaming_session_counts(
+        spark, f"{SF_SMOKE}/events.parquet", raw_schema, watermark="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        online = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"],
+                r["total"],
+            )
+            for r in spark.table("t_stream_sessions").collect()
+        }
+    finally:
+        q.stop()
+
+    # every emitted session is a batch session with identical agg
+    assert online, "append sink emitted nothing — watermark never closed a session"
+    for k, v in online.items():
+        assert batch.get(k) == v, (k, v, batch.get(k))
+    # and every session certainly-closed by the final watermark was emitted
+    max_ts = events.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+    final_wm = max_ts - 30 * 60
+    must_emit = {k for k in batch if k[2] < final_wm}
+    assert must_emit <= set(online), sorted(must_emit - set(online))[:5]
