@@ -35,6 +35,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         UTC session the cast to TimestampType is epoch-exact.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->timestamp cast below reads the naive wall time in the
+    # SESSION timezone; the stored values are naive-as-UTC, so pin it
+    # (no-op on a UTC host, correctness insurance elsewhere).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):

@@ -99,6 +99,8 @@ def _open_event_stream(spark, source_path: str, schema, ts_col: str):
     handled: nanos-as-long and micros-NTZ)."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    # Naive-as-UTC stored wall times; see sources.readers.load_events.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(schema).format("parquet")
     if source_path.endswith(".parquet"):
         # file streaming sources need a DIRECTORY; narrow to the one
