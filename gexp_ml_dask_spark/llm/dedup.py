@@ -297,11 +297,86 @@ def simhash_dup_groups(
     text_col: str = "text",
     hasher: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash-identical groups (hamming-0 candidates). Banded
-    near-hamming joins are the extension point at scale."""
+    """SimHash-identical groups (hamming-0 candidates). Near-hamming
+    pairs are :func:`simhash_neardup_pairs`."""
     sigs = simhash_signatures(docs, bits, id_col, text_col, hasher)
     return sigs.groupBy("simhash").agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """OP-LLM-02 (SimHash near-dup) — pairs with hamming(sig_a,
+    sig_b) <= ``max_hamming``, banded so no all-pairs join ever
+    forms.
+
+    Pigeonhole recall guarantee: the signature splits into
+    ``n_bands`` equal bit-bands; two signatures within hamming
+    distance d < n_bands must agree EXACTLY on at least one band, so
+    a candidate join on (band_id, band_value) has 100% recall for
+    d <= n_bands - 1 (the default 4 bands / hamming 3 is exact, not
+    approximate). Verification is one codegen expression —
+    ``bit_count(a XOR b)`` — per candidate pair. Everything shuffles
+    on band values (bounded fan-out) and the verify join is by doc
+    id; at 100 TB the candidate stage is the same shape as the
+    MinHash band join, with the same hot-bucket cap available if a
+    degenerate corpus needs it.
+    """
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sigs = simhash_signatures(docs, bits, id_col, text_col, hasher)
+
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftright(F.col("simhash"), k * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.band_id", "_b.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

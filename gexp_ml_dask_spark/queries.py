@@ -1232,6 +1232,38 @@ def op_llm_02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_NEARDUP_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) "
+    "AS hv FROM tok), "
+    f"sig AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM h GROUP BY doc_id), "
+    "b AS (SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bv "
+    "FROM sig, (VALUES (0), (1), (2), (3)) t(k)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+    "FROM b a JOIN b c ON a.k = c.k AND a.bv = c.bv AND a.doc_id < c.doc_id) "
+    "SELECT id_a, id_b, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) "
+    "AS hamming FROM cand "
+    "JOIN sig s1 ON s1.doc_id = id_a JOIN sig s2 ON s2.doc_id = id_b "
+    "WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3"
+)
+
+
+@register("op_llm_02_simhash_neardup", _SIMHASH_NEARDUP_ORACLE)
+def op_llm_02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (SimHash near-dup): banded hamming-<=3 pairs. With
+    4 bands over 32 bits, pigeonhole makes recall exact for
+    hamming <= 3, so the full pair set is SQL-oracle-checkable
+    (md5_32 hasher; band join + bit_count verify in both engines)."""
+    from gexp_ml_dask_spark.llm.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        hasher="md5_32",
+    )
+
+
 @register(
     "op_llm_02_embedding_neardup",
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "

@@ -220,3 +220,34 @@ def test_knn_pandas_equals_jvm(spark):
         for r in knn_bruteforce_pandas(emb, queries, k=10).collect()
     }
     assert jvm == arrow
+
+
+def test_simhash_neardup_exact_recall_vs_bruteforce(spark, docs):
+    """4 bands over 32 bits => pigeonhole guarantees every pair
+    within hamming 3 shares a full band: the banded join must return
+    EXACTLY the brute-force hamming<=3 pair set, with the right
+    distances."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, hasher="md5_32").collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            docs, max_hamming=3, hasher="md5_32"
+        ).collect()
+    }
+    assert banded == brute
