@@ -257,24 +257,52 @@ def knn_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """OP-LLM-03 (scale path) — approximate top-k: candidates only
     from the query's sign-LSH bucket (equi-join on bucket replaces
     the cross join; recall traded for a ~2^n_planes candidate
-    reduction). Multi-probe/repeated tables are the recall knobs."""
-    cb = hyperplane_buckets(corpus, n_planes, dim, vec_col, seed).select(
-        id_col, "bucket", F.col(vec_col).cast("array<double>").alias("_cv")
+    reduction).
+
+    ``n_tables`` is the recall knob: each table hashes with an
+    independent seeded hyperplane family, a (query, corpus) pair is
+    a candidate if it collides in ANY table, and a pair colliding in
+    several tables is scored once (dedup BEFORE the cosine kernel,
+    so extra tables add recall without re-scoring). Miss probability
+    decays exponentially: (1 - p^n_planes) ** n_tables for
+    similarity-p pairs."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
     )
-    qb = hyperplane_buckets(queries, n_planes, dim, vec_col, seed).select(
-        query_id_col, "bucket", F.col(vec_col).cast("array<double>").alias("_qv")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
     )
-    scored = cb.join(F.broadcast(qb), "bucket").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    scored = scored.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_expr(F.col("_cv"), F.col("_qv")), 6).alias("cosine"),
+
+    cand = None
+    for t in range(n_tables):
+        cb = hyperplane_buckets(
+            c, n_planes, dim, "_cv", seed + t, out_col="bucket"
+        ).select(id_col, "bucket")
+        qb = hyperplane_buckets(
+            q, n_planes, dim, "_qv", seed + t, out_col="bucket"
+        ).select(query_id_col, "bucket")
+        pairs = cb.join(F.broadcast(qb), "bucket").select(
+            query_id_col, id_col
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct().filter(F.col(id_col) != F.col(query_id_col))
+
+    scored = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_expr(F.col("_cv"), F.col("_qv")), 6).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

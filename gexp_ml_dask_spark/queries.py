@@ -1338,14 +1338,15 @@ def op_llm_03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("op_llm_03_knn_lsh")
 def op_llm_03_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-03 (scale path, rows-only): sign-LSH bucketed kNN —
-    candidates restricted to the query's hyperplane bucket."""
+    candidates from the query's hyperplane bucket in ANY of 2 hash
+    tables (OR-combined, deduped before scoring)."""
     from gexp_ml_dask_spark.llm.similarity import knn_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_lsh(emb, queries, k=10, n_planes=4)
+    return knn_lsh(emb, queries, k=10, n_planes=4, n_tables=2)
 
 
 @register(

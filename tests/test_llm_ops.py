@@ -251,3 +251,30 @@ def test_simhash_neardup_exact_recall_vs_bruteforce(spark, docs):
         ).collect()
     }
     assert banded == brute
+
+
+def test_knn_lsh_multi_table_recall_monotone(spark):
+    """Extra hash tables OR-combine candidates: recall at n_tables=3
+    must be >= recall at n_tables=1 (same seed family), and scored
+    pairs stay deduplicated (one row per (query, neighbor))."""
+    from gexp_ml_dask_spark.llm.similarity import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def recall(n_tables):
+        rows = knn_lsh(
+            emb, queries, k=5, n_planes=2, n_tables=n_tables
+        ).collect()
+        pairs = [(r["query_id"], r["vec_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # dedup before scoring
+        return len(exact & set(pairs)) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1, (r1, r3)
