@@ -1573,12 +1573,30 @@ def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("op_llm_06_multimodal_features")
+@register(
+    "op_llm_06_multimodal_features",
+    # Full value oracle: the stubbed "decode" derives features from
+    # the payload's sha256 digest (multimodal._fake_features), and
+    # DuckDB's sha256(VARCHAR) hashes the same UTF-8 bytes Spark's
+    # encode(text,'UTF-8') produces — so f0 = digest[0]/255.0 is
+    # reproducible bit-for-bit in SQL (hex pair -> byte via strpos).
+    "WITH m AS (SELECT doc_id, "
+    "['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality, "
+    "octet_length(encode(text)) AS n_bytes, "
+    "(16 * (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) "
+    " + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) / 255.0 AS f0 "
+    "FROM documents) "
+    "SELECT modality, count(*) AS n_assets, "
+    "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, "
+    "round(avg(f0), 6) AS mean_f0 FROM m GROUP BY modality",
+)
 def op_llm_06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-06 (rows-only): multimodal plumbing — documents as
-    binary payloads -> Arrow-batched mapInPandas feature extraction
-    (deterministic fake; real decoders stubbed) -> per-modality
-    rollup."""
+    """OP-LLM-06: multimodal plumbing — documents as binary payloads
+    -> Arrow-batched mapInPandas feature extraction (deterministic
+    fake; real decoders stubbed) -> per-modality rollup. The fake
+    feature path is sha256-derived, so this op carries a FULL value
+    oracle (not rows-only): the mapInPandas output is checked
+    against a pure-SQL reconstruction of the digest bytes."""
     from gexp_ml_dask_spark.llm.multimodal import (
         extract_features,
         media_from_documents,
