@@ -127,11 +127,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """Seeded MinHash signatures as a pure column expression:
-    signature[i] = min over shingles of xxhash64(seed, i, shingle).
-    No UDFs, no fitted model to ship — every executor derives the
-    same hash family from the seed."""
+    """Seeded MinHash signatures as a pure column expression. No
+    UDFs, no fitted model to ship — every executor derives the same
+    hash family from the seed.
+
+    ``hasher``:
+      * ``xxhash64`` (scale default): signature[i] = min over
+        shingles of xxhash64(seed, i, shingle).
+      * ``md5_32``: Kirsch-Mitzenmacher double hashing over the two
+        leading 32-bit words of md5(shingle ':seed') —
+        signature[i] = min(h1 + (i+1)*h2). Slower than xxhash64 but
+        reproducible in any SQL engine (DuckDB hex-casts the same
+        md5 substrings), so signatures AND the banded pair set are
+        oracle-checkable bit-for-bit. Values stay < 2^37, safely
+        inside BIGINT under ANSI overflow checks.
+    """
     # Long form + statically-unrolled hash columns, NOT nested
     # higher-order functions: lambda-variable expressions evaluate
     # interpreted (outside whole-stage codegen), which measured ~10x
@@ -141,11 +153,25 @@ def minhash_signatures(
     exploded = docs.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_s")
     )
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("_s"))).alias(f"_h{i}")
+    if hasher == "md5_32":
+        md5 = F.md5(F.concat(F.col("_s"), F.lit(f":{seed}")))
+        exploded = exploded.select(
+            F.col(id_col),
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("_h1"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("_h2"),
+        )
+        hash_i = [
+            F.col("_h1") + F.lit(i + 1) * F.col("_h2") for i in range(n_hashes)
+        ]
+    elif hasher == "xxhash64":
+        hash_i = [
+            F.xxhash64(F.lit(seed), F.lit(i), F.col("_s"))
             for i in range(n_hashes)
         ]
+    else:
+        raise ValueError(f"unknown hasher: {hasher}")
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(h).alias(f"_h{i}") for i, h in enumerate(hash_i)]
     )
     return mins.select(
         F.col(id_col),
@@ -163,6 +189,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     seed: int = 42,
     max_bucket: int = 500,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """OP-LLM-02 (MinHash-LSH) — approximate Jaccard near-dup pairs,
     banded: signature split into ``n_bands`` bands of
@@ -182,8 +209,15 @@ def minhash_lsh_pairs(
     (OP-LLM-01), not pairwise LSH.
     """
     sigs = minhash_signatures(
-        docs, n_bands * rows_per_band, shingle_n, id_col, text_col, seed
+        docs, n_bands * rows_per_band, shingle_n, id_col, text_col, seed, hasher
     ).persist()
+
+    # Band key: xxhash64 of the band slice on the scale path (fixed
+    # 8-byte shuffle key); the raw slice itself on the md5 path so
+    # the SQL oracle can reproduce the bucketing without xxhash64.
+    def band_key(b: F.Column) -> F.Column:
+        sl = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        return F.xxhash64(sl) if hasher == "xxhash64" else sl
 
     bands = sigs.select(
         F.col(id_col),
@@ -191,12 +225,7 @@ def minhash_lsh_pairs(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice(
-                            F.col("signature"), b * rows_per_band + 1, rows_per_band
-                        )
-                    ).alias("band_hash"),
+                    b.alias("band_id"), band_key(b).alias("band_hash")
                 ),
             )
         ).alias("_b"),

@@ -1192,11 +1192,59 @@ def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("op_llm_02_minhash_lsh")
 def op_llm_02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (MinHash-LSH, rows-only): approx-Jaccard candidate
-    pairs via banded MinHash — the 100 TB dedup path."""
+    pairs via banded MinHash — the 100 TB dedup path (xxhash64
+    family; see op_llm_02_minhash_md5 for the value-oracled twin)."""
     from gexp_ml_dask_spark.llm.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "op_llm_02_minhash_md5",
+    # Full SQL reconstruction of the banded MinHash pipeline with the
+    # md5_32 Kirsch-Mitzenhacher hash family (dedup.minhash_signatures
+    # hasher='md5_32'): shingle -> two 32-bit md5 words -> 24
+    # per-shingle hashes h1+(i+1)*h2 -> per-doc mins -> 8 bands of 3
+    # -> bucket join (hot buckets > 500 dropped, as in Spark) ->
+    # matching-position Jaccard estimate.
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh0 AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e AS (SELECT doc_id, unnest(shs) AS sh FROM sh0), "
+    "h AS (SELECT doc_id, "
+    "CAST(concat('0x', substr(md5(concat(sh, ':42')), 1, 8)) AS BIGINT) AS h1, "
+    "CAST(concat('0x', substr(md5(concat(sh, ':42')), 9, 8)) AS BIGINT) AS h2 "
+    "FROM e), "
+    "m AS (SELECT doc_id, i, min(h1 + (i + 1) * h2) AS mh "
+    "FROM h CROSS JOIN range(24) r(i) GROUP BY doc_id, i), "
+    "sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM m GROUP BY doc_id), "
+    "bands AS (SELECT doc_id, b, sig[CAST(b * 3 + 1 AS INT):CAST(b * 3 + 3 AS INT)] "
+    "AS bsig FROM sig CROSS JOIN range(8) rb(b)), "
+    "sz AS (SELECT b, bsig, count(*) AS n FROM bands GROUP BY b, bsig), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+    "FROM bands a JOIN bands c ON a.b = c.b AND a.bsig = c.bsig "
+    "AND a.doc_id < c.doc_id "
+    "JOIN sz s ON s.b = a.b AND s.bsig = a.bsig AND s.n <= 500), "
+    "est AS (SELECT p.id_a, p.id_b, "
+    "round(list_sum(list_transform(range(24), "
+    "k -> CASE WHEN sa.sig[CAST(k AS INT) + 1] = sb.sig[CAST(k AS INT) + 1] "
+    "THEN 1 ELSE 0 END)) / 24.0, 6) AS jaccard_est "
+    "FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a "
+    "JOIN sig sb ON sb.doc_id = p.id_b) "
+    "SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5",
+)
+def op_llm_02_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (MinHash-LSH, md5_32 family): the same banded
+    pipeline with an engine-portable hash family, so the candidate
+    pair set AND the Jaccard estimates are value-oracled exactly —
+    the strong-check twin of op_llm_02_minhash_lsh."""
+    from gexp_ml_dask_spark.llm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, hasher="md5_32"
     )
 
 
