@@ -141,6 +141,26 @@ def knn_bruteforce_pandas(
     )
 
 
+def md5_hyperplanes(
+    n_planes: int, dim: int, seed: int
+) -> list[list[float]]:
+    """Engine-portable hyperplane family: component (j, d) is the
+    leading 32 bits of md5('seed:j:d') mapped to [-1, 1). Computed
+    driver-side once and embedded as plan literals — the family is a
+    pure function of the seed, so the SQL oracle bakes the SAME
+    floats into its text and both engines bucket identically."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16)
+             % 20014) / 10007.0 - 1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 8,
@@ -148,23 +168,34 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     seed: int = 42,
     out_col: str = "bucket",
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket id — deterministic
     hyperplanes derived from a seeded hash so every executor and
     every run agrees without shipping state: plane j, dim d has
-    component hash(seed, j, d) mapped to [-1, 1]."""
+    component hash(seed, j, d) mapped to [-1, 1]. Either way the
+    planes are plan-time constants (Catalyst constant-folds the
+    xxhash64 form); ``family='md5'`` uses md5_hyperplanes so a SQL
+    oracle can reproduce the bucketing."""
     v = F.col(vec_col).cast("array<double>")
+    if family == "md5":
+        plane_values = md5_hyperplanes(n_planes, dim, seed)
+    elif family != "xxhash64":
+        raise ValueError(f"unknown hyperplane family: {family}")
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        plane = F.array(
-            *[
-                (
-                    (F.xxhash64(F.lit(seed), F.lit(j), F.lit(d)) % 10007)
-                    / F.lit(10007.0)
-                )
-                for d in range(dim)
-            ]
-        )
+        if family == "md5":
+            plane = F.array(*[F.lit(x) for x in plane_values[j]])
+        else:
+            plane = F.array(
+                *[
+                    (
+                        (F.xxhash64(F.lit(seed), F.lit(j), F.lit(d)) % 10007)
+                        / F.lit(10007.0)
+                    )
+                    for d in range(dim)
+                ]
+            )
         bit = F.when(dot_expr(v, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
     return df.withColumn(out_col, bucket)
@@ -258,6 +289,7 @@ def knn_lsh(
     query_id_col: str = "query_id",
     seed: int = 42,
     n_tables: int = 1,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """OP-LLM-03 (scale path) — approximate top-k: candidates only
     from the query's sign-LSH bucket (equi-join on bucket replaces
@@ -282,10 +314,10 @@ def knn_lsh(
     cand = None
     for t in range(n_tables):
         cb = hyperplane_buckets(
-            c, n_planes, dim, "_cv", seed + t, out_col="bucket"
+            c, n_planes, dim, "_cv", seed + t, out_col="bucket", family=family
         ).select(id_col, "bucket")
         qb = hyperplane_buckets(
-            q, n_planes, dim, "_qv", seed + t, out_col="bucket"
+            q, n_planes, dim, "_qv", seed + t, out_col="bucket", family=family
         ).select(query_id_col, "bucket")
         pairs = cb.join(F.broadcast(qb), "bucket").select(
             query_id_col, id_col

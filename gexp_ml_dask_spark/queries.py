@@ -1397,6 +1397,59 @@ def op_llm_03_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries, k=10, n_planes=4, n_tables=2)
 
 
+def _lsh_md5_oracle() -> str:
+    """SQL twin of knn_lsh(family='md5'): the hyperplanes are
+    plan-time constants (pure function of the seed), so the SAME
+    floats are baked into this query text and DuckDB reproduces the
+    bucketing, candidate union, and ranking exactly."""
+    from gexp_ml_dask_spark.llm.similarity import md5_hyperplanes
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j, p in enumerate(planes)
+        )
+
+    b0 = bucket_expr(md5_hyperplanes(4, 64, 42))
+    b1 = bucket_expr(md5_hyperplanes(4, 64, 43))
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id < 20), "
+        f"cb AS (SELECT vec_id, {b0} AS bucket0, {b1} AS bucket1 FROM c), "
+        f"qb AS (SELECT query_id, {b0} AS bucket0, {b1} AS bucket1 FROM q), "
+        "cand AS ("
+        "SELECT qb.query_id, cb.vec_id FROM cb JOIN qb "
+        "ON cb.bucket0 = qb.bucket0 AND cb.vec_id <> qb.query_id "
+        "UNION "
+        "SELECT qb.query_id, cb.vec_id FROM cb JOIN qb "
+        "ON cb.bucket1 = qb.bucket1 AND cb.vec_id <> qb.query_id), "
+        "s AS (SELECT cd.query_id, cd.vec_id, "
+        "round(list_cosine_similarity(c.v, q2.v), 6) AS cosine "
+        "FROM cand cd JOIN c ON c.vec_id = cd.vec_id "
+        "JOIN q q2 ON q2.query_id = cd.query_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id ASC) AS rank FROM s) "
+        "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10"
+    )
+
+
+@register("op_llm_03_knn_lsh_md5", _lsh_md5_oracle())
+def op_llm_03_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (sign-LSH, md5 hyperplane family): identical
+    banding/scoring to op_llm_03_knn_lsh but with engine-portable
+    plan-literal hyperplanes, so the approximate result set itself
+    is value-oracled — not just recall-tested."""
+    from gexp_ml_dask_spark.llm.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(emb, queries, k=10, n_planes=4, n_tables=2, family="md5")
+
+
 @register(
     "op_llm_04_text_stats",
     "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) "
