@@ -45,6 +45,12 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
     raise NotImplementedError("video frame sampling requires ffmpeg/decord")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — real impl: PIL.Image.open(...).resize((width, height))
+    re-encoded. Raises in this container (no imaging libs)."""
+    raise NotImplementedError("image resize requires Pillow/opencv")
+
+
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'decoded features': dim floats derived
     from the payload digest. Stands in for decode+embed so the
@@ -129,6 +135,72 @@ def extract_features(
         max(2, media.sparkSession.sparkContext.defaultParallelism)
     )
     return sized.mapInPandas(extract, schema)
+
+
+def transform_payloads(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    frame_every_n: int = 30,
+    fake: bool = True,
+) -> DataFrame:
+    """Binary→binary media transform over mapInPandas — the
+    resize / frame-sample half of the multimodal surface (the
+    feature-extract half is :func:`extract_features`). Images are
+    resized to (width, height), videos frame-sampled every
+    ``frame_every_n`` frames, audio passed through; output is again
+    an opaque payload column plus in/out byte counts, so transforms
+    chain (resize -> extract) without leaving Spark.
+
+    ``fake=True`` (this container) replaces the codec calls with a
+    deterministic surrogate — the payload cycled/truncated to
+    width*height bytes (images) or every ``frame_every_n``-th byte
+    (videos) — keeping the data movement, Arrow batch shape, and
+    memory profile of a real transcode; ``fake=False`` routes to the
+    stubbed decoders and raises."""
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "n_bytes_in long, n_bytes_out long"
+    )
+    batch_rows = DECODE_BATCH_ROWS
+    target = width * height
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                outs = []
+                for payload, modality in zip(
+                    chunk["payload"], chunk["modality"]
+                ):
+                    if not fake:  # pragma: no cover - codecs absent
+                        raise NotImplementedError(
+                            "real resize/frame-sample requires "
+                            "Pillow/ffmpeg; see resize_image/"
+                            "sample_video_frames"
+                        )
+                    b = bytes(payload)
+                    if modality == "image":
+                        reps = b * (target // max(len(b), 1) + 1)
+                        outs.append(reps[:target])
+                    elif modality == "video":
+                        outs.append(b[::frame_every_n])
+                    else:
+                        outs.append(b)
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"],
+                        "modality": chunk["modality"],
+                        "payload": outs,
+                        "n_bytes_in": chunk["payload"].map(len),
+                        "n_bytes_out": [len(o) for o in outs],
+                    }
+                )
+
+    sized = media.repartition(
+        max(2, media.sparkSession.sparkContext.defaultParallelism)
+    )
+    return sized.mapInPandas(transform, schema)
 
 
 def payload_stats(media: DataFrame) -> DataFrame:

@@ -1713,6 +1713,40 @@ def op_llm_06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_06_media_transform",
+    # The fake transcode is pure arithmetic on payload sizes: images
+    # resize to 64*64 = 4096 bytes, videos keep every 30th byte
+    # (ceil(n/30)), audio passes through — all reconstructable from
+    # octet_length in SQL.
+    "WITH m AS (SELECT doc_id, "
+    "['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality, "
+    "octet_length(encode(text)) AS nb FROM documents) "
+    "SELECT modality, count(*) AS n_assets, "
+    "CAST(sum(nb) AS BIGINT) AS in_bytes, "
+    "CAST(sum(CASE modality WHEN 'image' THEN 4096 "
+    "WHEN 'video' THEN (nb + 29) // 30 ELSE nb END) AS BIGINT) AS out_bytes "
+    "FROM m GROUP BY modality",
+)
+def op_llm_06_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-06 (resize / frame-sample): binary->binary media
+    transform via mapInPandas (images resized, videos frame-sampled,
+    audio passthrough; codecs stubbed behind a deterministic fake)
+    -> per-modality byte rollup, value-oracled from payload sizes."""
+    from gexp_ml_dask_spark.llm.multimodal import (
+        media_from_documents,
+        transform_payloads,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = transform_payloads(media, width=64, height=64, frame_every_n=30)
+    return out.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes_in").alias("in_bytes"),
+        F.sum("n_bytes_out").alias("out_bytes"),
+    )
+
+
+@register(
     "op_phy_03_assemble_vectors",
     f"WITH s AS (SELECT sample_id, gene_id, sum(value) AS v FROM ({G_QTY}) "
     "WHERE sample_id < 1000 GROUP BY sample_id, gene_id) "

@@ -173,6 +173,36 @@ def test_multimodal_plumbing(spark, docs):
         decode_image(b"bytes")
 
 
+def test_media_transform_payload_semantics(spark, docs):
+    from gexp_ml_dask_spark.llm.multimodal import (
+        media_from_documents,
+        resize_image,
+        transform_payloads,
+    )
+
+    media = media_from_documents(docs)
+    out = transform_payloads(media, width=8, height=4, frame_every_n=5)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    orig = {r["asset_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in rows:
+        b_in = orig[r["asset_id"]]
+        b_out = bytes(r["payload"])
+        assert r["n_bytes_in"] == len(b_in)
+        assert r["n_bytes_out"] == len(b_out)
+        if r["modality"] == "image":
+            # resized to exactly width*height bytes, cycled from input
+            assert len(b_out) == 32
+            assert b_out == (b_in * (32 // len(b_in) + 1))[:32]
+        elif r["modality"] == "video":
+            # every 5th byte sampled
+            assert b_out == b_in[::5]
+        else:
+            assert b_out == b_in
+    with pytest.raises(NotImplementedError):
+        resize_image(b"bytes", 8, 8)
+
+
 def test_knn_ivf_recall_vs_bruteforce(spark):
     """IVF with n_probe=2/8 cells must recover a solid fraction of
     the exact top-10 (synthetic embeddings cluster well); and every
