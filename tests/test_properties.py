@@ -267,3 +267,66 @@ def test_sorted_group_quantile_masked_value(spark):
         for r in sorted_group_quantile(df, "g", masked, 0.5, out_col="p").collect()
     }
     assert got == {1: 2.0, 2: None}
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet="abcdefgh", min_size=1, max_size=4
+            ),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_md5_minhash_matches_python_reference(spark, texts):
+    """The md5_32 MinHash family is defined as
+    min(h1 + (i+1)*h2) over distinct 3-gram shingles, h1/h2 the two
+    leading 32-bit words of md5(shingle ':seed') — locked here
+    against a pure-Python reimplementation so the contract holds
+    independent of any SQL engine."""
+    import hashlib
+
+    from gexp_ml_dask_spark.llm.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs, n_hashes=6, hasher="md5_32").collect()
+    }
+
+    def py_shingles(text, n=3):
+        toks = text.split(" ")
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)
+        ]
+        return list(dict.fromkeys(grams))
+
+    for i, t in enumerate(texts):
+        hs = []
+        for sh in py_shingles(t):
+            d = hashlib.md5(f"{sh}:42".encode()).hexdigest()
+            hs.append((int(d[:8], 16), int(d[8:16], 16)))
+        want = [min(h1 + (k + 1) * h2 for h1, h2 in hs) for k in range(6)]
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+def test_md5_hyperplanes_deterministic_and_mixed_sign():
+    """Hyperplane components are a pure function of the seed, lie in
+    [-1, 1), and a 64-dim family is not sign-degenerate (the reason
+    the family maps to [-1,1) rather than [0,1))."""
+    from gexp_ml_dask_spark.llm.similarity import md5_hyperplanes
+
+    a = md5_hyperplanes(4, 64, 42)
+    b = md5_hyperplanes(4, 64, 42)
+    assert a == b
+    assert md5_hyperplanes(4, 64, 43) != a
+    comps = [x for plane in a for x in plane]
+    assert all(-1.0 <= x < 1.0 for x in comps)
+    assert any(x < 0 for x in comps) and any(x > 0 for x in comps)
