@@ -1723,7 +1723,8 @@ def op_llm_06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "octet_length(encode(text)) AS nb FROM documents) "
     "SELECT modality, count(*) AS n_assets, "
     "CAST(sum(nb) AS BIGINT) AS in_bytes, "
-    "CAST(sum(CASE modality WHEN 'image' THEN 4096 "
+    "CAST(sum(CASE modality "
+    "WHEN 'image' THEN CASE WHEN nb = 0 THEN 0 ELSE 4096 END "
     "WHEN 'video' THEN (nb + 29) // 30 ELSE nb END) AS BIGINT) AS out_bytes "
     "FROM m GROUP BY modality",
 )

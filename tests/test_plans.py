@@ -224,3 +224,34 @@ def test_ngram_shingles_materialized_below_generate(spark, registry):
     # the materialized array attribute (_shs#N), never re-run the
     # lambda chain; i.e. no `size(transform(` anywhere.
     assert "size(transform(" not in analyzed, analyzed[:4000]
+
+
+def test_md5_minhash_stays_codegen_no_python(spark, registry):
+    """The md5_32 MinHash family must stay JVM-side: md5/conv are
+    built-in expressions, the 24 per-hash mins are one partial+final
+    hash aggregate, and no Python evaluation appears anywhere."""
+    p = plan(registry["op_llm_02_minhash_md5"](spark, SF_ORACLE))
+    assert "Python" not in p and "BatchEvalPython" not in p
+    assert "partial_min" in p or "HashAggregate" in p
+
+
+def test_md5_lsh_knn_broadcasts_and_stays_jvm(spark, registry):
+    """Sign-LSH with plan-literal hyperplanes: the query side is
+    broadcast (bucket equi-join, never a fact-side shuffle on the
+    corpus) and the dot-product folds stay JVM-side."""
+    p = plan(registry["op_llm_03_knn_lsh_md5"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_media_transform_is_arrow_batched(spark, registry):
+    """OP-LLM-06 resize/frame-sample: exactly one Python boundary —
+    an Arrow-batched mapInPandas — with the rollup aggregated
+    JVM-side above it."""
+    p = plan(registry["op_llm_06_media_transform"](spark, SF_ORACLE))
+    # exactly one MapInPandas node in the plan tree (the formatted
+    # output repeats each node in its detail section)
+    tree = p.split("(1) ")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+    assert "HashAggregate" in p
