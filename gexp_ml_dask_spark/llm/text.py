@@ -7,7 +7,7 @@ runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword
@@ -146,4 +146,43 @@ def fingerprints(
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),
         F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    shard_col: str | None = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (sequence packing, [mandate]) — assign documents to
+    fixed-token-budget training bins: docs are taken in ``id_col``
+    order and a doc starts in the bin its running-token prefix falls
+    in (greedy contiguous fill; a doc may overflow its bin's tail,
+    the standard packing-with-overflow contract).
+
+    Scale posture: packing is windowed PER SHARD (``shard_col``,
+    e.g. source or a hash bucket) so no global sort/single-reducer
+    window exists at 100 TB — bin ids are (shard, bin) pairs. Pass
+    ``shard_col=None`` only at oracle scale for a globally-ordered
+    packing.
+    """
+    n_toks = F.size(tokens(text_col)).cast("long")
+    part = [F.col(shard_col)] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [F.col(id_col)] + ([F.col(shard_col)] if shard_col else [])
+    prefix = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.select(*([F.col(id_col), F.col(text_col)] + part))
+        .withColumn("n_tokens", n_toks)
+        .select(
+            *out_cols,
+            "n_tokens",
+            F.floor(prefix / F.lit(token_budget)).alias("bin_id"),
+        )
     )

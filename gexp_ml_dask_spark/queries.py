@@ -1489,6 +1489,29 @@ def op_llm_04_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_04_sequence_pack",
+    "WITH t AS (SELECT doc_id, source, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, source, n_tokens, "
+    "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix FROM t) "
+    "SELECT doc_id, source, n_tokens, "
+    "CAST(floor(prefix / 2048.0) AS BIGINT) AS bin_id FROM c",
+)
+def op_llm_04_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (sequence packing): greedy contiguous fill of
+    2048-token training bins, windowed per source shard so the
+    packing never needs a global sort at scale."""
+    from gexp_ml_dask_spark.llm.text import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        token_budget=2048,
+        shard_col="source",
+    )
+
+
+@register(
     "op_llm_04_language_id",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
     "s AS (SELECT doc_id, "

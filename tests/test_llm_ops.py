@@ -308,3 +308,32 @@ def test_knn_lsh_multi_table_recall_monotone(spark):
 
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1, (r1, r3)
+
+
+def test_pack_sequences_greedy_fill(spark):
+    from gexp_ml_dask_spark.llm.text import pack_sequences
+
+    # doc i has i+1 tokens; budget 5; single shard
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1)), "s") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in pack_sequences(docs, token_budget=5).collect()
+    }
+    # prefixes: 0,1,3,6,10 -> bins 0,0,0,1,2
+    assert out == {0: (1, 0), 1: (2, 0), 2: (3, 0), 3: (4, 1), 4: (5, 2)}
+
+    # shards pack independently: same docs in two sources
+    docs2 = spark.createDataFrame(
+        [(i + 10 * s, " ".join(["w"] * 3), f"s{s}") for s in range(2) for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    rows = pack_sequences(docs2, token_budget=6).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["source"], []).append((r["doc_id"], r["bin_id"]))
+    for s, pairs in by_shard.items():
+        # prefixes 0,3,6,9 -> bins 0,0,1,1 within EACH shard
+        assert [b for _, b in sorted(pairs)] == [0, 0, 1, 1], (s, pairs)
