@@ -1511,6 +1511,40 @@ def op_llm_04_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture weights shared by the Spark query and its SQL twin —
+# four rate tiers over the fixture's 20 sources.
+_MIX_WEIGHTS = {
+    f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.25 if i < 15 else 0.1)
+    for i in range(20)
+}
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {int(round(w * 100000))})"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    hb = _HB.format(key="d.doc_id", n=100000)
+    return (
+        f"WITH w(source, cut) AS (VALUES {values}) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "JOIN w ON d.source = w.source "
+        f"WHERE {hb} < cut"
+    )
+
+
+@register("op_llm_07_mixture_sample", _mixture_oracle())
+def op_llm_07_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-07 (dataset mixture): per-source weighted sampling by
+    seeded key hash — one broadcast join + one codegen filter, no
+    shuffle, membership stable across partition layouts and engines
+    (row-for-row value-oracled)."""
+    from gexp_ml_dask_spark.llm.mixture import sample_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_mixture(docs, _MIX_WEIGHTS).select("doc_id", "source")
+
+
 @register(
     "op_llm_04_language_id",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

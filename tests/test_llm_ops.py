@@ -337,3 +337,27 @@ def test_pack_sequences_greedy_fill(spark):
     for s, pairs in by_shard.items():
         # prefixes 0,3,6,9 -> bins 0,0,1,1 within EACH shard
         assert [b for _, b in sorted(pairs)] == [0, 0, 1, 1], (s, pairs)
+
+
+def test_sample_mixture_deterministic_and_weighted(spark, docs):
+    from gexp_ml_dask_spark.llm.mixture import sample_mixture
+
+    base = docs.filter(F.col("doc_id") < 100000)  # originals only
+    n_src = {
+        r["source"]: r["n"]
+        for r in base.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    weights = {"src0": 1.0, "src1": 0.5}
+    out = sample_mixture(base, weights)
+    rows = out.collect()
+    # sources absent from the weights table are dropped entirely
+    assert {r["source"] for r in rows} <= {"src0", "src1"}
+    # rate 1.0 keeps every doc
+    kept0 = sum(1 for r in rows if r["source"] == "src0")
+    assert kept0 == n_src["src0"]
+    # rate 0.5 keeps a strict, non-empty subset
+    kept1 = sum(1 for r in rows if r["source"] == "src1")
+    assert 0 < kept1 < n_src["src1"]
+    # deterministic: same membership on re-run
+    again = {r["doc_id"] for r in sample_mixture(base, weights).collect()}
+    assert again == {r["doc_id"] for r in rows}
