@@ -37,6 +37,37 @@ def stopword_count(text_col: str | Column, words: list[str]) -> Column:
     )
 
 
+def _mean_token_len(text_col: str | Column) -> Column:
+    toks = tokens(text_col)
+    return F.try_divide(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("double"),
+        F.size(toks).cast("double"),
+    )
+
+
+def _stopword_ratio(text_col: str | Column) -> Column:
+    return F.try_divide(
+        stopword_count(text_col, LANG_PROFILES["en"]).cast("double"),
+        F.size(tokens(text_col)).cast("double"),
+    )
+
+
+def quality_expr(text_col: str | Column) -> Column:
+    """Composite quality score in {0, 0.5, 1}: in-range mean token
+    length + sane stopword ratio. A plain column expression so
+    composites (plans.curation) inline it without a self-join."""
+    mean_tok_len = _mean_token_len(text_col)
+    stop_ratio = _stopword_ratio(text_col)
+    return (
+        F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 0.5).otherwise(0.0)
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 0.5).otherwise(0.0)
+    )
+
+
 def text_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -46,21 +77,10 @@ def text_stats(
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_stop = stopword_count(text_col, LANG_PROFILES["en"])
-    mean_tok_len = F.try_divide(
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t)),
-            F.lit(0),
-            lambda a, x: a + x,
-        ).cast("double"),
-        n_tok.cast("double"),
-    )
+    mean_tok_len = _mean_token_len(text_col)
     n_digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
-    stop_ratio = F.try_divide(n_stop.cast("double"), n_tok.cast("double"))
-    # composite: in-range token lengths and a sane stopword ratio
-    quality = (
-        F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 0.5).otherwise(0.0)
-        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 0.5).otherwise(0.0)
-    )
+    stop_ratio = _stopword_ratio(text_col)
+    quality = quality_expr(text_col)
     return docs.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),

@@ -1545,6 +1545,44 @@ def op_llm_07_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_mixture(docs, _MIX_WEIGHTS).select("doc_id", "source")
 
 
+def _curation_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {int(round(w * 100000))})"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    hb = _HB.format(key="g.doc_id", n=100000)
+    return (
+        "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY sha256(text)), "
+        "d AS (SELECT doc_id, source, string_split(text, ' ') AS toks "
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)), "
+        "q AS (SELECT doc_id, source, "
+        "round(CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END + "
+        "CASE WHEN len(list_filter(toks, "
+        "x -> list_contains(['the','a','of','and','to'], x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END, 6) "
+        "AS quality FROM d), "
+        "g AS (SELECT * FROM q WHERE quality >= 0.5), "
+        f"w(source, cut) AS (VALUES {values}) "
+        "SELECT g.doc_id, g.source, g.quality FROM g "
+        "JOIN w ON g.source = w.source "
+        f"WHERE {hb} < cut"
+    )
+
+
+@register("op_llm_08_curation_pipeline", _curation_oracle())
+def op_llm_08_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-08 (curation composite): exact dedup -> quality gate
+    -> mixture sample as one lazy plan (one fact shuffle end-to-end,
+    the dedup window); the full surviving corpus is value-oracled
+    row-for-row."""
+    from gexp_ml_dask_spark.plans.curation import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(docs, _MIX_WEIGHTS, min_quality=0.5)
+
+
 @register(
     "op_llm_04_language_id",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

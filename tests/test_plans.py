@@ -255,3 +255,16 @@ def test_media_transform_is_arrow_batched(spark, registry):
     assert tree.count("MapInPandas") == 1
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
     assert "HashAggregate" in p
+
+
+def test_curation_composite_single_fact_shuffle(spark, registry):
+    """OP-LLM-08: dedup window -> quality gate -> mixture sample as
+    one plan must shuffle the fact table exactly once (the dedup
+    window partitioning); the weights side is a broadcast, and
+    quality is inlined, never a self-join."""
+    p = plan(registry["op_llm_08_curation_pipeline"](spark, SF_ORACLE))
+    tree = p.split("(1) ")[0]
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 1, f"expected 1 fact shuffle, plan tree:\n{tree}"
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
