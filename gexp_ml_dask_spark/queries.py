@@ -1545,6 +1545,46 @@ def op_llm_07_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_mixture(docs, _MIX_WEIGHTS).select("doc_id", "source")
 
 
+# Upsampling weights: tiers above AND below 1 so both the repeat
+# and the fractional-keep paths are exercised.
+_UPMIX_WEIGHTS = {
+    f"src{i}": (2.5 if i < 5 else 1.0 if i < 10 else 0.5 if i < 15 else 0.25)
+    for i in range(20)
+}
+
+
+def _upsample_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {int(round(w * 100000))})"
+        for s, w in sorted(_UPMIX_WEIGHTS.items())
+    )
+    hb = _HB.format(key="d.doc_id", n=100000)
+    return (
+        f"WITH w(source, base) AS (VALUES {values}), "
+        "x AS (SELECT d.doc_id, d.source, "
+        f"base // 100000 + CASE WHEN {hb} < base % 100000 THEN 1 ELSE 0 END "
+        "AS n_copies FROM documents d JOIN w ON d.source = w.source) "
+        "SELECT doc_id, source, "
+        "CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_id "
+        "FROM x WHERE n_copies > 0"
+    )
+
+
+@register("op_llm_07_mixture_upsample", _upsample_oracle())
+def op_llm_07_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-07 (upweighting): mixture rates above 1 repeat a doc
+    floor(rate) times plus a hash-gated extra copy, so expected
+    copies equal the rate with membership still a pure function of
+    (key, seed); the exploded copy table is value-oracled
+    row-for-row."""
+    from gexp_ml_dask_spark.llm.mixture import upsample_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return upsample_mixture(docs, _UPMIX_WEIGHTS).select(
+        "doc_id", "source", "copy_id"
+    )
+
+
 def _curation_oracle() -> str:
     values = ", ".join(
         f"('{s}', {int(round(w * 100000))})"

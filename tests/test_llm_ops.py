@@ -361,3 +361,24 @@ def test_sample_mixture_deterministic_and_weighted(spark, docs):
     # deterministic: same membership on re-run
     again = {r["doc_id"] for r in sample_mixture(base, weights).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_upsample_mixture_copy_semantics(spark, docs):
+    from gexp_ml_dask_spark.llm.mixture import upsample_mixture
+
+    base = docs.filter(F.col("doc_id") < 100000)
+    n0 = base.filter(F.col("source") == "src0").count()
+    out = upsample_mixture(base, {"src0": 3.0, "src1": 1.5, "src2": 0.5})
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r["source"], r["doc_id"]), []).append(r["copy_id"])
+    # integer rate: exactly 3 copies of every src0 doc, ids 1..3
+    src0 = {k: v for k, v in per_doc.items() if k[0] == "src0"}
+    assert len(src0) == n0
+    assert all(sorted(v) == [1, 2, 3] for v in src0.values())
+    # fractional part: src1 docs get 1 or 2 copies, both occurring
+    counts1 = {len(v) for k, v in per_doc.items() if k[0] == "src1"}
+    assert counts1 <= {1, 2} and 2 in counts1
+    # rate < 1: strict subset, single copies
+    assert all(v == [1] for k, v in per_doc.items() if k[0] == "src2")
