@@ -42,6 +42,7 @@ HEADLINE = [
     "op_llm_03_knn_bruteforce",     # cosine top-k similarity
     "op_llm_04_text_stats",         # text quality scalars
     "op_llm_05_tumbling_window",    # event-time windows
+    "op_llm_08_curation_pipeline",  # dedup -> quality -> mixture composite
 ]
 
 
