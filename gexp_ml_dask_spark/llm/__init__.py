@@ -1,3 +1,9 @@
-from gexp_ml_dask_spark.llm import dedup, multimodal, similarity, text
+from gexp_ml_dask_spark.llm import (
+    dedup,
+    mixture,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "mixture", "multimodal", "similarity", "text"]
