@@ -206,3 +206,47 @@ def pack_sequences(
             F.floor(prefix / F.lit(token_budget)).alias("bin_id"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (chunking, [mandate]) — split each document into
+    overlapping fixed-token windows for context-window-bounded
+    training/indexing: chunk i covers tokens
+    [i*(chunk_tokens-overlap), i*(chunk_tokens-overlap)+chunk_tokens)
+    and every doc yields at least one chunk (short docs pass through
+    whole). Pure column expressions — the explode is row-local, so
+    chunking adds no shuffle at any scale."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    # materialize the token array once, BELOW the explode (same
+    # rationale as the shingle materialization in dedup) — n_chunks
+    # must reference the materialized column, not re-split the text
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(
+            (F.size(F.col("_toks")) - F.lit(overlap)).cast("double")
+            / F.lit(step)
+        ),
+    )
+    start = F.col("chunk_id") * step + 1
+    piece = F.slice(F.col("_toks"), start, chunk_tokens)
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_chunk_tokens"),
+        )
+    )

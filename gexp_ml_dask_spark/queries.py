@@ -1545,6 +1545,34 @@ def op_llm_07_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_mixture(docs, _MIX_WEIGHTS).select("doc_id", "source")
 
 
+@register(
+    "op_llm_04_chunk_documents",
+    # chunk i covers tokens [i*48, i*48 + 64); at least one chunk per
+    # doc; DuckDB's inclusive list slice toks[a : a+63] clamps at the
+    # end exactly like Spark's slice(toks, a, 64).
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "n AS (SELECT doc_id, toks, "
+    "greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)) AS n_chunks "
+    "FROM t), "
+    "c AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM n) "
+    "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+    "array_to_string(toks[CAST(chunk_id * 48 + 1 AS INT) : "
+    "CAST(chunk_id * 48 + 64 AS INT)], ' ') AS chunk_text, "
+    "CAST(len(toks[CAST(chunk_id * 48 + 1 AS INT) : "
+    "CAST(chunk_id * 48 + 64 AS INT)]) AS BIGINT) AS n_chunk_tokens "
+    "FROM c",
+)
+def op_llm_04_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (chunking): overlapping fixed-token windows
+    (64-token chunks, 16-token overlap) — row-local explode, no
+    shuffle; chunk text and sizes value-oracled row-for-row."""
+    from gexp_ml_dask_spark.llm.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
 # Upsampling weights: tiers above AND below 1 so both the repeat
 # and the fractional-keep paths are exercised.
 _UPMIX_WEIGHTS = {

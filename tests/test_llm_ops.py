@@ -382,3 +382,30 @@ def test_upsample_mixture_copy_semantics(spark, docs):
     assert counts1 <= {1, 2} and 2 in counts1
     # rate < 1: strict subset, single copies
     assert all(v == [1] for k, v in per_doc.items() if k[0] == "src2")
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from gexp_ml_dask_spark.llm.text import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # 100 tokens, step 48 -> ceil((100-16)/48) = 2 chunks
+    assert set(by_doc[1]) == {0, 1}
+    c0, c1 = by_doc[1][0], by_doc[1][1]
+    assert c0["chunk_text"].split(" ") == words[0:64]
+    assert c1["chunk_text"].split(" ") == words[48:100]
+    assert (c0["n_chunk_tokens"], c1["n_chunk_tokens"]) == (64, 52)
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert c0["chunk_text"].split(" ")[-16:] == c1["chunk_text"].split(" ")[:16]
+    # short doc -> one whole chunk
+    assert set(by_doc[2]) == {0}
+    assert by_doc[2][0]["chunk_text"] == "short doc"
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
