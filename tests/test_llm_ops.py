@@ -1,4 +1,4 @@
-"""Tests for the mandate LLM-pipeline operators (OP-LLM-01..06)."""
+"""Tests for the mandate LLM-pipeline operators (OP-LLM-01..08)."""
 
 from __future__ import annotations
 
