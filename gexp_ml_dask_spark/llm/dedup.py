@@ -419,18 +419,33 @@ def embedding_neardup_pairs(
     """OP-LLM-02 (embedding cosine) — semantic near-dup pairs with
     rounded cosine >= threshold. Brute self-join; pass ``block_col``
     (LSH bucket / IVF cell / partition key) to keep the pair space
-    linear at scale."""
-    sel = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")]
+    linear at scale.
+
+    Norms are computed per VECTOR below the join (n sqrt-folds), not
+    per pair (n² would triple the interpreted higher-order-function
+    work in the pair kernel — measured 63s -> ~20s at 5k vectors);
+    dividing the pairwise dot by the two prejoined norms performs
+    the identical float ops in the identical order as cosine_expr."""
+    from gexp_ml_dask_spark.llm.similarity import dot_expr, norm_expr
+
+    sel = [
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ]
     if block_col:
         sel.append(F.col(block_col))
-    docs = embeddings.select(*sel)
+    docs = embeddings.select(*sel).withColumn("_n", norm_expr(F.col("_v")))
     a, b = docs.alias("a"), docs.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cosine = F.try_divide(
+        dot_expr(F.col("a._v"), F.col("b._v")),
+        F.col("a._n") * F.col("b._n"),
+    )
     pairs = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+        F.round(cosine, 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -1322,7 +1322,8 @@ def op_llm_02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_llm_02_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (embedding cosine near-dup): brute pair join at
-    oracle scale; block_col (LSH/IVF) bounds it at 100 TB."""
+    oracle scale (norms prejoined, one fold per pair); block_col
+    (LSH/IVF) bounds the pair space at 100 TB."""
     from gexp_ml_dask_spark.llm.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
