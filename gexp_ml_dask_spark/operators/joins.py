@@ -10,7 +10,7 @@ shuffled for these.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,6 +73,104 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join `[mandate]` (OP-JOIN-04): for every left
+    row, attach the ``right_cols`` of the most recent right row with
+    the same ``on`` key and ``right.ts <= left.ts`` (ties on ts
+    broken by the larger ``tiebreak``, which must exist in both
+    frames). The reference has no as-of semantics; this is the
+    time-series lookup a training-data pipeline needs (label/event
+    attribution).
+
+    Spark plan: tag the two inputs, union them, and run ONE window
+    (`partitionBy(on).orderBy(ts, side, tiebreak)` rows-unbounded-
+    preceding) with ``last(col, ignorenulls=True)`` — a single
+    shuffle on the key, sorted within partitions, no range
+    cross-product. At 100 TB this is the sort-merge plan you would
+    hand-write; skew is per-key and AQE-splittable.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in {on, ts_col, tiebreak}
+    ]
+    l_payload = [c for c in left.columns if c not in {on, ts_col, tiebreak}]
+    tagged_r = [f"_r_{c}" for c in right_cols]
+
+    lsel = (
+        [F.col(on), F.col(ts_col), F.col(tiebreak), F.lit(1).alias("_side")]
+        + [F.col(c) for c in l_payload]
+        + [
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ]
+    )
+    rsel = (
+        [F.col(on), F.col(ts_col), F.col(tiebreak), F.lit(0).alias("_side")]
+        + [
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_payload
+        ]
+        + [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    )
+    u = left.select(*lsel).unionByName(right.select(*rsel))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side", tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(
+            f"{prefix}{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    return u.filter(F.col("_side") == 1).drop("_side", *tagged_r)
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    band_seconds: float,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Range join `[mandate]` (OP-JOIN-05): pairs with the same key
+    where ``left_ts - band <= right_ts < left_ts``, WITHOUT a
+    per-key cross-product. Both sides are bucketed by
+    ``floor(epoch/band)``; a window of length ``band`` spans at most
+    two buckets, so the left side probes its bucket and the previous
+    one (2x explode of the PROBE side only). Catalyst plans a hash
+    equi-join on (key, bucket) with the band predicate as a residual
+    filter — no BroadcastNestedLoopJoin, shuffle bounded by 2x left.
+
+    Right columns are prefixed ``r_`` to avoid collisions.
+    """
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
+    lb = F.floor(lsec / band_seconds).cast("long")
+    lhs = left.withColumn("_cand", F.explode(F.array(lb - 1, lb)))
+    rhs = right.select(
+        F.col(on), *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on]
+    ).withColumn(
+        "_cand",
+        F.floor(F.col(f"r_{right_ts}").cast("double") / band_seconds).cast(
+            "long"
+        ),
+    )
+    r_ts_sec = F.col(f"r_{right_ts}").cast("double")
+    return (
+        lhs.join(rhs, [on, "_cand"], "inner")
+        .filter((r_ts_sec >= lsec - band_seconds) & (r_ts_sec < lsec))
+        .drop("_cand")
+    )
 
 
 def map_column(

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gexp_ml_dask_spark.operators import (
@@ -365,6 +365,112 @@ def op_join_03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("label"),
     )
     return jn.align_features_labels(feats, labels)
+
+
+@register(
+    "op_join_04_asof_events",
+    "WITH c AS (SELECT event_id, user_id, ts, value FROM events "
+    "WHERE event_type = 'click'), "
+    "v AS (SELECT event_id, user_id, ts, value FROM events "
+    "WHERE event_type = 'view') "
+    "SELECT c.event_id, c.user_id, "
+    "CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_sec, c.value, "
+    "a.asof_value, a.asof_event_id "
+    "FROM c LEFT JOIN LATERAL ("
+    "SELECT v.value AS asof_value, CAST(v.event_id AS BIGINT) AS asof_event_id "
+    "FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts "
+    "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) a ON TRUE",
+)
+def op_join_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-04 `[mandate]`: backward as-of join — every click
+    event attributed to the user's most recent view at-or-before it
+    (ties broken by larger event_id). No reference analogue; Spark
+    lacks a native as-of, so the engine's union+window kernel
+    (operators/joins.py asof_join) computes it in ONE key shuffle.
+    The oracle is the unambiguous LATERAL top-1 form."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = jn.asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+        right_cols=["value", "event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("ts_sec"),
+        "value",
+        F.col("asof_value"),
+        F.col("asof_event_id").cast("long").alias("asof_event_id"),
+    )
+
+
+@register(
+    "op_join_05_range_band",
+    "SELECT e.event_id, e.user_id, count(*) AS n_clicks, "
+    "round(sum(c.value), 6) AS click_total "
+    "FROM events e JOIN events c ON c.user_id = e.user_id "
+    "AND epoch(c.ts) >= epoch(e.ts) - 300 AND epoch(c.ts) < epoch(e.ts) "
+    "WHERE e.event_type = 'error' AND c.event_type = 'click' "
+    "GROUP BY 1, 2",
+)
+def op_join_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-05 `[mandate]`: banded range join — for each error
+    event, aggregate the same user's clicks in the preceding 5
+    minutes. The engine buckets both sides by floor(epoch/band) and
+    equi-joins on (user, bucket) with the band as a residual filter
+    (operators/joins.py banded_range_join) — a hash join whose
+    shuffle is 2x the probe side, never a per-key cross-product; the
+    oracle is the plain inequality join."""
+    ev = load_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pairs = jn.banded_range_join(
+        errors, clicks, on="user_id", band_seconds=300
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        r6(F.sum("r_value")).alias("click_total"),
+    )
+
+
+@register(
+    "op_join_06_salted_dim",
+    "SELECT c.c_nationkey AS nationkey, count(*) AS n_orders, "
+    "round(sum(o.o_totalprice), 6) AS revenue "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY 1",
+)
+def op_join_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-06 `[mandate]`: skew-safe salted fact⋈dim join
+    (operators/joins.py salted_join — fact rows get a random salt,
+    the dim side is replicated salt ways, the hot key spreads over
+    ``salt`` tasks). Row-identical to the plain join, which is the
+    oracle; the revenue-per-nation rollup keeps the checked result
+    small."""
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    joined = jn.salted_join(fact, dim, key="custkey", salt=8)
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_orders"),
+        r6(F.sum("o_totalprice")).alias("revenue"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1146,6 +1252,39 @@ def op_ml_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"), F.col("pred")
     )
     return r2_score_df(scored, "y", "pred").select(r6("r2").alias("r2"))
+
+
+@register(
+    "op_ml_10_accuracy",
+    "WITH cnt AS (SELECT o_orderpriority AS p, o_orderstatus AS s, "
+    "count(*) AS n FROM orders GROUP BY 1, 2), "
+    "best AS (SELECT p, s FROM (SELECT p, s, row_number() OVER "
+    "(PARTITION BY p ORDER BY n DESC, s ASC) AS rn FROM cnt) WHERE rn = 1) "
+    "SELECT round(avg(CASE WHEN o.o_orderstatus = b.s THEN 1.0 ELSE 0.0 END), 6) "
+    "AS accuracy FROM orders o JOIN best b ON o.o_orderpriority = b.p",
+)
+def op_ml_10_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10: accuracy scoring (`accuracy_score`,
+    functions/dask_cv.py:36-38) as pure SQL given a prediction
+    column. The deterministic "model" both engines agree on is the
+    per-priority majority orderstatus (ties broken by status asc)."""
+    from gexp_ml_dask_spark.ml.metrics import accuracy_df
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("label"),
+    )
+    cnt = orders.groupBy("p", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p").orderBy(F.desc("n"), F.asc("label"))
+    best = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p", F.col("label").alias("prediction"))
+    )
+    scored = orders.join(F.broadcast(best), "p")
+    return accuracy_df(scored, "label", "prediction").select(
+        r6("accuracy").alias("accuracy")
+    )
 
 
 # ---------------------------------------------------------------------------

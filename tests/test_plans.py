@@ -126,6 +126,28 @@ def test_semi_join_is_broadcast_left_semi(spark, registry):
     assert "SortMergeJoin" not in p
 
 
+def test_asof_join_single_shuffle(spark, registry):
+    """OP-JOIN-04: the as-of kernel must plan as union -> ONE
+    hash-partition exchange on the key -> window, never a range
+    cross-product (BroadcastNestedLoopJoin/CartesianProduct)."""
+    p = plan(registry["op_join_04_asof_events"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+    # exactly one shuffle: the hashpartitioning on user_id
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_range_join_is_hash_join(spark, registry):
+    """OP-JOIN-05: the banded range join must be a hash equi-join on
+    (key, bucket) with the band predicate as a residual — a nested
+    loop here is the 100 TB cliff the bucketing exists to avoid."""
+    p = plan(registry["op_join_05_range_band"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
 def test_salted_join_row_equivalent(spark):
     """Salting must not change join results — same rows as the plain
     join, hot key spread over `salt` tasks."""
