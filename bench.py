@@ -46,9 +46,44 @@ HEADLINE = [
 ]
 
 
+def host_telemetry() -> dict[str, float]:
+    """Scheduling-latency + load snapshot recorded alongside the
+    timings. BASELINE.md's environment note documents 2-5x swings of
+    identical plans with co-tenant host load; pipe round-trip time
+    (healthy: 5-20 us) and loadavg make each recording interpretable
+    after the fact."""
+    import time as _t
+
+    r, w = os.pipe()
+    r2, w2 = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child: echo server
+        os.close(w)
+        os.close(r2)
+        while True:
+            b = os.read(r, 1)
+            if not b:
+                os._exit(0)
+            os.write(w2, b)
+    os.close(r)
+    os.close(w2)
+    n = 1000
+    t0 = _t.perf_counter()
+    for _ in range(n):
+        os.write(w, b"x")
+        os.read(r2, 1)
+    rtt_us = (_t.perf_counter() - t0) / n * 1e6
+    os.close(w)
+    os.close(r2)
+    os.waitpid(pid, 0)
+    load1 = os.getloadavg()[0]
+    return {"pipe_rtt_us": round(rtt_us, 1), "loadavg_1m": round(load1, 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    host = host_telemetry()
 
     from __spark_entry__ import queries
 
@@ -92,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host": host,
             }
         )
     )

@@ -250,3 +250,92 @@ def chunk_documents(
             F.size(piece).cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+def term_frequencies(
+    docs: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (corpus term frequency, [mandate]) — the classic
+    distributed wordcount: row-local tokenize+explode, ONE hash
+    aggregation on the term (map-side partials shrink the shuffle to
+    |vocab| per task), then a global top-N that Spark plans as
+    TakeOrderedAndProject — no full sort at any scale. Ties broken
+    by term asc so the result is deterministic across engines."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
+def bigram_counts(
+    docs: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (bigram LM counts, [mandate]) — adjacent-token
+    pairs via zip_with over two row-local slices of the token array
+    (no self-join, no positional explode+rejoin), then wordcount's
+    agg + top-N. The n-gram tables that seed tokenizer/LM training
+    are exactly this shape."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (TF-IDF keywords, [mandate]) — per-document top-k
+    terms by tf * ln(N / df). Three hash aggs (doc-term tf, term df,
+    corpus N) + one broadcast join of the term-level idf + a per-doc
+    row_number window. The doc-term agg dominates and shuffles once
+    on (doc, term); df is |vocab|-sized and N is a scalar literal —
+    both broadcast, so the fact side never reshuffles. Deterministic:
+    double arithmetic is identical across engines, ties broken by
+    term asc."""
+    doc_terms = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.select(F.count("*")).collect()[0][0]
+    df_counts = doc_terms.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = df_counts.select(
+        "term",
+        F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"),
+    )
+    scored = doc_terms.join(F.broadcast(idf), "term").withColumn(
+        "score", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "rank")
+    )

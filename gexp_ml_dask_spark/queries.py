@@ -1629,6 +1629,65 @@ def op_llm_04_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_04_word_freq",
+    "SELECT term, count(*) AS n FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) t "
+    "WHERE term <> '' GROUP BY term ORDER BY n DESC, term ASC LIMIT 100",
+)
+def op_llm_04_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (corpus term frequency): distributed wordcount with
+    map-side partial aggregation + TakeOrderedAndProject top-100
+    (ties broken by term asc, so both engines agree exactly)."""
+    from gexp_ml_dask_spark.llm.text import term_frequencies
+
+    return term_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_04_bigrams",
+    "SELECT bigram, count(*) AS n FROM "
+    "(SELECT unnest(list_transform(range(1, len(t)), "
+    "i -> t[i] || ' ' || t[i + 1])) AS bigram "
+    "FROM (SELECT string_split(text, ' ') AS t FROM documents) "
+    "WHERE len(t) >= 2) "
+    "GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100",
+)
+def op_llm_04_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (bigram LM counts): adjacent-pair zip_with over two
+    row-local token-array slices — no self-join — then wordcount agg
+    + deterministic top-100."""
+    from gexp_ml_dask_spark.llm.text import bigram_counts
+
+    return bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_04_tfidf",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "dt AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+    "WHERE term <> '' GROUP BY 1, 2), "
+    "dfc AS (SELECT term, count(*) AS df FROM dt GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "scored AS (SELECT dt.doc_id, dt.term, dt.tf, "
+    "dt.tf * ln(n.n_docs / dfc.df) AS score "
+    "FROM dt JOIN dfc USING (term), n) "
+    "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, rank FROM "
+    "(SELECT doc_id, term, tf, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank "
+    "FROM scored) s WHERE rank <= 3",
+)
+def op_llm_04_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (TF-IDF keywords): per-doc top-3 terms by
+    tf * ln(N/df) — one (doc,term) shuffle, vocab-sized idf
+    broadcast, per-doc row_number window. Identical double
+    arithmetic on both engines; ties broken by term asc."""
+    from gexp_ml_dask_spark.llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "op_llm_04_sequence_pack",
     "WITH t AS (SELECT doc_id, source, "
     "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), "
