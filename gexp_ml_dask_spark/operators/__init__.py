@@ -5,6 +5,15 @@ from gexp_ml_dask_spark.operators import (
     physical,
     scalars,
     sorts,
+    windows,
 )
 
-__all__ = ["aggregates", "filters", "joins", "physical", "scalars", "sorts"]
+__all__ = [
+    "aggregates",
+    "filters",
+    "joins",
+    "physical",
+    "scalars",
+    "sorts",
+    "windows",
+]

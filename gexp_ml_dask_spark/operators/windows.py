@@ -1,0 +1,93 @@
+"""Analytic window functions (SURVEY.md §2.5 — `[mandate]`).
+
+The reference has no window functions (SURVEY.md §2.5); these enter
+via the driver mandate's analytics surface: per-key ordered frames
+over the ``events`` stream — the moving averages / deltas / running
+totals a feature-engineering pipeline computes before training.
+
+Scale posture: every function here is ONE hash-partition shuffle on
+the partition key + an in-partition sort — no self-joins, no
+cross-products. Frames are ROWS-bounded (never RANGE over unbounded
+high-cardinality doubles), so state per group is O(frame), and the
+deterministic (ts, id) ordering makes results engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_window(key_col: str, ts_col: str, id_col: str) -> Window:
+    return Window.partitionBy(key_col).orderBy(ts_col, id_col)
+
+
+def moving_average(
+    events: DataFrame,
+    frame_rows: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_col: str = "mavg",
+) -> DataFrame:
+    """Trailing ``frame_rows``-row moving average of ``value_col``
+    per key, ordered by (ts, id). Sequential in-frame summation
+    order is identical across engines, so the doubles match bit-for-
+    bit (rounded at the query edge regardless)."""
+    w = _ordered_window(key_col, ts_col, id_col).rowsBetween(
+        -(frame_rows - 1), Window.currentRow
+    )
+    return events.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def lag_delta(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "gap_seconds",
+) -> DataFrame:
+    """Seconds since the key's previous event (null for the first) —
+    the inter-arrival feature; lag(ts) over the same ordered
+    window."""
+    w = _ordered_window(key_col, ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    return events.withColumn(
+        out_col,
+        F.col(ts_col).cast("double") - prev.cast("double"),
+    )
+
+
+def running_total(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Per-key cumulative sum in event order (ROWS unbounded
+    preceding — RANGE would merge ts ties and differ from pandas'
+    cumsum semantics)."""
+    w = _ordered_window(key_col, ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def rank_in_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "value",
+    id_col: str = "event_id",
+    out_col: str = "value_rank",
+    descending: bool = True,
+) -> DataFrame:
+    """Dense per-key rank of ``order_col`` (ties broken by id so the
+    rank is total and engine-portable)."""
+    oc: Column = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(key_col).orderBy(oc, F.asc(id_col))
+    return events.withColumn(
+        out_col, F.row_number().over(w).cast("long")
+    )

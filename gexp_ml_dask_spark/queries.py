@@ -629,6 +629,172 @@ def op_agg_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_11_rollup",
+    "WITH e AS (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket, "
+    "value FROM events) "
+    "SELECT event_type, bucket, "
+    "CAST(GROUPING(event_type) * 2 + GROUPING(bucket) AS BIGINT) AS lvl, "
+    "count(*) AS n, round(sum(value), 6) AS total "
+    "FROM e GROUP BY ROLLUP (event_type, bucket)",
+)
+def op_agg_11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-11 `[mandate]`: hierarchical ROLLUP (event_type →
+    user bucket → grand total) in one pass — Spark expands the
+    grouping sets inside a single hash aggregate (Expand + partial
+    agg), so the three levels cost one shuffle, not three jobs.
+    ``lvl`` disambiguates subtotal rows from genuine nulls."""
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 10).cast("long").alias("bucket"),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "bucket")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("bucket"))
+            .cast("long")
+            .alias("lvl"),
+            F.count("*").alias("n"),
+            r6(F.sum("value")).alias("total"),
+        )
+        .select("event_type", "bucket", "lvl", "n", "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 [mandate] analytic window functions (the reference has none)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_win_01_moving_average",
+    "SELECT event_id, user_id, round(avg(value) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg FROM events",
+)
+def op_win_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-01 `[mandate]`: trailing 5-row moving average per user
+    — ROWS frame over deterministic (ts, event_id) order, one key
+    shuffle (operators/windows.py moving_average)."""
+    from gexp_ml_dask_spark.operators.windows import moving_average
+
+    out = moving_average(load_events(spark, sf_dir), frame_rows=5)
+    return out.select("event_id", "user_id", r6("mavg").alias("mavg"))
+
+
+@register(
+    "op_win_02_lag_delta",
+    "SELECT event_id, user_id, round(epoch(ts) - lag(epoch(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_seconds "
+    "FROM events",
+)
+def op_win_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-02 `[mandate]`: inter-arrival seconds per user (lag;
+    null for each user's first event)."""
+    from gexp_ml_dask_spark.operators.windows import lag_delta
+
+    out = lag_delta(load_events(spark, sf_dir))
+    return out.select(
+        "event_id", "user_id", r6("gap_seconds").alias("gap_seconds")
+    )
+
+
+@register(
+    "op_win_03_running_total",
+    "SELECT event_id, user_id, round(sum(value) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING), 6) AS running_total FROM events",
+)
+def op_win_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-03 `[mandate]`: per-user cumulative sum in event order
+    (ROWS frame — RANGE would merge ts ties and break pandas-cumsum
+    parity)."""
+    from gexp_ml_dask_spark.operators.windows import running_total
+
+    out = running_total(load_events(spark, sf_dir))
+    return out.select(
+        "event_id", "user_id", r6("running_total").alias("running_total")
+    )
+
+
+@register(
+    "op_win_04_rank_in_key",
+    "SELECT event_id, user_id, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY value DESC, event_id ASC) "
+    "AS value_rank FROM events",
+)
+def op_win_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-04 `[mandate]`: total per-user rank of event value
+    (row_number, ties broken by event_id — engine-portable)."""
+    from gexp_ml_dask_spark.operators.windows import rank_in_key
+
+    out = rank_in_key(load_events(spark, sf_dir))
+    return out.select("event_id", "user_id", "value_rank")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 [mandate] set operations (the reference has none)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_set_01_union",
+    "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000 "
+    "UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+)
+def op_set_01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SET-01 `[mandate]`: distinct UNION of two key slices —
+    Spark plans union + distinct as one Expand-free hash aggregate
+    over both scans."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "op_set_02_intersect",
+    "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000 "
+    "INTERSECT SELECT o_custkey FROM orders "
+    "WHERE o_orderpriority = '1-URGENT'",
+)
+def op_set_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SET-02 `[mandate]`: INTERSECT (distinct semantics) — Spark
+    plans a left-semi hash join over distinct keys."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "op_set_03_except",
+    "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000 "
+    "EXCEPT SELECT o_custkey FROM orders "
+    "WHERE o_orderpriority = '1-URGENT'",
+)
+def op_set_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SET-03 `[mandate]`: EXCEPT (distinct semantics) — planned
+    as a left-anti hash join over distinct keys."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)
+
+
 # ---------------------------------------------------------------------------
 # §2.6 Sorts / top-k
 # ---------------------------------------------------------------------------
@@ -2003,6 +2169,52 @@ def op_llm_05_streaming_sessions(
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("op_llm_05_streaming_enrich")
+def op_llm_05_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05 (rows-only): stream-static join — the event stream
+    is enriched per micro-batch against a static user->tier
+    dimension (broadcast lookup, stateless; only the windowed agg
+    holds state), then rolled up per (window, tier). Batch
+    equivalence is asserted in tests/test_streaming.py."""
+    from gexp_ml_dask_spark.streaming import streaming_static_enrich
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    dim = user_tier_dim(spark, sf_dir)
+    agg_stream = streaming_static_enrich(
+        spark, f"{sf_dir}/events.parquet", raw_schema, dim
+    )
+    name = "op_llm_05_enrich_sink"
+    q = (
+        agg_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static user->tier dimension derived deterministically from the
+    events table's user ids (tier = user_id % 3 bucket names)."""
+    return (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.element_at(
+                F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+                (F.col("user_id") % 3 + 1).cast("int"),
+            ),
+        )
+    )
 
 
 @register("op_llm_05_stateful_dedup")

@@ -5,6 +5,7 @@ from gexp_ml_dask_spark.streaming.windows import (
     session_windows_batch,
     sliding_window_counts,
     streaming_session_counts,
+    streaming_static_enrich,
     streaming_tumbling_counts,
     tumbling_window_counts,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_window_counts",
     "session_windows_batch",
     "streaming_session_counts",
+    "streaming_static_enrich",
     "streaming_tumbling_counts",
     "streaming_first_seen_dedup",
 ]

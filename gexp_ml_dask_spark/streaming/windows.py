@@ -194,3 +194,43 @@ def streaming_tumbling_counts(
             "total",
         )
     )
+
+
+def streaming_static_enrich(
+    spark,
+    source_path: str,
+    schema,
+    dim: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    dim_key: str = "user_id",
+    dim_attr: str = "tier",
+):
+    """Stream-static join + windowed rollup: each micro-batch of the
+    event stream is enriched against a STATIC dimension (broadcast
+    hash lookup, stateless — Spark re-plans the static side per
+    batch, so a dim refresh is picked up between batches), then
+    aggregated per (window, dim attribute) under the watermark.
+
+    This is the canonical online feature pipeline shape: facts
+    stream, dims don't. The stream-static join adds NO state-store
+    entries (unlike stream-stream joins); only the windowed agg
+    keeps state, bounded by the watermark. Returns the unstarted
+    streaming DataFrame; batch equivalence is the test oracle."""
+    stream = _open_event_stream(spark, source_path, schema, ts_col)
+    enriched = stream.join(F.broadcast(dim), dim_key)
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("w"), F.col(dim_attr))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            dim_attr,
+            "n",
+            "total",
+        )
+    )

@@ -177,3 +177,54 @@ def test_streaming_sessions_equal_batch_on_closed_sessions(spark):
     final_wm = max_ts - 30 * 60
     must_emit = {k for k in batch if k[2] < final_wm}
     assert must_emit <= set(online), sorted(must_emit - set(online))[:5]
+
+
+def test_streaming_static_enrich_equals_batch(spark):
+    """Stream-static join: per-micro-batch broadcast enrichment +
+    windowed rollup must agree with the same join+agg run in batch."""
+    from gexp_ml_dask_spark.queries import user_tier_dim
+    from gexp_ml_dask_spark.sources.readers import load_events
+    from gexp_ml_dask_spark.streaming import streaming_static_enrich
+
+    dim = user_tier_dim(spark, SF_SMOKE)
+    events = load_events(spark, SF_SMOKE)
+    batch = {
+        (r["window_start"], r["tier"]): (r["n"], r["total"])
+        for r in (
+            events.join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("tier"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("total"),
+            )
+            .select(
+                F.col("w.start").cast("long").alias("window_start"),
+                "tier",
+                "n",
+                "total",
+            )
+            .collect()
+        )
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    agg = streaming_static_enrich(
+        spark, f"{SF_SMOKE}/events.parquet", raw_schema, dim
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_enrich_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream = {
+            (r["window_start"], r["tier"]): (r["n"], r["total"])
+            for r in spark.table("t_enrich_test").collect()
+        }
+    finally:
+        q.stop()
+
+    assert stream == batch
