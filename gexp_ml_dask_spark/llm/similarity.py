@@ -347,3 +347,26 @@ def knn_lsh(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OP-LLM-03 (centroids, [mandate]) — per-label mean vector in
+    long form (label, dim, centroid): posexplode the array row-local,
+    ONE hash agg on (label, dim). Long output keeps the plan
+    shuffle-minimal and engine-portable; the wide vector is an
+    array_agg away when a consumer (IVF coarse quantizer, class
+    prototype scorer) needs it. Double accumulation on both engines;
+    rounded at the query edge."""
+    return (
+        embeddings.select(
+            F.col(label_col),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        )
+        .groupBy(label_col, "dim")
+        .agg(F.avg("val").alias("centroid"))
+        .withColumn("dim", F.col("dim").cast("long"))
+    )

@@ -1398,6 +1398,55 @@ def op_src_06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_src_08_partitioned_sink",
+    "SELECT doc_id, source, n_chars, lang FROM documents WHERE lang = 'en'",
+)
+def op_src_08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-08 `[mandate]` (sink): hive-partitioned parquet write
+    (partitionBy lang) + pruned read-back — the filter on the
+    partition column turns into PartitionFilters at the scan
+    (pinned in tests/test_plans.py), so only the lang=en directory
+    is ever listed or read."""
+    from gexp_ml_dask_spark.sources.writers import write_partitioned
+
+    path = "/tmp/gexp_spark_artifacts/sink_partitioned"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    write_partitioned(docs, path, ["lang"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            # partition values come back from directory names as
+            # strings; project the filtered literal to keep the
+            # round-trip schema-exact
+            F.lit("en").alias("lang"),
+        )
+    )
+
+
+@register(
+    "op_llm_03_label_centroids",
+    "WITH ex AS (SELECT label, "
+    "unnest(list_transform(embedding, (v, i) -> {'dim': i - 1, 'val': v})) "
+    "AS u FROM embeddings) "
+    "SELECT label, CAST(u.dim AS BIGINT) AS dim, "
+    "round(avg(u.val), 6) AS centroid FROM ex GROUP BY 1, 2",
+)
+def op_llm_03_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (centroids): per-label mean embedding in long form
+    — row-local posexplode + one (label, dim) hash agg."""
+    from gexp_ml_dask_spark.llm.similarity import label_centroids
+
+    out = label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return out.select("label", "dim", r6("centroid").alias("centroid"))
+
+
+@register(
     "op_ml_10_r2_score",
     f"WITH g AS ({G_QTY}), "
     "p AS (SELECT gene_id, avg(value) AS pred FROM g GROUP BY gene_id), "

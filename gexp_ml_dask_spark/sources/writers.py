@@ -69,3 +69,26 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet sink (``partitionBy`` directory
+    layout) — the primary data-layout lever at 100 TB: a reader
+    filtering on a partition column touches only matching
+    directories (partition pruning, visible as ``PartitionFilters``
+    in the scan; pinned in tests/test_plans.py). Partition columns
+    should be low-cardinality (lang, source, date); high-cardinality
+    keys belong in bucketing (write_bucketed) instead — millions of
+    tiny directories kill the listing phase."""
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -126,6 +126,15 @@ def test_semi_join_is_broadcast_left_semi(spark, registry):
     assert "SortMergeJoin" not in p
 
 
+def test_partitioned_sink_prunes_partitions(spark, registry):
+    """OP-SRC-08: a filter on the hive-partition column must become
+    PartitionFilters at the scan — at 100 TB this is the difference
+    between listing one directory and listing all of them."""
+    df = registry["op_src_08_partitioned_sink"](spark, SF_ORACLE)
+    p = plan(df)
+    assert "PartitionFilters" in p and "lang" in p.split("PartitionFilters", 1)[1][:200], p
+
+
 def test_asof_join_single_shuffle(spark, registry):
     """OP-JOIN-04: the as-of kernel must plan as union -> ONE
     hash-partition exchange on the key -> window, never a range
