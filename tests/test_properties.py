@@ -330,3 +330,101 @@ def test_md5_hyperplanes_deterministic_and_mixed_sign():
     comps = [x for plane in a for x in plane]
     assert all(-1.0 <= x < 1.0 for x in comps)
     assert any(x < 0 for x in comps) and any(x > 0 for x in comps)
+
+
+def events_strategy(max_users=3, max_events=14):
+    """Small event sets (user, ts_seconds, value) with deliberate
+    timestamp TIES — the tie-break path is where as-of/range kernels
+    usually break."""
+    return st.lists(
+        st.tuples(
+            st.integers(0, max_users - 1),
+            st.integers(0, 20),  # coarse seconds => frequent ties
+            st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=max_events,
+    )
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    data = [
+        (
+            i,
+            r[0],
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[1]),
+            float(r[2]),
+        )
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(events_strategy(), events_strategy())
+def test_asof_join_matches_naive(spark, left_rows, right_rows):
+    """asof_join == the naive per-row argmax over right rows with
+    (user match, ts <= left.ts), ties by larger event_id."""
+    from gexp_ml_dask_spark.operators.joins import asof_join
+
+    left = _events_df(spark, left_rows)
+    # offset right ids so tie-break ordering is observable
+    right = _events_df(spark, right_rows).withColumn(
+        "event_id", F.col("event_id") + 1000
+    )
+    got = {
+        r["event_id"]: (r["asof_value"], r["asof_event_id"])
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            tiebreak="event_id", right_cols=["value", "event_id"],
+        ).collect()
+    }
+
+    lrows = left.collect()
+    rrows = right.collect()
+    for lr in lrows:
+        cands = [
+            rr
+            for rr in rrows
+            if rr["user_id"] == lr["user_id"] and rr["ts"] <= lr["ts"]
+        ]
+        want = (None, None)
+        if cands:
+            best = max(cands, key=lambda rr: (rr["ts"], rr["event_id"]))
+            want = (best["value"], best["event_id"])
+        assert got[lr["event_id"]] == want, (lr, want, got[lr["event_id"]])
+
+
+@settings(max_examples=10, deadline=None)
+@given(events_strategy(), events_strategy())
+def test_banded_range_join_matches_naive(spark, left_rows, right_rows):
+    """banded_range_join == the naive inequality join
+    left.ts - band <= right.ts < left.ts, regardless of how the band
+    straddles bucket boundaries."""
+    from gexp_ml_dask_spark.operators.joins import banded_range_join
+
+    band = 5.0
+    left = _events_df(spark, left_rows)
+    right = _events_df(spark, right_rows).withColumn(
+        "event_id", F.col("event_id") + 1000
+    )
+    got = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in banded_range_join(
+            left, right, on="user_id", band_seconds=band
+        ).collect()
+    )
+    want = sorted(
+        (lr["event_id"], rr["event_id"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if rr["user_id"] == lr["user_id"]
+        and lr["ts"].timestamp() - band
+        <= rr["ts"].timestamp()
+        < lr["ts"].timestamp()
+    )
+    assert got == want
