@@ -43,6 +43,8 @@ HEADLINE = [
     "op_llm_04_text_stats",         # text quality scalars
     "op_llm_05_tumbling_window",    # event-time windows
     "op_llm_08_curation_pipeline",  # dedup -> quality -> mixture composite
+    "op_join_04_asof_events",       # as-of join (union + single-shuffle window)
+    "op_llm_04_tfidf",              # TF-IDF keywords (tf agg + broadcast idf)
 ]
 
 
