@@ -2266,6 +2266,56 @@ def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_llm_05_interval_join",
+    "SELECT p.user_id AS user_id, c.event_id AS left_id, "
+    "p.event_id AS right_id, "
+    "CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delta_s "
+    "FROM events c JOIN events p ON c.user_id = p.user_id "
+    "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE",
+)
+def op_llm_05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05: batch attribution interval join — purchases matched
+    to clicks by the same user within 30 minutes (the backfill twin
+    of the stream-stream join; one AQE-broadcastable key equi-join
+    with a residual time band)."""
+    from gexp_ml_dask_spark.streaming import interval_join_batch
+
+    return interval_join_batch(load_events(spark, sf_dir))
+
+
+@register("op_llm_05_stream_stream_join")
+def op_llm_05_stream_stream_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-05 (rows-only): watermarked STREAM-STREAM interval join
+    — two file-source streams over the same event log, each
+    watermarked, joined on user + [0, 30 min] event-time band; state
+    eviction is bounded by watermark + interval. Batch equivalence
+    with op_llm_05_interval_join is asserted in
+    tests/test_streaming.py."""
+    from gexp_ml_dask_spark.streaming import streaming_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    pairs = streaming_interval_join(
+        spark, f"{sf_dir}/events.parquet", raw_schema
+    )
+    name = "op_llm_05_ssjoin_sink"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @register("op_llm_05_stateful_dedup")
 def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-05/06 (rows-only): custom stateful streaming operator —

@@ -1,3 +1,7 @@
+from gexp_ml_dask_spark.streaming.joins import (
+    interval_join_batch,
+    streaming_interval_join,
+)
 from gexp_ml_dask_spark.streaming.stateful import (
     streaming_first_seen_dedup,
 )
@@ -18,4 +22,6 @@ __all__ = [
     "streaming_static_enrich",
     "streaming_tumbling_counts",
     "streaming_first_seen_dedup",
+    "interval_join_batch",
+    "streaming_interval_join",
 ]

@@ -228,3 +228,42 @@ def test_streaming_static_enrich_equals_batch(spark):
         q.stop()
 
     assert stream == batch
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Inner stream-stream joins must emit exactly the batch join's
+    pairs once all input is processed (watermarks only gate state
+    eviction, not inner-join emission)."""
+    from gexp_ml_dask_spark.sources.readers import load_events
+    from gexp_ml_dask_spark.streaming import (
+        interval_join_batch,
+        streaming_interval_join,
+    )
+
+    events = load_events(spark, SF_SMOKE)
+    batch = {
+        (r["user_id"], r["left_id"], r["right_id"], r["delta_s"])
+        for r in interval_join_batch(events).collect()
+    }
+    assert batch, "fixture produced no attribution pairs"
+
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    pairs = streaming_interval_join(
+        spark, f"{SF_SMOKE}/events.parquet", raw_schema
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream = {
+            (r["user_id"], r["left_id"], r["right_id"], r["delta_s"])
+            for r in spark.table("t_ssjoin_test").collect()
+        }
+    finally:
+        q.stop()
+
+    assert stream == batch
