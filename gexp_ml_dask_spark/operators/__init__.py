@@ -1,6 +1,7 @@
 from gexp_ml_dask_spark.operators import (
     aggregates,
     filters,
+    graph,
     joins,
     physical,
     scalars,
@@ -11,6 +12,7 @@ from gexp_ml_dask_spark.operators import (
 __all__ = [
     "aggregates",
     "filters",
+    "graph",
     "joins",
     "physical",
     "scalars",

@@ -1,0 +1,140 @@
+"""Iterative graph operators (SURVEY.md §2.11, OP-LLM-02 — [mandate]).
+
+Connected components over an edge list — the last step of every
+near-dup pipeline: candidate PAIRS (MinHash-LSH / n-gram Jaccard /
+SimHash output) must be merged into duplicate CLUSTERS before one
+canonical document per cluster can be kept. Transitive closure is
+not expressible as a fixed relational plan, so this is the one
+legitimately iterative operator in the engine: a driver loop of
+lazy DataFrame plans with an action per round (exactly how GraphX /
+GraphFrames runs it), not a row-at-a-time UDF.
+
+Algorithm: label propagation with pointer jumping. Every node starts
+as its own component label; each round takes
+``min(own label, min neighbor label)`` (one edge-sized shuffle join)
+and then short-circuits chains by following the label pointer once
+(``comp[u] <- comp[comp[u]]``, a node-sized self-join). The jump
+step gives the O(log n) round bound of the classic two-phase
+(large-star/small-star) formulation — a plain neighbor-min walk
+needs O(diameter) rounds, pathological on chain-shaped clusters.
+
+Scale posture (100 TB): per round, ONE shuffle of the edge list on
+its endpoint plus two node-sized joins; labels only ever decrease,
+so convergence is monotone; each round's result is persisted and
+``localCheckpoint``-truncated so the lineage doesn't grow with the
+iteration count (the classic iterative-Spark OOM). Real-world dedup
+graphs converge in 2–4 rounds (clusters are dense and shallow).
+
+No reference analogue (the reference has no graph ops); driver-
+mandate extension. Value oracle: DuckDB recursive CTE transitive
+closure (see queries.py op_llm_02_dup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve ``edges`` into components: (node, component) with
+    ``component`` = the minimum node id reachable from ``node``.
+    Nodes are the distinct edge endpoints (a node with no edges is
+    its own trivial cluster and needn't be materialized here).
+
+    Each round runs one count action (the convergence check); the
+    loop exits as soon as no label changed, or after ``max_iter``
+    rounds (raising — silent non-convergence would silently merge
+    too few duplicates downstream).
+    """
+    # Symmetric, deduped edge list: u<->v once in each direction.
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    comp = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    for _ in range(max_iter):
+        # Round part 1 — neighbor min: the edge list keyed by v picks
+        # up v's current label, then the min over each u's neighbors
+        # folds with u's own label.
+        nbr_min = (
+            sym.join(comp, sym["v"] == comp["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        stepped = (
+            comp.join(nbr_min, comp["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # Round part 2 — pointer jump: follow the label once
+        # (comp[u] <- comp[comp[u]]); labels are node ids, so the
+        # lookup is a node-sized self-join. This is what collapses a
+        # k-chain in O(log k) rounds instead of k.
+        ptr = stepped.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        jumped = (
+            stepped.join(ptr, stepped["component"] == ptr["_pn"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
+            )
+        )
+        # Truncate lineage: without this each round's plan embeds all
+        # previous rounds and the optimizer cost explodes by ~2^r.
+        # localCheckpoint both materializes (eager) and stores the
+        # result, so no separate persist is needed.
+        jumped = jumped.localCheckpoint(eager=True)
+
+        changed = (
+            jumped.alias("n")
+            .join(comp.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        comp.unpersist()
+        comp = jumped
+        if changed == 0:
+            sym.unpersist()
+            return comp
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup cluster table from a candidate-pair table:
+    (doc_id, component) where ``component`` is the smallest doc_id of
+    the duplicate cluster — rows with ``doc_id != component`` are the
+    ones a keep-first dedup drops."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )

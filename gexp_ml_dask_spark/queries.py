@@ -1543,6 +1543,44 @@ def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_llm_02_dup_clusters",
+    # Candidate pairs (the op_llm_02_ngram_jaccard inverted-index
+    # join) resolved into duplicate CLUSTERS by transitive closure:
+    # component = min doc_id reachable over the pair graph. DuckDB
+    # recursive CTE = the oracle for the Spark label-propagation loop.
+    "WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sh), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, "
+    "b.nsh AS nb, count(*) AS ni FROM e a JOIN e b ON a.sh = b.sh "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), "
+    "p0 AS (SELECT id_a, id_b FROM p "
+    "WHERE round(ni / (na + nb - ni), 6) >= 0.4), "
+    "edges AS (SELECT id_a AS u, id_b AS v FROM p0 "
+    "UNION SELECT id_b, id_a FROM p0), "
+    "reach AS (SELECT u AS node, u AS lab FROM edges "
+    "UNION SELECT e2.v, r.lab FROM reach r JOIN edges e2 ON e2.u = r.node) "
+    "SELECT CAST(node AS BIGINT) AS doc_id, "
+    "CAST(min(lab) AS BIGINT) AS component FROM reach GROUP BY node",
+)
+def op_llm_02_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (cluster formation): near-dup candidate pairs
+    resolved into duplicate clusters via iterative connected
+    components (label propagation + pointer jumping — the only
+    legitimately iterative operator; see operators/graph.py)."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+    from gexp_ml_dask_spark.operators.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
+    )
+    return dedup_clusters(pairs)
+
+
 @register("op_llm_02_minhash_lsh")
 def op_llm_02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (MinHash-LSH, rows-only): approx-Jaccard candidate

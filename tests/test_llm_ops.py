@@ -409,3 +409,70 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert by_doc[2][0]["chunk_text"] == "short doc"
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_connected_components_chain_star_singpair(spark):
+    """A 12-node chain (worst case for plain neighbor-min: needs
+    pointer jumping), a star, and an isolated pair must each collapse
+    to their min id."""
+    from gexp_ml_dask_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 112)]
+    star = [(50, x) for x in (51, 52, 53, 54)]
+    pair = [(7, 3)]
+    edges = spark.createDataFrame(
+        chain + star + pair, "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(i, 100) for i in range(100, 113)}
+    want |= {(x, 50) for x in (50, 51, 52, 53, 54)}
+    want |= {(3, 3), (7, 3)}
+    assert got == want
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized cross-check against a driver-side union-find."""
+    import random
+
+    rng = random.Random(42)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    want = {x: find(x) for x in touched}
+    # union-find roots are not necessarily the min id; normalize
+    by_root = {}
+    for x, r in want.items():
+        by_root.setdefault(find(r), []).append(x)
+    want = {
+        x: min(members)
+        for root, members in by_root.items()
+        for x in members
+    }
+
+    from gexp_ml_dask_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
