@@ -411,3 +411,53 @@ def per_gene_scaling_stats(gexp: DataFrame, gene_col: str = "gene_id", value_col
         F.avg(value_col).alias("mean_value"),
         F.stddev_pop(value_col).alias("std_value"),
     )
+
+
+def approx_distinct_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """OP-AGG-12 `[mandate]` — per-key approximate distinct count
+    (HyperLogLog++). No reference analogue (the reference counts
+    distinct labels exactly, OP-AGG-09); this is the 100 TB form:
+    O(1) state per key instead of a distinct-shuffle of every value,
+    with relative standard deviation ``rsd``. One hash aggregate,
+    map-side partials merge sketch state. Error bound vs the exact
+    count is asserted in tests (estimates are not engine-portable,
+    so this op is rows-only at the driver gate)."""
+    return df.groupBy(key_col).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
+    )
+
+
+def hll_sketches_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key Apache DataSketches HLL sketch (binary, MERGEABLE) —
+    the building block for incremental distinct counting at scale:
+    daily partitions each persist their per-key sketches, and any
+    date range is answered by ``hll_union_agg`` over the stored
+    sketches without rescanning the facts. Pair with
+    :func:`hll_union_estimate`."""
+    return df.groupBy(key_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_union_estimate(
+    sketches: DataFrame,
+    key_col: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge per-key sketches (e.g. from several stored partitions)
+    and estimate the distinct count of the union."""
+    return sketches.groupBy(key_col).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col))
+        ).alias("approx_distinct")
+    )

@@ -662,6 +662,23 @@ def op_agg_11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("op_agg_12_approx_distinct")
+def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
+    distinct users — HyperLogLog++ with rsd=0.02, O(1) state per key
+    vs a distinct-shuffle of every (key,user) pair. Sketch estimates
+    are not bit-portable across engines, so the driver gate is
+    rows-only; the ≤5% error bound vs the exact count AND the
+    mergeability of the DataSketches-HLL twin (partition sketches →
+    union == whole-table sketch) are asserted in
+    tests/test_llm_ops.py."""
+    from gexp_ml_dask_spark.operators.aggregates import approx_distinct_by
+
+    return approx_distinct_by(
+        load_events(spark, sf_dir), "event_type", "user_id", rsd=0.02
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 [mandate] analytic window functions (the reference has none)
 # ---------------------------------------------------------------------------
@@ -1395,6 +1412,26 @@ def op_src_06(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     write_csv(nation, path)
     return spark.read.options(header=True, inferSchema=True).csv(path)
+
+
+@register(
+    "op_src_09_orc_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def op_src_09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-09 `[mandate]` (source+sink): ORC write + read-back —
+    the second columnar interchange format (Hive/Trino-native);
+    lossless for all engine types, with the same column-pruning and
+    predicate-pushdown at the scan as parquet (plan pinned in
+    tests/test_plans.py)."""
+    from gexp_ml_dask_spark.sources.writers import write_orc
+
+    path = "/tmp/gexp_spark_artifacts/sink_orc"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_orc(docs, path)
+    return spark.read.orc(path)
 
 
 @register(

@@ -92,3 +92,19 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — the second columnar interchange format (no
+    reference analogue; the reference is parquet/CSV only). ORC is
+    lossless for every engine type we use, carries the same
+    column-pruning / predicate-pushdown benefits as parquet
+    (Catalyst emits PushedFilters into the ORC scan too), and is the
+    native format of Hive/Trino warehouses a 100 TB deployment
+    typically has to interoperate with."""
+    df.write.mode(mode).option("compression", compression).orc(path)

@@ -200,3 +200,52 @@ def test_incremental_fit_matches_closed_form_and_converges(spark):
     # long-run convergence to the least-squares optimum
     state2 = incremental_linear_fit(df, "x", "y", lr=5e-3, epochs=60)
     assert abs(state2["w"] - sxy / sxx) < 1e-6
+
+
+def test_approx_distinct_error_bound(spark):
+    """OP-AGG-12: HLL++ per-key estimate within 5% of exact at
+    rsd=0.02, and the DataSketches-HLL partition sketches must merge
+    to the same estimate as one whole-table sketch (mergeability is
+    what makes sketches the 100 TB distinct-count path)."""
+    from gexp_ml_dask_spark.operators.aggregates import (
+        approx_distinct_by,
+        hll_sketches_by,
+        hll_union_estimate,
+    )
+    from gexp_ml_dask_spark.sources.readers import load_events
+    from tests.conftest import SF_ORACLE
+
+    events = load_events(spark, SF_ORACLE)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in approx_distinct_by(
+            events, "event_type", "user_id", rsd=0.02
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, n, approx[k])
+
+    # mergeability: per-half sketches unioned == whole-table sketch
+    halves = events.withColumn("half", (F.col("event_id") % 2).cast("int"))
+    by_half = (
+        halves.groupBy("event_type", "half")
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch"))
+    )
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_union_estimate(by_half, "event_type").collect()
+    }
+    whole = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_union_estimate(
+            hll_sketches_by(events, "event_type", "user_id"), "event_type"
+        ).collect()
+    }
+    assert merged == whole

@@ -299,3 +299,24 @@ def test_curation_composite_single_fact_shuffle(spark, registry):
     assert shuffles == 1, f"expected 1 fact shuffle, plan tree:\n{tree}"
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_orc_scan_pushdown_and_pruning(spark):
+    """OP-SRC-09: the ORC scan must get predicate pushdown and
+    column pruning exactly like parquet."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.sources.writers import write_orc
+
+    path = "/tmp/gexp_spark_artifacts/plans_orc"
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    write_orc(docs, path)
+    q = (
+        spark.read.orc(path)
+        .filter(F.col("n_chars") > 100)
+        .select("doc_id", "n_chars")
+    )
+    p = plan(q)
+    assert "PushedFilters" in p and "n_chars" in p.split("PushedFilters", 1)[1][:200], p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" not in read_schema
