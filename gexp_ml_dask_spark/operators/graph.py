@@ -42,16 +42,27 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Resolve ``edges`` into components: (node, component) with
     ``component`` = the minimum node id reachable from ``node``.
     Nodes are the distinct edge endpoints (a node with no edges is
     its own trivial cluster and needn't be materialized here).
 
-    Each round runs one count action (the convergence check); the
-    loop exits as soon as no label changed, or after ``max_iter``
-    rounds (raising — silent non-convergence would silently merge
-    too few duplicates downstream).
+    Size-gated hybrid, same logic as Spark's own broadcast-join
+    cutoff: a near-dup candidate graph is a sparse residue of the
+    corpus (LSH emits ~0.01% of pairs), so when the deduped edge
+    list has at most ``driver_threshold`` rows it is collected and
+    closed with a driver-side union-find — one job instead of
+    O(log n) multi-stage rounds. Above the threshold the fully
+    distributed label-propagation + pointer-jump loop runs (set
+    ``driver_threshold=0`` to force it); each round runs one count
+    action (the convergence check — only the neighbor-min step needs
+    checking: at its fixpoint the label map is idempotent, so the
+    jump step is a no-op too), and the loop exits as soon as no
+    label changed, or after ``max_iter`` rounds (raising — silent
+    non-convergence would silently merge too few duplicates
+    downstream).
     """
     # Symmetric, deduped edge list: u<->v once in each direction.
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -61,6 +72,16 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    if driver_threshold > 0:
+        # limit() bounds the probe: never collects more than
+        # threshold+1 rows even on a huge graph.
+        probe = sym.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            sym.unpersist()
+            return _driver_union_find(
+                edges.sparkSession, probe, edges.schema[src].dataType
+            )
 
     comp = (
         sym.select("u")
@@ -103,9 +124,10 @@ def connected_components(
         )
         # Truncate lineage: without this each round's plan embeds all
         # previous rounds and the optimizer cost explodes by ~2^r.
-        # localCheckpoint both materializes (eager) and stores the
-        # result, so no separate persist is needed.
-        jumped = jumped.localCheckpoint(eager=True)
+        # Lazy checkpoint: the convergence count below is the first
+        # action, so it materializes AND measures in ONE job —
+        # iterative loops live and die by actions-per-round.
+        jumped = jumped.localCheckpoint(eager=False)
 
         changed = (
             jumped.alias("n")
@@ -122,6 +144,40 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _driver_union_find(spark, sym_rows, id_type) -> DataFrame:
+    """Close a small collected edge list with path-halving
+    union-find; labels normalized to the min member id (the same
+    contract as the distributed loop)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in sym_rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # Roots merge min-first, so every root IS its tree's min id.
+    out = [(x, find(x)) for x in parent]
+    schema = StructType(
+        [
+            StructField("node", id_type, True),
+            StructField("component", id_type, True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def dedup_clusters(

@@ -411,10 +411,15 @@ def test_chunk_documents_overlap_and_coverage(spark):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
 
 
-def test_connected_components_chain_star_singpair(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("driver_threshold", [0, 200_000])
+def test_connected_components_chain_star_singpair(spark, driver_threshold):
     """A 12-node chain (worst case for plain neighbor-min: needs
     pointer jumping), a star, and an isolated pair must each collapse
-    to their min id."""
+    to their min id — on BOTH the distributed loop (threshold=0) and
+    the driver union-find fallback."""
     from gexp_ml_dask_spark.operators.graph import connected_components
 
     chain = [(i, i + 1) for i in range(100, 112)]
@@ -425,7 +430,9 @@ def test_connected_components_chain_star_singpair(spark):
     )
     got = {
         (r["node"], r["component"])
-        for r in connected_components(edges).collect()
+        for r in connected_components(
+            edges, driver_threshold=driver_threshold
+        ).collect()
     }
     want = {(i, 100) for i in range(100, 113)}
     want |= {(x, 50) for x in (50, 51, 52, 53, 54)}
@@ -471,8 +478,10 @@ def test_connected_components_random_vs_union_find(spark):
     from gexp_ml_dask_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(df).collect()
-    }
+    for thr in (0, 200_000):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=thr).collect()
+        }
+        assert got == want
     assert got == want
