@@ -339,3 +339,42 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "rank")
     )
+
+
+# OP-LLM-04 [mandate] — PII scrubbing rules, ordered (URLs first so an
+# address inside a URL is consumed by the URL rule). Patterns are
+# restricted to the RE2 ∩ Java-regex common subset so the DuckDB
+# oracle replays them byte-for-byte.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("url", r"https?://\S+", "<URL>"),
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-curation PII scrub: URLs, e-mail addresses, and
+    NNN-NNN-NNNN phone numbers replaced by typed placeholder tokens,
+    with per-rule match counts. Pure codegen column expressions
+    (chained ``regexp_replace`` + ``regexp_count``) — one scan, no
+    shuffle, no UDF; at 100 TB this runs at parquet-read speed."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    clean = F.col(text_col)
+    for _, pat, repl in PII_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(
+        F.col(id_col), clean.alias("clean_text"), *counts
+    )

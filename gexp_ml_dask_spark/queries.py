@@ -1952,6 +1952,50 @@ def op_llm_04_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_04_scrub_pii",
+    # The corpus has no natural PII, so the query PLANTS deterministic
+    # PII derived from doc_id in both engines before scrubbing — the
+    # oracle exercises every regex rule on every row, not an identity.
+    "WITH planted AS (SELECT doc_id, concat(text, ' contact user', "
+    "CAST(doc_id AS VARCHAR), '@example.com or 555-123-4567 see "
+    "https://ex', CAST(doc_id AS VARCHAR), '.org/a b') AS t "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(regexp_replace(t, "
+    "'https?://\\S+', '<URL>', 'g'), "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS clean_text, "
+    "CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_url, "
+    "CAST(len(regexp_extract_all(t, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+    "AS n_email, "
+    "CAST(len(regexp_extract_all(t, "
+    "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone "
+    "FROM planted",
+)
+def op_llm_04_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (PII scrub): URL/email/phone masking with typed
+    placeholders + per-rule counts — chained codegen regexp_replace,
+    one scan, no shuffle. Patterns restricted to the RE2 ∩ Java
+    common subset so the DuckDB oracle replays them exactly."""
+    from gexp_ml_dask_spark.llm.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 see https://ex"),
+            F.col("doc_id").cast("string"),
+            F.lit(".org/a b"),
+        ).alias("text"),
+    )
+    return scrub_pii(planted)
+
+
+@register(
     "op_llm_04_tfidf",
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
     "FROM documents), "

@@ -485,3 +485,27 @@ def test_connected_components_random_vs_union_find(spark):
         }
         assert got == want
     assert got == want
+
+
+def test_scrub_pii_rules(spark):
+    from gexp_ml_dask_spark.llm.text import scrub_pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org now"),
+        (2, "go to https://x.io/a?q=1 or http://y.z/b"),
+        (3, "call 555-123-4567 and 800.555.1212 not 12-34"),
+        (4, "clean text no pii"),
+        (5, "url with mail https://u.io/a@b.com trailing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[1]["n_email"] == 2
+    assert out[2]["clean_text"] == "go to <URL> or <URL>"
+    assert out[2]["n_url"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> and <PHONE> not 12-34"
+    assert out[3]["n_phone"] == 2
+    assert out[4]["clean_text"] == "clean text no pii"
+    assert (out[4]["n_url"], out[4]["n_email"], out[4]["n_phone"]) == (0, 0, 0)
+    # URL rule runs first and consumes the embedded address
+    assert out[5]["clean_text"] == "url with mail <URL> trailing"
