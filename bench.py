@@ -45,6 +45,8 @@ HEADLINE = [
     "op_llm_08_curation_pipeline",  # dedup -> quality -> mixture composite
     "op_join_04_asof_events",       # as-of join (union + single-shuffle window)
     "op_llm_04_tfidf",              # TF-IDF keywords (tf agg + broadcast idf)
+    "op_llm_02_dup_clusters",       # near-dup clusters (pairs -> union-find/CC)
+    "op_llm_04_scrub_pii",          # PII scrub (chained codegen regex scan)
 ]
 
 

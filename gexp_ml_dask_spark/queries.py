@@ -2435,6 +2435,39 @@ def op_llm_05_stream_stream_join(
     return spark.table(name)
 
 
+@register("op_llm_05_watermark_dedup")
+def op_llm_05_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05 (rows-only): built-in bounded-state streaming dedup
+    — the stream unioned with itself (every event duplicated) passes
+    through ``dropDuplicatesWithinWatermark``; state per key is
+    EVICTED once the watermark passes its event time. Exactly one
+    row per event_id must survive (asserted with a row-count
+    invariant in tests/test_streaming.py)."""
+    from gexp_ml_dask_spark.streaming import streaming_watermark_dedup
+    from gexp_ml_dask_spark.streaming.windows import _open_event_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _open_event_stream(
+        spark, f"{sf_dir}/events.parquet", raw_schema, "ts"
+    )
+    deduped = streaming_watermark_dedup(
+        stream.union(stream), ["event_id"], watermark="100 days"
+    ).select("event_id", "event_type", "user_id")
+    name = "op_llm_05_wmdedup_sink"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @register("op_llm_05_stateful_dedup")
 def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-05/06 (rows-only): custom stateful streaming operator —

@@ -4,6 +4,7 @@ from gexp_ml_dask_spark.streaming.joins import (
 )
 from gexp_ml_dask_spark.streaming.stateful import (
     streaming_first_seen_dedup,
+    streaming_watermark_dedup,
 )
 from gexp_ml_dask_spark.streaming.windows import (
     session_windows_batch,
@@ -22,6 +23,7 @@ __all__ = [
     "streaming_static_enrich",
     "streaming_tumbling_counts",
     "streaming_first_seen_dedup",
+    "streaming_watermark_dedup",
     "interval_join_batch",
     "streaming_interval_join",
 ]

@@ -85,3 +85,25 @@ def streaming_first_seen_dedup(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_watermark_dedup(
+    events_stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and
+    EVICTS the key's state once the watermark passes its event time
+    — the right contract for unbounded streams where "duplicate"
+    means "again within the lateness horizon", and the zero-custom-
+    code counterpart to :func:`streaming_first_seen_dedup` (which
+    keeps state forever unless a TTL is set).
+
+    State is O(distinct keys per watermark window), sharded with the
+    shuffle. Returns an unstarted streaming DataFrame (append mode).
+    """
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

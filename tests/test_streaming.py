@@ -267,3 +267,34 @@ def test_stream_stream_interval_join_equals_batch(spark):
         q.stop()
 
     assert stream == batch
+
+
+def test_watermark_dedup_drops_in_horizon_dups(spark):
+    """dropDuplicatesWithinWatermark must keep exactly one row per
+    key when all duplicates arrive inside the lateness horizon."""
+    from gexp_ml_dask_spark.streaming import streaming_watermark_dedup
+    from gexp_ml_dask_spark.streaming.windows import _open_event_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = _open_event_stream(
+        spark, f"{SF_SMOKE}/events.parquet", raw_schema, "ts"
+    )
+    # duplicate every event by unioning the stream with itself
+    dup = stream.union(stream)
+    out = streaming_watermark_dedup(
+        dup, ["event_id"], watermark="100 days"
+    ).select("event_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wmdedup_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [r["event_id"] for r in spark.table("t_wmdedup_test").collect()]
+    finally:
+        q.stop()
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert len(got) == len(set(got)) == n_events
