@@ -378,3 +378,55 @@ def scrub_pii(
     return docs.select(
         F.col(id_col), clean.alias("clean_text"), *counts
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (bigram-LM quality score, [mandate]) — per-document
+    mean log-probability under the corpus's own MLE bigram model:
+    ``score = avg(ln(C(w1,w2) / C(w1·)))`` over the document's
+    adjacent token pairs, with ``C(w1·)`` the bigram-PREFIX count
+    (both derived from ONE corpus bigram relation, so the model is
+    self-consistent and every observed bigram has nonzero
+    probability). The fluency-filter shape used in corpus curation:
+    documents whose token transitions are rare corpus-wide score
+    low.
+
+    Plan: one (w1,w2) hash agg builds the model, one w1 agg folds it
+    to prefix counts (both |vocab|-bounded, broadcast); the fact
+    side (exploded doc bigrams) shuffles once on the final per-doc
+    agg. Docs with <2 tokens carry no bigrams and are absent.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bigrams = docs.filter(n >= 2).select(
+        F.col(id_col), F.explode(bigrams).alias("bigram")
+    )
+    model = doc_bigrams.groupBy("bigram").agg(F.count("*").alias("c12"))
+    prefix = model.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("_w1")
+    ).agg(F.sum("c12").alias("c1"))
+    scored = (
+        doc_bigrams.join(F.broadcast(model), "bigram")
+        .join(
+            F.broadcast(prefix),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+            == F.col("_w1"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c12") / F.col("c1"))), 6
+            ).alias("avg_logp"),
+        )
+    )
+    return scored

@@ -1996,6 +1996,32 @@ def op_llm_04_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_04_bigram_lm",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "db AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t "
+    "WHERE len(toks) >= 2), "
+    "m AS (SELECT bigram, count(*) AS c12 FROM db GROUP BY 1), "
+    "p AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1 "
+    "FROM m GROUP BY 1) "
+    "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "round(avg(ln(m.c12 / p.c1)), 6) AS avg_logp "
+    "FROM db d JOIN m ON d.bigram = m.bigram "
+    "JOIN p ON split_part(d.bigram, ' ', 1) = p.w1 "
+    "GROUP BY d.doc_id",
+)
+def op_llm_04_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (bigram-LM fluency score): per-doc mean
+    log-probability under the corpus's own MLE bigram model — the
+    curation fluency filter. Model and prefix counts are
+    |vocab|-bounded broadcasts; the fact side shuffles once."""
+    from gexp_ml_dask_spark.llm.text import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "op_llm_04_tfidf",
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
     "FROM documents), "

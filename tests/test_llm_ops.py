@@ -509,3 +509,25 @@ def test_scrub_pii_rules(spark):
     assert (out[4]["n_url"], out[4]["n_email"], out[4]["n_phone"]) == (0, 0, 0)
     # URL rule runs first and consumes the embedded address
     assert out[5]["clean_text"] == "url with mail <URL> trailing"
+
+
+def test_bigram_lm_scores_fluency_ordering(spark):
+    """Documents made of corpus-frequent transitions must outscore
+    documents with unique transitions; <2-token docs are absent."""
+    from gexp_ml_dask_spark.llm.text import bigram_lm_scores
+
+    rows = [
+        (1, "a b a b a b"),      # a>b dominates the a-prefix
+        (2, "a b a b"),
+        (3, "a x a y a z"),      # rare continuations of the same prefix
+        (4, "solo"),             # no bigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert 4 not in out
+    assert out[1]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 5
+    # corpus: C(a>b)=5, C(a>x)=C(a>y)=C(a>z)=1 over prefix a (8);
+    # frequent transitions must outscore rare ones
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
+    import math
+    assert abs(out[1]["avg_logp"] - round(3 / 5 * math.log(5 / 8), 6)) < 1e-9
