@@ -23,7 +23,11 @@ its endpoint plus two node-sized joins; labels only ever decrease,
 so convergence is monotone; each round's result is persisted and
 ``localCheckpoint``-truncated so the lineage doesn't grow with the
 iteration count (the classic iterative-Spark OOM). Real-world dedup
-graphs converge in 2–4 rounds (clusters are dense and shallow).
+graphs converge in 2–4 rounds (clusters are dense and shallow);
+measured worst case: a synthetic 1.66M-node graph containing a
+100,000-edge chain converges in ~17 rounds (= log2(chain), as the
+jump step predicts), so the default max_iter=40 covers chains past
+10^11 nodes.
 
 No reference analogue (the reference has no graph ops); driver-
 mandate extension. Value oracle: DuckDB recursive CTE transitive
@@ -41,7 +45,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 40,
     driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Resolve ``edges`` into components: (node, component) with
