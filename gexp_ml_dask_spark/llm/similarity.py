@@ -370,3 +370,39 @@ def label_centroids(
         .agg(F.avg("val").alias("centroid"))
         .withColumn("dim", F.col("dim").cast("long"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """OP-LLM-03 (dimensionality reduction, [mandate]) — deterministic
+    Johnson-Lindenstrauss-style random projection to ``k`` dims: the
+    projection matrix rows are the md5_hyperplanes family (pure
+    function of the seed — every executor, every run, and the SQL
+    oracle derive the SAME floats; nothing is shipped), components
+    scaled by 1/sqrt(k). One codegen projection, no shuffle, no UDF;
+    the standard pre-step that makes brute-force rescoring and
+    centroid math cheap at 100 TB (64->8 dims = 8x less math and
+    shuffle bytes on every downstream similarity op).
+
+    Output columns: id, p0..p{k-1} DOUBLE rounded to 6dp
+    (engine-portable exactness for the value oracle).
+    """
+    import math
+
+    planes = md5_hyperplanes(k, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    inv = 1.0 / math.sqrt(k)
+    comps = [
+        F.round(
+            dot_expr(v, F.array(*[F.lit(x) for x in planes[j]])) * F.lit(inv),
+            6,
+        ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    return df.select(F.col(id_col), *comps)

@@ -1827,6 +1827,37 @@ def op_llm_03_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries, k=10, n_planes=4, n_tables=2)
 
 
+def _random_projection_oracle(k: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """SQL twin of random_projection: the md5-derived projection
+    matrix is a pure function of the seed, so the SAME floats are
+    baked into this query text."""
+    import math
+
+    from gexp_ml_dask_spark.llm.similarity import md5_hyperplanes
+
+    planes = md5_hyperplanes(k, dim, seed)
+    inv = repr(1.0 / math.sqrt(k))
+    comps = ", ".join(
+        f"round(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in p)}]) * {inv}, 6) AS p{j}"
+        for j, p in enumerate(planes)
+    )
+    return f"SELECT vec_id, {comps} FROM embeddings"
+
+
+@register("op_llm_03_random_projection", _random_projection_oracle())
+def op_llm_03_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-03 (dim reduction): deterministic JL random projection
+    64->8 dims — md5 plan-literal matrix, one codegen projection, no
+    shuffle; the pre-step that shrinks every downstream similarity
+    op's math and shuffle bytes 8x."""
+    from gexp_ml_dask_spark.llm.similarity import random_projection
+
+    return random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
 def _lsh_md5_oracle() -> str:
     """SQL twin of knn_lsh(family='md5'): the hyperplanes are
     plan-time constants (pure function of the seed), so the SAME

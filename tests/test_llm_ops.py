@@ -531,3 +531,21 @@ def test_bigram_lm_scores_fluency_ordering(spark):
     assert out[1]["avg_logp"] > out[3]["avg_logp"]
     import math
     assert abs(out[1]["avg_logp"] - round(3 / 5 * math.log(5 / 8), 6)) < 1e-9
+
+
+def test_random_projection_linear_and_deterministic(spark):
+    from gexp_ml_dask_spark.llm.similarity import random_projection
+
+    rows = [
+        (1, [1.0] * 64),
+        (2, [2.0] * 64),   # 2x row 1 -> projections exactly 2x
+        (3, [1.0] * 64),   # identical to row 1 -> identical output
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: [r[f"p{j}"] for j in range(8)] for r in
+           random_projection(df).collect()}
+    assert out[1] == out[3]
+    for a, b in zip(out[1], out[2]):
+        assert abs(b - 2 * a) < 2e-6   # 6dp rounding slack
+    # distinct non-parallel inputs should not collapse
+    assert out[1] != [0.0] * 8
