@@ -46,3 +46,46 @@ def curate_documents(
         .select(id_col, source_col, "quality")
     )
     return sample_mixture(gated, weights, source_col, id_col, seed)
+
+
+def curate_documents_full(
+    docs: DataFrame,
+    weights: dict[str, float],
+    min_quality: float = 0.5,
+    min_fluency: float = -3.43,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """The extended curation plan: PII scrub -> exact dedup (on the
+    SCRUBBED text, so docs differing only in masked PII collapse) ->
+    heuristic quality gate + model-based FLUENCY gate (bigram-LM
+    mean log-prob, fitted on the deduped survivors) -> mixture
+    sample. Output: (doc_id, source, quality, avg_logp).
+
+    Cost shape, stated honestly: the basic :func:`curate_documents`
+    shuffles the fact table once (the dedup window); the fluency
+    gate adds the bigram-model passes — the exploded-bigram
+    aggregates and the per-doc score join are fact-shaped, so this
+    plan is ~3 fact shuffles. At 100 TB you fit the LM stage on a
+    sample (or reuse a frozen model table) and broadcast it; here it
+    is fitted exactly so the DuckDB oracle can replay the whole plan
+    row-for-row.
+    """
+    from gexp_ml_dask_spark.llm.text import PII_RULES, bigram_lm_scores
+
+    clean = F.col(text_col)
+    for _, pat, repl in PII_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    scrubbed = docs.withColumn(text_col, clean)
+    deduped = exact_dedup(scrubbed, id_col, text_col)
+    scores = bigram_lm_scores(deduped, id_col, text_col)
+    gated = (
+        deduped.withColumn("quality", F.round(quality_expr(text_col), 6))
+        .filter(F.col("quality") >= min_quality)
+        .join(scores.select(id_col, "avg_logp"), id_col)
+        .filter(F.col("avg_logp") >= min_fluency)
+        .select(id_col, source_col, "quality", "avg_logp")
+    )
+    return sample_mixture(gated, weights, source_col, id_col, seed)

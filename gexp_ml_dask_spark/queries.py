@@ -2241,6 +2241,61 @@ def op_llm_08_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(docs, _MIX_WEIGHTS, min_quality=0.5)
 
 
+def _curation_full_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {int(round(w * 100000))})"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    hb = _HB.format(key="g.doc_id", n=100000)
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "'https?://\\S+', '<URL>', 'g'), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, source, {scrub} AS text FROM documents), "
+        "keep AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY sha256(text)), "
+        "d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM s "
+        "WHERE doc_id IN (SELECT doc_id FROM keep)), "
+        "q AS (SELECT doc_id, source, "
+        "round(CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END + "
+        "CASE WHEN len(list_filter(toks, "
+        "x -> list_contains(['the','a','of','and','to'], x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END, 6) "
+        "AS quality FROM d), "
+        "db AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d "
+        "WHERE len(toks) >= 2), "
+        "m AS (SELECT bigram, count(*) AS c12 FROM db GROUP BY 1), "
+        "p AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1 "
+        "FROM m GROUP BY 1), "
+        "f AS (SELECT d2.doc_id, round(avg(ln(m.c12 / p.c1)), 6) AS avg_logp "
+        "FROM db d2 JOIN m ON d2.bigram = m.bigram "
+        "JOIN p ON split_part(d2.bigram, ' ', 1) = p.w1 GROUP BY 1), "
+        "g AS (SELECT q.doc_id, q.source, q.quality, f.avg_logp "
+        "FROM q JOIN f ON q.doc_id = f.doc_id "
+        "WHERE q.quality >= 0.5 AND f.avg_logp >= -3.43), "
+        f"w(source, cut) AS (VALUES {values}) "
+        "SELECT g.doc_id, g.source, g.quality, g.avg_logp FROM g "
+        "JOIN w ON g.source = w.source "
+        f"WHERE {hb} < cut"
+    )
+
+
+@register("op_llm_08_curation_full", _curation_full_oracle())
+def op_llm_08_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-08 (extended curation): PII scrub -> exact dedup on
+    scrubbed text -> quality gate + bigram-LM fluency gate (model
+    fitted on the deduped survivors) -> mixture sample; the whole
+    surviving corpus is value-oracled row-for-row."""
+    from gexp_ml_dask_spark.plans.curation import curate_documents_full
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents_full(docs, _MIX_WEIGHTS, min_quality=0.5)
+
+
 @register(
     "op_llm_04_language_id",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

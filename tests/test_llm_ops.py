@@ -549,3 +549,31 @@ def test_random_projection_linear_and_deterministic(spark):
         assert abs(b - 2 * a) < 2e-6   # 6dp rounding slack
     # distinct non-parallel inputs should not collapse
     assert out[1] != [0.0] * 8
+
+
+def test_curation_full_gates_compose(spark, docs):
+    """Extended curation output must be a subset of the basic
+    pipeline's survivors filtered by the fluency gate, and dedup must
+    run on SCRUBBED text."""
+    from gexp_ml_dask_spark.plans.curation import (
+        curate_documents,
+        curate_documents_full,
+    )
+
+    weights = {"web": 1.0, "books": 1.0, "code": 1.0}
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = {s: 1.0 for s in srcs}
+    full = curate_documents_full(
+        docs, weights, min_quality=0.0, min_fluency=-1e9
+    )
+    basic = curate_documents(docs, weights, min_quality=0.0)
+    # with gates disabled, both keep exactly the dedup survivors
+    # (scrub is identity on this corpus)
+    assert {r["doc_id"] for r in full.collect()} == {
+        r["doc_id"] for r in basic.collect()
+    }
+    # tightening the fluency gate only removes rows
+    tight = curate_documents_full(
+        docs, weights, min_quality=0.0, min_fluency=-3.3
+    )
+    assert tight.count() < full.count()
