@@ -418,6 +418,169 @@ def simhash_neardup_pairs(
     )
 
 
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (duplicated n-gram spans) — token-level
+    exact-substring dedup signal, the "repeated n-gram" family from
+    training-data curation (cf. Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how much of it is covered by token ``n``-grams that also occur in
+    at least one OTHER document.
+
+    Returns one row per document:
+    (doc_id, n_tokens, n_dup_ngrams, n_dup_tokens, dup_token_ratio).
+
+    Plan shape (three shuffles, all on well-spread keys):
+      1. row-local positional n-grams via one posexplode (no
+         self-join to build grams — transform over sequence);
+      2. cross-document duplication flag via min/max(doc_id) window
+         over the gram — ONE shuffle on the gram string, no distinct
+         count, no second scan of the postings;
+      3. per-doc union-of-intervals sweep: max(end) over preceding
+         rows (shuffle on doc_id), then the per-doc groupBy reuses
+         that partitioning (no extra shuffle).
+    At 100 TB the gram-window shuffle dominates; hot grams (stock
+    phrases) are bounded because the window only reduces to two
+    BIGINTs per gram, and AQE skew-split handles residual imbalance.
+    A fixed-width variant would shuffle xxhash64(gram) instead of the
+    string — kept exact here so the SQL oracle replays it verbatim.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    gram_positions = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), (F.col("n_tokens") - (n - 1)).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.explode(
+            F.transform(
+                gram_positions,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(" ", F.slice("_t", i, n)).alias("gram"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(id_col, "n_tokens", "_g.pos", "_g.gram")
+
+    wg = Window.partitionBy("gram")
+    dup = (
+        grams.withColumn("_mn", F.min(id_col).over(wg))
+        .withColumn("_mx", F.max(id_col).over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "n_tokens", "pos", (F.col("pos") + (n - 1)).alias("_end"))
+    )
+
+    ws = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = dup.withColumn("_prev_end", F.max("_end").over(ws)).withColumn(
+        "_covered",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("_end")
+            - F.greatest(
+                F.col("pos") - 1, F.coalesce(F.col("_prev_end"), F.col("pos") - 1)
+            ),
+        ),
+    )
+    per_doc = swept.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_ngrams"),
+        F.sum("_covered").alias("n_dup_tokens"),
+    )
+
+    return (
+        base.select(id_col, "n_tokens")
+        .join(per_doc.drop("n_tokens"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (benchmark decontamination) — flag training documents
+    that share any token ``n``-gram with a held-out evaluation set
+    (the standard train/test contamination check run before LLM
+    training; GPT-3-style n-gram overlap, typically n=8..13).
+
+    Returns one row per training document:
+    (doc_id, n_contaminated_ngrams, is_contaminated).
+
+    Plan shape: the eval side reduces to DISTINCT n-grams first —
+    at 100 TB the eval set is benchmark-sized (MBs), so its distinct
+    gram table broadcasts and the training side is ONE scan + explode
+    + broadcast semi-probe + per-doc hash agg; no shuffle ever
+    carries the training grams. If the eval side outgrows the
+    broadcast threshold Catalyst falls back to a shuffled hash join
+    on the gram key — same semantics, still one pass over training.
+    """
+    def doc_grams(df: DataFrame, keep_pos: bool) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        base = df.select(
+            F.col(id_col), toks.alias("_t"), F.size(toks).alias("_nt")
+        )
+        positions = F.when(
+            F.col("_nt") >= n, F.sequence(F.lit(1), F.col("_nt") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        gram = base.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    positions, lambda i: F.concat_ws(" ", F.slice("_t", i, n))
+                )
+            ).alias("gram"),
+        )
+        return gram if keep_pos else gram.select("gram").distinct()
+
+    eval_grams = F.broadcast(doc_grams(eval_docs, keep_pos=False))
+    hits = (
+        doc_grams(docs, keep_pos=True)
+        .join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -662,6 +662,37 @@ def op_agg_11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_11_cube",
+    "WITH e AS (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket, "
+    "value FROM events) "
+    "SELECT event_type, bucket, "
+    "CAST(GROUPING(event_type) * 2 + GROUPING(bucket) AS BIGINT) AS lvl, "
+    "count(*) AS n, round(sum(value), 6) AS total "
+    "FROM e GROUP BY CUBE (event_type, bucket)",
+)
+def op_agg_11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-11 `[mandate]` (CUBE twin): all four grouping sets of
+    (event_type, bucket) in the same single Expand + hash aggregate —
+    one shuffle for the full lattice, same plan family as ROLLUP."""
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 10).cast("long").alias("bucket"),
+        "value",
+    )
+    return (
+        e.cube("event_type", "bucket")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("bucket"))
+            .cast("long")
+            .alias("lvl"),
+            F.count("*").alias("n"),
+            r6(F.sum("value")).alias("total"),
+        )
+        .select("event_type", "bucket", "lvl", "n", "total")
+    )
+
+
 @register("op_agg_12_approx_distinct")
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
@@ -1578,6 +1609,79 @@ def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
     )
+
+
+@register(
+    "op_llm_02_dup_ngram_spans",
+    # Token-level exact-substring dedup signal: per document, the
+    # coverage of 5-grams that also occur in another document.
+    # Union-of-intervals sweep = running max(end) over preceding
+    # spans; both engines replay it with identical window SQL.
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS t, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), "
+    "grams AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS pos, "
+    "array_to_string(t[i:i+4], ' ') AS gram "
+    "FROM base, unnest(range(1, greatest(n_tokens - 3, 1))) AS g(i)), "
+    "flagged AS (SELECT doc_id, n_tokens, pos, pos + 4 AS e, "
+    "min(doc_id) OVER (PARTITION BY gram) AS mn, "
+    "max(doc_id) OVER (PARTITION BY gram) AS mx FROM grams), "
+    "dup AS (SELECT doc_id, n_tokens, pos, e FROM flagged WHERE mn <> mx), "
+    "swept AS (SELECT doc_id, n_tokens, pos, e, "
+    "max(e) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup), "
+    "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_ngrams, "
+    "CAST(sum(greatest(0, e - greatest(pos - 1, coalesce(prev_e, pos - 1)))) "
+    "AS BIGINT) AS n_dup_tokens FROM swept GROUP BY doc_id) "
+    "SELECT b.doc_id, b.n_tokens, "
+    "coalesce(p.n_dup_ngrams, 0) AS n_dup_ngrams, "
+    "coalesce(p.n_dup_tokens, 0) AS n_dup_tokens, "
+    "round(coalesce(p.n_dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6) "
+    "AS dup_token_ratio "
+    "FROM base b LEFT JOIN per_doc p USING (doc_id)",
+)
+def op_llm_02_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (duplicated n-gram spans): per-doc coverage by
+    cross-document repeated 5-grams — the exact-substring dedup
+    signal from LLM data curation, as three well-spread shuffles
+    (gram window, doc sweep window, reused-partitioning groupBy)."""
+    from gexp_ml_dask_spark.llm.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(load_table(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "op_llm_02_decontaminate",
+    # Benchmark decontamination: the eval split is carved
+    # deterministically (doc_id % 20 = 0) so both engines build the
+    # identical held-out set; a training doc is contaminated if it
+    # shares any token 3-gram with it. n=3 (not the production 8+)
+    # because the synthetic corpus is short-doc; the operator is
+    # n-parameterized.
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS t, "
+    "len(string_split(text, ' ')) AS nt FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram "
+    "FROM base, unnest(range(1, greatest(nt - 1, 1))) AS g(i)), "
+    "ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0), "
+    "hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams "
+    "FROM grams g JOIN ev USING (gram) WHERE g.doc_id % 20 <> 0 "
+    "GROUP BY g.doc_id) "
+    "SELECT d.doc_id, coalesce(h.n_contaminated_ngrams, 0) "
+    "AS n_contaminated_ngrams, "
+    "coalesce(h.n_contaminated_ngrams, 0) > 0 AS is_contaminated "
+    "FROM documents d LEFT JOIN hits h USING (doc_id) "
+    "WHERE d.doc_id % 20 <> 0",
+)
+def op_llm_02_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (decontamination): training docs sharing any token
+    n-gram with the held-out eval split — eval grams reduce to a
+    broadcast DISTINCT table, training side is one scan + explode +
+    broadcast probe + per-doc agg."""
+    from gexp_ml_dask_spark.llm.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(train, eval_docs, n=3)
 
 
 @register(
