@@ -350,3 +350,41 @@ def tmm_transform(
         exact, cache,
     )
     return scale_rows(gexp, factors, sample_col, value_col, "scaling_factor")
+
+
+def quantile_normalize(
+    gexp: DataFrame,
+    sample_col: str = "sample_id",
+    gene_col: str = "gene_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003) — the third
+    classic gexp normalizer beside UQ/TMM (no reference analogue;
+    same estimator family as fsn.py:8-58): every sample's value
+    distribution is replaced by the cross-sample reference
+    distribution at the same rank.
+
+    Deterministic-tie variant: within-sample rank is row_number over
+    (value, gene_id) — a total order both engines replay exactly —
+    rather than average-of-ties, so the result is value-oracle-able
+    bit-for-bit. Plan: ONE window shuffle on sample_id to rank, one
+    hash agg on rank for the reference distribution (|ranks| =
+    max genes/sample rows — broadcast-sized at any corpus scale),
+    and a broadcast join back. The fact table shuffles once.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(sample_col).orderBy(value_col, gene_col)
+    ranked = gexp.select(
+        F.col(sample_col), F.col(gene_col), F.col(value_col)
+    ).withColumn("_r", F.row_number().over(w).cast("long"))
+    ref = ranked.groupBy("_r").agg(F.avg(value_col).alias("_ref"))
+    return (
+        ranked.join(F.broadcast(ref), "_r")
+        .select(
+            F.col(sample_col),
+            F.col(gene_col),
+            F.col("_r").alias("rank_in_sample"),
+            F.round("_ref", 6).alias("value_qn"),
+        )
+    )

@@ -91,3 +91,18 @@ def rank_in_key(
     return events.withColumn(
         out_col, F.row_number().over(w).cast("long")
     )
+
+
+def ntile_in_key(
+    events: DataFrame,
+    n: int = 10,
+    key_col: str = "user_id",
+    order_col: str = "value",
+    id_col: str = "event_id",
+    out_col: str = "decile",
+) -> DataFrame:
+    """Per-key NTILE bucketing of ``order_col`` (ties broken by id so
+    bucket assignment is total and engine-portable). Same single
+    key-shuffle window as :func:`rank_in_key`."""
+    w = Window.partitionBy(key_col).orderBy(F.asc(order_col), F.asc(id_col))
+    return events.withColumn(out_col, F.ntile(n).over(w).cast("long"))

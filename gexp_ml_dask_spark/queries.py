@@ -781,6 +781,21 @@ def op_win_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value_rank")
 
 
+@register(
+    "op_win_04_ntile",
+    "SELECT event_id, user_id, CAST(ntile(10) OVER "
+    "(PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS BIGINT) "
+    "AS decile FROM events",
+)
+def op_win_04_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-04 `[mandate]` (NTILE twin): per-user decile bucketing
+    of event value — same single key-shuffle window as the rank."""
+    from gexp_ml_dask_spark.operators.windows import ntile_in_key
+
+    out = ntile_in_key(load_events(spark, sf_dir))
+    return out.select("event_id", "user_id", "decile")
+
+
 # ---------------------------------------------------------------------------
 # §2.7 [mandate] set operations (the reference has none)
 # ---------------------------------------------------------------------------
@@ -961,6 +976,40 @@ def op_scl_04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_scl_04_winsorize",
+    # Per-gene winsorization: clamp values into the gene's exact
+    # [p05, p95]. percentile_cont matches Spark's exact lerp.
+    f"WITH g AS ({G_QTY}), "
+    "b AS (SELECT gene_id, "
+    "percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo, "
+    "percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi "
+    "FROM g GROUP BY gene_id) "
+    "SELECT sample_id, g.gene_id, row_id, "
+    "round(least(greatest(value, lo), hi), 6) AS value_w "
+    "FROM g JOIN b ON g.gene_id = b.gene_id",
+)
+def op_scl_04_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-04 (winsorize): outlier clamping into per-gene exact
+    [p05, p95] — one hash agg computing both bounds in a single
+    grouped pass, then a clamp below the join; the bounds table is
+    gene-dim-sized so Catalyst broadcasts it and the fact table
+    never shuffles."""
+    g = gexp(spark, sf_dir)
+    bounds = g.groupBy("gene_id").agg(
+        agg.grouped_percentile("value", 0.05).alias("lo"),
+        agg.grouped_percentile("value", 0.95).alias("hi"),
+    )
+    return g.join(F.broadcast(bounds), "gene_id").select(
+        "sample_id",
+        "gene_id",
+        "row_id",
+        r6(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))).alias(
+            "value_w"
+        ),
+    )
+
+
+@register(
     "op_scl_05_str_contains",
     "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%ring%'",
 )
@@ -1044,6 +1093,27 @@ def op_ml_01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = upper_quartile_transform(gexp(spark, sf_dir))
     return out.select("sample_id", "gene_id", "row_id", r6("value").alias("value"))
+
+
+@register(
+    "op_ml_01_quantile_norm",
+    # Deterministic-tie quantile normalization: within-sample rank by
+    # (value, gene_id), reference distribution = mean value per rank.
+    f"WITH g AS ({G_QTY}), "
+    "ranked AS (SELECT sample_id, gene_id, value, "
+    "CAST(row_number() OVER (PARTITION BY sample_id "
+    "ORDER BY value, gene_id) AS BIGINT) AS r FROM g), "
+    "ref AS (SELECT r, avg(value) AS ref FROM ranked GROUP BY r) "
+    "SELECT sample_id, gene_id, r AS rank_in_sample, "
+    "round(ref, 6) AS value_qn FROM ranked JOIN ref USING (r)",
+)
+def op_ml_01_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-01 (quantile normalization): each sample's distribution
+    replaced by the cross-sample mean at the same rank — one fact
+    shuffle (the rank window) + a broadcast rank-reference join."""
+    from gexp_ml_dask_spark.ml.normalization import quantile_normalize
+
+    return quantile_normalize(gexp(spark, sf_dir))
 
 
 @register(
