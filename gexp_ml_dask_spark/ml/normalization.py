@@ -357,6 +357,7 @@ def quantile_normalize(
     sample_col: str = "sample_id",
     gene_col: str = "gene_id",
     value_col: str = "value",
+    cache: bool = True,
 ) -> DataFrame:
     """Quantile normalization (Bolstad et al. 2003) — the third
     classic gexp normalizer beside UQ/TMM (no reference analogue;
@@ -378,6 +379,13 @@ def quantile_normalize(
     ranked = gexp.select(
         F.col(sample_col), F.col(gene_col), F.col(value_col)
     ).withColumn("_r", F.row_number().over(w).cast("long"))
+    if cache:
+        # The ranked table feeds BOTH the reference-distribution agg
+        # and the output join; without a persist each side re-runs
+        # the scan + rank window (two fact shuffles instead of one).
+        from pyspark.storagelevel import StorageLevel
+
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     ref = ranked.groupBy("_r").agg(F.avg(value_col).alias("_ref"))
     return (
         ranked.join(F.broadcast(ref), "_r")

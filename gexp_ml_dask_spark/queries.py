@@ -194,6 +194,34 @@ def op_src_07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("sample_id", r6("A").alias("A"), r6("N").alias("N"), r6("R").alias("R"))
 
 
+@register(
+    "op_src_07_unpivot",
+    # The inverse edge converter: wide (sample × A/N/R) back to long
+    # stacked rows. DuckDB replays it as a UNION ALL stack.
+    "WITH w AS (SELECT sample_id, "
+    "round(sum(CASE WHEN l_returnflag = 'A' THEN value END), 6) AS A, "
+    "round(sum(CASE WHEN l_returnflag = 'N' THEN value END), 6) AS N, "
+    "round(sum(CASE WHEN l_returnflag = 'R' THEN value END), 6) AS R "
+    "FROM (SELECT l_orderkey AS sample_id, l_returnflag, l_quantity AS value "
+    "FROM lineitem) g GROUP BY sample_id) "
+    "SELECT sample_id, flag, value FROM ("
+    "SELECT sample_id, 'A' AS flag, A AS value FROM w "
+    "UNION ALL SELECT sample_id, 'N', N FROM w "
+    "UNION ALL SELECT sample_id, 'R', R FROM w) s WHERE value IS NOT NULL",
+)
+def op_src_07_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-07 (unpivot twin): wide -> long stack via
+    ``DataFrame.unpivot`` — Spark plans one Expand over the wide
+    rows (row-local, no shuffle beyond the pivot that built the
+    input), the exact inverse of the long->wide converter, closing
+    the §1.1 wide↔long round-trip at the ingest edge."""
+    wide = QUERIES["op_src_07_pivot_long_to_wide"](spark, sf_dir)
+    return (
+        wide.unpivot("sample_id", ["A", "N", "R"], "flag", "value")
+        .filter(F.col("value").isNotNull())
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Filters / projections
 # ---------------------------------------------------------------------------
@@ -2514,6 +2542,64 @@ def op_llm_04_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.11 [mandate] OP-LLM-05 — event-time windows (batch oracles; the
 # streaming twins live in gexp_ml_dask_spark.streaming)
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "op_llm_05_funnel",
+    # Strictly-ordered 3-stage funnel (view -> click -> purchase):
+    # stage k counts users whose earliest stage-k event follows their
+    # earliest qualifying stage-(k-1) event.
+    "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+    "JOIN v ON e.user_id = v.user_id "
+    "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+    "JOIN c ON e.user_id = c.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id) "
+    "SELECT stage, stage_name, n_users FROM ("
+    "SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, "
+    "count(*) AS n_users FROM v "
+    "UNION ALL SELECT 2, 'click', count(*) FROM c "
+    "UNION ALL SELECT 3, 'purchase', count(*) FROM p) s",
+)
+def op_llm_05_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05 (batch funnel): strictly-ordered view -> click ->
+    purchase conversion counts. Each stage is one filtered scan +
+    per-user min agg; the previous stage's (user, ts) table is
+    user-dim-sized so its join broadcasts — the events table never
+    shuffles on user_id."""
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, k: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(k).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return stage(v, 1, "view").union(stage(c, 2, "click")).union(
+        stage(p, 3, "purchase")
+    )
 
 
 @register(

@@ -320,3 +320,45 @@ def test_orc_scan_pushdown_and_pruning(spark):
     assert "PushedFilters" in p and "n_chars" in p.split("PushedFilters", 1)[1][:200], p
     read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_dup_ngram_spans_two_fact_shuffles(spark, registry):
+    """op_llm_02_dup_ngram_spans: exactly two hash shuffles (gram
+    window, doc sweep window) — the per-doc groupBy must reuse the
+    sweep window's doc_id partitioning, and the join back to the doc
+    list must broadcast the small per-doc aggregate."""
+    p = plan(registry["op_llm_02_dup_ngram_spans"](spark, SF_ORACLE))
+    tree = p.split("(1) ")[0]
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 2, f"expected 2 fact shuffles, plan tree:\n{tree}"
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, registry):
+    """op_llm_02_decontaminate: the eval-split distinct-gram table is
+    benchmark-sized and must broadcast — the training-side gram
+    stream is probed in place, never shuffled on the gram key."""
+    p = plan(registry["op_llm_02_decontaminate"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_winsorize_broadcasts_bounds(spark, registry):
+    """op_scl_04_winsorize: per-gene [p05,p95] bounds are dim-sized —
+    the clamp join must broadcast them so the fact side of the join
+    never shuffles."""
+    p = plan(registry["op_scl_04_winsorize"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quantile_norm_single_fact_shuffle(spark, registry):
+    """op_ml_01_quantile_norm: one fact shuffle (the per-sample rank
+    window); the rank-reference distribution is broadcast back."""
+    p = plan(registry["op_ml_01_quantile_norm"](spark, SF_ORACLE))
+    tree = p.split("(1) ")[0]
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles <= 2, f"plan tree:\n{tree}"
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
