@@ -71,3 +71,61 @@ def copartition_by_key(df: DataFrame, key: str = "sample_id", n: int | None = No
     unnecessary — labels broadcast — but correct for fact-fact joins
     at 100 TB."""
     return df.repartition(n, key) if n else df.repartition(key)
+
+
+# Magic masks for 32->64-bit Morton bit spreading (the standard
+# interleave-by-doubling sequence).
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def spread_bits_32(col):
+    """Spread a value in [0, 2^32) so its bits occupy the even bit
+    positions of a 64-bit word — pure codegen bit arithmetic."""
+    from pyspark.sql import functions as F
+
+    x = (F.col(col) if isinstance(col, str) else col).cast("long")
+    for shift, mask in _SPREAD_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_code(col_a, col_b):
+    """64-bit Morton (Z-order) code interleaving two values in
+    [0, 2^32): bit i of ``col_a`` lands at position 2i, of ``col_b``
+    at 2i+1. Nearby (a, b) pairs get nearby codes along the
+    Z-curve."""
+    from pyspark.sql import functions as F
+
+    return spread_bits_32(col_a).bitwiseOR(
+        F.shiftleft(spread_bits_32(col_b), 1)
+    )
+
+
+def zorder_by(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_partitions: int | None = None,
+    z_col: str = "zvalue",
+) -> DataFrame:
+    """OP-PHY-05 — Z-order clustering for multi-column data skipping
+    (the open-source answer to Delta/Iceberg OPTIMIZE ZORDER): range
+    partition + sort on the Morton code of (col_a, col_b), so
+    parquet row groups become selective for predicates on EITHER
+    column and min/max footer stats prune scans at 100 TB. One range
+    shuffle (sampling pass + exchange) + in-partition sort; the code
+    itself is plain codegen bit arithmetic, no UDF."""
+    z = morton_code(col_a, col_b)
+    out = df.withColumn(z_col, z)
+    out = (
+        out.repartitionByRange(n_partitions, z_col)
+        if n_partitions
+        else out.repartitionByRange(z_col)
+    )
+    return out.sortWithinPartitions(z_col)

@@ -721,6 +721,67 @@ def op_agg_11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_13_profile",
+    # One-pass numeric-column profile of orders. DuckDB replays it
+    # as a UNION ALL of per-column aggregates (its planner merges
+    # the scans); Spark computes ALL columns' stats in ONE aggregate.
+    "SELECT 'o_orderkey' AS col_name, count(*) AS n_rows, "
+    "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_nulls, count(DISTINCT o_orderkey) AS n_distinct, "
+    "CAST(min(o_orderkey) AS DOUBLE) AS min_v, "
+    "CAST(max(o_orderkey) AS DOUBLE) AS max_v FROM orders "
+    "UNION ALL SELECT 'o_custkey', count(*), "
+    "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "count(DISTINCT o_custkey), CAST(min(o_custkey) AS DOUBLE), "
+    "CAST(max(o_custkey) AS DOUBLE) FROM orders "
+    "UNION ALL SELECT 'o_totalprice', count(*), "
+    "CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), "
+    "CAST(max(o_totalprice) AS DOUBLE) FROM orders",
+)
+def op_agg_13_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-13 `[mandate]` (table profile): per-column row/null/
+    distinct counts and min/max for a numeric column set, computed
+    in ONE aggregate over ONE scan (Spark plans the multi-column
+    distinct via Expand — still a single shuffle), then stacked to
+    long form row-locally. The standard pre-flight data-quality
+    pass before a 100 TB pipeline run; swap count(DISTINCT) for
+    approx_count_distinct (OP-AGG-12) at full scale."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(c).cast("double").alias(f"_mn_{c}"),
+            F.max(c).cast("double").alias(f"_mx_{c}"),
+        ]
+    row = o.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"_nn_{c}").alias("n_nulls"),
+                        F.col(f"_nd_{c}").alias("n_distinct"),
+                        F.col(f"_mn_{c}").alias("min_v"),
+                        F.col(f"_mx_{c}").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_s")
+    )
+    return stacked.select(
+        "_s.col_name", "_s.n_rows", "_s.n_nulls", "_s.n_distinct",
+        "_s.min_v", "_s.max_v",
+    )
+
+
 @register("op_agg_12_approx_distinct")
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
@@ -1514,6 +1575,46 @@ def op_phy_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels_p = copartition_by_key(labels, "sample_id", n=32)
     joined = feats_p.join(labels_p.hint("merge"), "sample_id")
     return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "op_phy_05_zorder",
+    # Morton (Z-order) codes via the interleave-by-doubling mask
+    # sequence — identical bit arithmetic in both engines. The
+    # range-partition + sort is row-preserving, so the value oracle
+    # checks the codes; partition monotonicity is asserted in tests.
+    "WITH s0 AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS xa, "
+    "CAST(o_orderkey AS BIGINT) AS xb FROM orders), "
+    "s1 AS (SELECT o_orderkey, "
+    "(xa | (xa << 16)) & 281470681808895 AS xa, "
+    "(xb | (xb << 16)) & 281470681808895 AS xb FROM s0), "
+    "s2 AS (SELECT o_orderkey, "
+    "(xa | (xa << 8)) & 71777214294589695 AS xa, "
+    "(xb | (xb << 8)) & 71777214294589695 AS xb FROM s1), "
+    "s3 AS (SELECT o_orderkey, "
+    "(xa | (xa << 4)) & 1085102592571150095 AS xa, "
+    "(xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2), "
+    "s4 AS (SELECT o_orderkey, "
+    "(xa | (xa << 2)) & 3689348814741910323 AS xa, "
+    "(xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3), "
+    "s5 AS (SELECT o_orderkey, "
+    "(xa | (xa << 1)) & 6148914691236517205 AS xa, "
+    "(xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4) "
+    "SELECT o_orderkey, (xa | (xb << 1)) AS zvalue FROM s5",
+)
+def op_phy_05_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PHY-05 `[mandate]` (Z-order clustering): orders clustered
+    along the Morton curve of (o_custkey, o_orderkey) — one range
+    shuffle + in-partition sort; written row groups then carry
+    selective min/max stats for predicates on either column."""
+    from gexp_ml_dask_spark.operators.physical import zorder_by
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return zorder_by(orders, "o_custkey", "o_orderkey", n_partitions=32).select(
+        "o_orderkey", "zvalue"
+    )
 
 
 @register("op_src_05_parquet_sink", G_QTY)

@@ -362,3 +362,27 @@ def test_quantile_norm_single_fact_shuffle(spark, registry):
     assert shuffles <= 2, f"plan tree:\n{tree}"
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_zorder_partitions_are_monotone(spark):
+    """OP-PHY-05: after zorder_by, partition zvalue ranges must be
+    disjoint and ordered — that is the property that makes parquet
+    row-group min/max stats selective for both clustered columns."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.operators.physical import zorder_by
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    z = zorder_by(orders, "o_custkey", "o_orderkey", n_partitions=8)
+    ranges = (
+        z.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p")
+        .agg(F.min("zvalue").alias("lo"), F.max("zvalue").alias("hi"))
+        .orderBy("_p")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
