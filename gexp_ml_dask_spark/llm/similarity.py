@@ -406,3 +406,35 @@ def random_projection(
         for j in range(k)
     ]
     return df.select(F.col(id_col), *comps)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """OP-LLM-03 (int8 quantization, [mandate]) — symmetric per-vector
+    int8 quantization of an embedding column: scale = max|x| / 127,
+    q_i = round(x_i / scale). The standard 4x memory/shuffle-bytes
+    reduction that makes billion-vector ANN indexes storable; dot
+    products rescale by scale_a * scale_b at query time. One codegen
+    projection over row-local array folds — no shuffle, no UDF.
+
+    Output: (id, qvec ARRAY<INT> in [-127,127], scale DOUBLE 6dp).
+    All-zero vectors get scale 0 and an all-zero qvec (try_divide
+    null -> 0 via coalesce) so the round trip stays total.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.round(F.try_divide(x, scale), 0), F.lit(0.0)
+        ).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.round(scale, 6).alias("scale"),
+    )

@@ -430,3 +430,41 @@ def bigram_lm_scores(
         )
     )
     return scored
+
+
+def self_repetition(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 — within-document repetition ratio (the Gopher /
+    MassiveText "repetition" quality rule, Rae et al. 2021): the
+    fraction of a document's token ``n``-grams that are repeats of
+    an earlier n-gram in the SAME document. Entirely row-local —
+    one projection over the token array, zero shuffle, unlike the
+    cross-document span detector (dedup.duplicate_ngram_spans).
+
+    Returns (doc_id, n_ngrams, n_distinct_ngrams, repetition_ratio).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nt = F.size(toks)
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
+        F.round(
+            F.try_divide(
+                (F.size(grams) - F.size(F.array_distinct(grams))).cast("double"),
+                F.size(grams).cast("double"),
+            ),
+            6,
+        ).alias("repetition_ratio"),
+    )

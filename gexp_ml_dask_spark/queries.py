@@ -1354,6 +1354,27 @@ def op_ml_03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_ml_03_group_split",
+    # Leakage-safe GROUP split: every event of a user lands on the
+    # same side because the bucket hashes user_id, not the row key.
+    f"SELECT event_id, user_id, CASE WHEN {_HB.format(key='user_id', n=1000)} "
+    "< 800 THEN 'train' ELSE 'test' END AS split FROM events",
+)
+def op_ml_03_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-03 (group split): 80/20 split keyed on user_id so no
+    user's events straddle train/test — the standard entity-level
+    leakage guard; same partition-stable seeded-md5 bucket as the
+    row split, zero shuffle (a filter over the scan)."""
+    from gexp_ml_dask_spark.ml.pipeline import hash_split
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    train, test = hash_split(ev, 0.2, "user_id", seed=42)
+    return train.select(
+        "event_id", "user_id", F.lit("train").alias("split")
+    ).unionAll(test.select("event_id", "user_id", F.lit("test").alias("split")))
+
+
+@register(
     "op_ml_06_cv_folds",
     "WITH d AS (SELECT DISTINCT l_orderkey AS sample_id FROM lineitem) "
     f"SELECT sample_id, {_HB.format(key='sample_id', n=10)} AS fold FROM d",
@@ -1693,6 +1714,32 @@ def op_src_08(spark: SparkSession, sf_dir: str) -> DataFrame:
             # round-trip schema-exact
             F.lit("en").alias("lang"),
         )
+    )
+
+
+@register(
+    "op_llm_03_quantize",
+    # Symmetric per-vector int8 quantization; qvec serialized to a
+    # comma string so the value compare is engine-portable.
+    "WITH b AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, "
+    "list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM b) "
+    "SELECT vec_id, array_to_string(list_transform(v, x -> "
+    "CAST(coalesce(round(x / nullif(scale, 0), 0), 0) AS INTEGER)), ',') "
+    "AS qvec_str, round(scale, 6) AS scale FROM s",
+)
+def op_llm_03_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (int8 quantization): per-vector symmetric int8
+    codes + scale — 4x less memory/shuffle per vector for ANN at
+    scale; one codegen projection, no shuffle."""
+    from gexp_ml_dask_spark.llm.similarity import quantize_embeddings
+
+    out = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_str"),
+        "scale",
     )
 
 
@@ -2283,6 +2330,29 @@ def op_llm_04_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.llm.text import bigram_counts
 
     return bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_04_self_repetition",
+    # Gopher-style within-document repetition: fraction of a doc's
+    # 3-grams that repeat an earlier 3-gram in the SAME doc.
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [] END AS grams FROM t) "
+    "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams, "
+    "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams, "
+    "round((len(grams) - len(list_distinct(grams))) / "
+    "nullif(CAST(len(grams) AS DOUBLE), 0), 6) AS repetition_ratio FROM g",
+)
+def op_llm_04_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (within-doc repetition): the Gopher/MassiveText
+    repetition quality rule — entirely row-local array folds, zero
+    shuffle (the cross-doc twin is op_llm_02_dup_ngram_spans)."""
+    from gexp_ml_dask_spark.llm.text import self_repetition
+
+    return self_repetition(load_table(spark, sf_dir, "documents"), n=3)
 
 
 @register(
