@@ -1666,6 +1666,28 @@ def op_src_06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_src_04_jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def op_src_04_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-04 (JSON-Lines sink + scan): documents written as
+    JSONL — the lingua franca of LLM corpus tooling — and read back
+    with an explicit schema (multiLine=False; one object per line,
+    splittable at scale). Lossless for string/long columns, so the
+    oracle is the source select."""
+    from gexp_ml_dask_spark.sources.writers import write_jsonl
+
+    path = "/tmp/gexp_spark_artifacts/sink_jsonl"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_jsonl(docs, path)
+    return spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(path)
+
+
+@register(
     "op_src_09_orc_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
 )
@@ -3000,6 +3022,45 @@ def op_llm_05_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "op_llm_05_wmdedup_sink"
     q = (
         deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "op_llm_05_stateful_cap",
+    # Single-batch run of the per-source cap equals the batch
+    # row_number quota deterministically (rows admitted in ascending
+    # doc_id within the batch), so this streaming op gets a full
+    # value oracle, not just a rows check.
+    "SELECT source, doc_id FROM (SELECT source, doc_id, "
+    "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn "
+    "FROM documents) t WHERE rn <= 50",
+)
+def op_llm_05_stateful_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05 (per-source cap): "at most N docs per source"
+    corpus balancing on Spark 4's transformWithStateInPandas — a
+    ValueState counter per source admits rows in ascending doc_id
+    until the cap, across micro-batches."""
+    from gexp_ml_dask_spark.streaming import streaming_per_source_cap
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    capped = streaming_per_source_cap(stream, cap=50)
+    name = "op_llm_05_cap_sink"
+    q = (
+        capped.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .start()

@@ -108,3 +108,10 @@ def write_orc(
     native format of Hive/Trino warehouses a 100 TB deployment
     typically has to interoperate with."""
     df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink — the interchange format most LLM corpus
+    tooling consumes. Spark writes one JSON object per line per
+    partition file (read back with multiLine=False)."""
+    df.write.mode(mode).json(path)

@@ -4,6 +4,8 @@ from gexp_ml_dask_spark.streaming.joins import (
 )
 from gexp_ml_dask_spark.streaming.stateful import (
     streaming_first_seen_dedup,
+    streaming_per_source_cap,
+    streaming_per_source_cap_tws,
     streaming_watermark_dedup,
 )
 from gexp_ml_dask_spark.streaming.windows import (
@@ -23,6 +25,8 @@ __all__ = [
     "streaming_static_enrich",
     "streaming_tumbling_counts",
     "streaming_first_seen_dedup",
+    "streaming_per_source_cap",
+    "streaming_per_source_cap_tws",
     "streaming_watermark_dedup",
     "interval_join_batch",
     "streaming_interval_join",

@@ -107,3 +107,126 @@ def streaming_watermark_dedup(
     return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+CAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+
+try:  # pyspark >= 4.0 only; batch-only deployments still import fine
+    from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+except ImportError:  # pragma: no cover
+    _StatefulProcessor = object
+
+
+class PerKeyCapProcessor(_StatefulProcessor):
+    """transformWithStateInPandas processor: admit at most ``cap``
+    rows per key (ascending doc_id within each batch), counting
+    across micro-batches in a per-key ValueState. Module-level (not
+    a closure) so the driver-side schema-inference worker can
+    pickle it."""
+
+    def __init__(self, cap: int = 50) -> None:
+        self.cap = int(cap)
+
+    def init(self, handle):
+        self._n = handle.getValueState("n_emitted", "n BIGINT")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        n = self._n.get()[0] if self._n.exists() else 0
+        # Drain ALL arrow chunks before sorting: a group larger
+        # than one arrow batch would otherwise admit per-chunk
+        # minima instead of the batch-global smallest ids.
+        pdfs = [pdf for pdf in rows if len(pdf)]
+        take = None
+        if pdfs and n < self.cap:
+            batch = pd.concat(pdfs).sort_values("doc_id")
+            take = batch.head(self.cap - n)
+            n += len(take)
+        self._n.update((n,))
+        if take is not None and len(take):
+            yield take[["source", "doc_id"]]
+
+    def close(self):
+        pass
+
+
+def streaming_per_source_cap_tws(
+    docs_stream: DataFrame,
+    cap: int = 50,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source cap on Spark 4's ``transformWithStateInPandas``
+    (the arbitrary-state successor to ``applyInPandasWithState``) —
+    identical contract to :func:`streaming_per_source_cap`, kept as
+    the forward-looking API twin. Requires the RocksDB state store
+    provider AND a working protobuf install (the TWS state server
+    speaks protobuf; this container's protobuf lacks descriptors, so
+    the test for this path skips when the import fails — the
+    applyInPandasWithState twin below is the tested surface).
+    """
+    projected = docs_stream.select(
+        F.col(key_col).alias("source"), F.col(id_col).cast("long").alias("doc_id")
+    )
+    return projected.groupBy("source").transformWithStateInPandas(
+        PerKeyCapProcessor(cap),
+        outputStructType=CAP_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
+def streaming_per_source_cap(
+    docs_stream: DataFrame,
+    cap: int = 50,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap on a stream — the "at most N docs per
+    source" corpus-balancing rule: a per-source counter admits rows
+    until the cap is reached and drops the rest, across
+    micro-batches (``applyInPandasWithState``; one LongType state
+    value per source, sharded with the shuffle).
+
+    Within a batch, rows are admitted in ascending ``id_col`` order,
+    so a single-batch run equals the batch twin
+    ``row_number() OVER (PARTITION BY source ORDER BY doc_id) <= cap``
+    row-for-row (value-oracled as ``op_llm_05_stateful_cap``).
+    """
+    cap_n = int(cap)
+
+    # Self-contained closure (like streaming_first_seen_dedup):
+    # cloudpickle ships it by value, no package import on workers.
+    def cap_fn(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        take = None
+        if chunks and n < cap_n:
+            batch = pd.concat(chunks).sort_values("doc_id")
+            take = batch.head(cap_n - n)
+            n += len(take)
+        state.update((n,))
+        if take is not None and len(take):
+            yield take[["source", "doc_id"]]
+        else:
+            yield pd.DataFrame({"source": [], "doc_id": []})
+
+    projected = docs_stream.select(
+        F.col(key_col).alias("source"), F.col(id_col).cast("long").alias("doc_id")
+    )
+    return projected.groupBy("source").applyInPandasWithState(
+        cap_fn,
+        outputStructType=CAP_OUTPUT_SCHEMA,
+        stateStructType=StructType([StructField("n", LongType())]),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
