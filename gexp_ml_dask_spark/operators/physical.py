@@ -98,8 +98,13 @@ def spread_bits_32(col):
 def morton_code(col_a, col_b):
     """64-bit Morton (Z-order) code interleaving two values in
     [0, 2^32): bit i of ``col_a`` lands at position 2i, of ``col_b``
-    at 2i+1. Nearby (a, b) pairs get nearby codes along the
-    Z-curve."""
+    at 2i+1. Nearby (a, b) pairs get nearby codes along the Z-curve.
+
+    Ordering caveat: BIGINT is signed, so bit 31 of ``col_b`` maps
+    to the sign bit — SIGNED comparisons follow Z-curve order only
+    for inputs in [0, 2^31). Keys wider than 31 bits should be
+    range-compressed (bucketed) first; ``zorder_by`` inherits this
+    domain."""
     from pyspark.sql import functions as F
 
     return spread_bits_32(col_a).bitwiseOR(

@@ -428,3 +428,95 @@ def test_banded_range_join_matches_naive(spark, left_rows, right_rows):
         < lr["ts"].timestamp()
     )
     assert got == want
+
+
+def _py_morton(a: int, b: int) -> int:
+    out = 0
+    for i in range(32):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    # BIGINT is signed: bit 31 of b lands on the sign bit.
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**32 - 1),
+            st.integers(min_value=0, max_value=2**32 - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_code_matches_python_reference(spark, pairs):
+    """OP-PHY-05: the codegen bit-interleave must equal the
+    bit-by-bit Python definition for any 32-bit inputs, and be
+    strictly monotone in either coordinate with the other fixed."""
+    from gexp_ml_dask_spark.operators.physical import morton_code
+
+    df = spark.createDataFrame(pairs, "a LONG, b LONG")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", morton_code("a", "b").alias("z")).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _py_morton(a, b)
+
+
+def test_morton_code_monotone_in_each_coordinate(spark):
+    from gexp_ml_dask_spark.operators.physical import morton_code
+
+    rows = [(a, 7) for a in range(64)] + [(5, b) for b in range(64) if b != 7]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    out = df.select("a", "b", morton_code("a", "b").alias("z")).collect()
+    fixed_b = sorted((r["a"], r["z"]) for r in out if r["b"] == 7 and r["a"] < 64)
+    assert all(z1 < z2 for (_, z1), (_, z2) in zip(fixed_b, fixed_b[1:]))
+    fixed_a = sorted((r["b"], r["z"]) for r in out if r["a"] == 5)
+    assert all(z1 < z2 for (_, z1), (_, z2) in zip(fixed_a, fixed_a[1:]))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_dup_ngram_spans_match_naive(spark, texts):
+    """op_llm_02_dup_ngram_spans vs a direct Python evaluation of
+    the same contract (cross-doc repeated 3-grams, union-of-interval
+    coverage)."""
+    from gexp_ml_dask_spark.llm.dedup import duplicate_ngram_spans
+
+    n = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    toks = {i: t.split(" ") for i, t in docs}
+    grams: dict[int, list[tuple[int, str]]] = {}
+    for i, tk in toks.items():
+        grams[i] = [
+            (p, " ".join(tk[p : p + n])) for p in range(len(tk) - n + 1)
+        ]
+    owners: dict[str, set[int]] = {}
+    for i, gs in grams.items():
+        for _, g in gs:
+            owners.setdefault(g, set()).add(i)
+    expected = {}
+    for i, tk in toks.items():
+        spans = [
+            (p + 1, p + n) for p, g in grams[i] if len(owners[g]) > 1
+        ]
+        covered, hi = 0, 0
+        for s, e in sorted(spans):
+            covered += max(0, e - max(s - 1, hi))
+            hi = max(hi, e)
+        expected[i] = (len(tk), len(spans), covered)
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_ngrams"], r["n_dup_tokens"])
+        for r in duplicate_ngram_spans(df, n=n).collect()
+    }
+    assert out == expected
