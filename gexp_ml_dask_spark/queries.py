@@ -721,6 +721,30 @@ def op_agg_11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q1_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 6) AS sum_qty, "
+    "round(sum(l_extendedprice), 6) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, "
+    "round(avg(l_quantity), 6) AS avg_qty, "
+    "round(avg(l_discount), 6) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@register("op_sql_01_pricing_summary", _Q1_SQL)
+def op_sql_01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry surface (gexp_ml_dask_spark.sql): the TPC-H-Q1-shaped
+    pricing summary run as LITERAL SQL through spark.sql over the
+    registered views — the identical string is the DuckDB oracle, so
+    this checks the SQL front door end-to-end. One partial+final
+    hash aggregate over one pruned scan."""
+    from gexp_ml_dask_spark.sql import sql
+
+    return sql(spark, sf_dir, _Q1_SQL)
+
+
 @register(
     "op_agg_13_profile",
     # One-pass numeric-column profile of orders. DuckDB replays it
@@ -2793,6 +2817,30 @@ def op_llm_05_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(v, 1, "view").union(stage(c, 2, "click")).union(
         stage(p, 3, "purchase")
     )
+
+
+@register(
+    "op_llm_05_resample",
+    "WITH e AS (SELECT user_id, "
+    "CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS b, value FROM events), "
+    "agg AS (SELECT user_id, b, count(*) AS n, sum(value) AS total "
+    "FROM e GROUP BY 1, 2), "
+    "rng AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg "
+    "GROUP BY user_id), "
+    "spine AS (SELECT user_id, unnest(generate_series(lo, hi, 600)) AS b "
+    "FROM rng) "
+    "SELECT s.user_id, s.b AS bucket_start, coalesce(a.n, 0) AS n, "
+    "round(coalesce(a.total, 0), 6) AS total "
+    "FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.b = a.b",
+)
+def op_llm_05_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05 (resample + gap fill): per-user 10-min buckets from
+    first to last event with EMPTY buckets materialized (n=0) — the
+    spine is a row-local sequence+explode per key, dimension-sized
+    regardless of event volume."""
+    from gexp_ml_dask_spark.streaming.windows import resample_events
+
+    return resample_events(load_events(spark, sf_dir), bucket_s=600)
 
 
 @register(

@@ -234,3 +234,54 @@ def streaming_static_enrich(
             "total",
         )
     )
+
+
+def resample_events(
+    events: DataFrame,
+    bucket_s: int = 600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resample with GAP FILLING: per-key fixed buckets
+    from the key's first to last event, empty buckets materialized
+    with n=0 / total=0 (the downsample-then-gap-fill shape every
+    telemetry/feature pipeline needs; Spark has no generate_series
+    per group, so the bin spine is sequence() + explode on the
+    per-key [min, max] range — row-local, one array per key).
+
+    Shuffle shape: one (key, bucket) hash agg over the facts, one
+    small per-key min/max agg, and a join of the generated spine
+    against the bucket aggregate. The spine is |keys| x |range|
+    rows — bounded by time span, independent of event volume, so at
+    100 TB it stays dimension-sized relative to the facts.
+    """
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s) * bucket_s).cast(
+        "long"
+    )
+    agg = (
+        events.withColumn("_b", b)
+        .groupBy(key_col, "_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("_total"),
+        )
+    )
+    rng = agg.groupBy(key_col).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    spine = rng.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(bucket_s)))
+        ).alias("_b"),
+    )
+    return (
+        spine.join(agg, [key_col, "_b"], "left")
+        .select(
+            F.col(key_col),
+            F.col("_b").alias("bucket_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.round(F.coalesce("_total", F.lit(0.0)), 6).alias("total"),
+        )
+    )
