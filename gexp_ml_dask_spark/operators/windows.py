@@ -106,3 +106,34 @@ def ntile_in_key(
     key-shuffle window as :func:`rank_in_key`."""
     w = Window.partitionBy(key_col).orderBy(F.asc(order_col), F.asc(id_col))
     return events.withColumn(out_col, F.ntile(n).over(w).cast("long"))
+
+
+def ewma_in_key(
+    events: DataFrame,
+    alpha: float = 0.5,
+    depth: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over the last
+    ``depth`` rows per key: sum(a^j * lag(v, j)) / sum(a^j over
+    PRESENT lags). Expressed as ``depth`` stacked lag() terms over
+    ONE window spec — a single key shuffle, all inside codegen — and
+    truncated (rather than the recursive full-history EWMA) so the
+    weights are plan literals: no a^(-i) overflow at unbounded
+    history, and the SQL oracle replays the identical lag algebra.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    num = None
+    den = None
+    for j in range(depth):
+        term_v = F.lag(F.col(value_col), j).over(w)
+        weight = F.lit(float(alpha**j))
+        contrib = F.when(term_v.isNotNull(), term_v * weight).otherwise(F.lit(0.0))
+        present = F.when(term_v.isNotNull(), weight).otherwise(F.lit(0.0))
+        num = contrib if num is None else num + contrib
+        den = present if den is None else den + present
+    return events.withColumn(out_col, F.round(F.try_divide(num, den), 6))

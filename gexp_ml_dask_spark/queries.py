@@ -894,6 +894,35 @@ def op_win_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value_rank")
 
 
+_EWMA_NUM = " + ".join(
+    f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
+    f"THEN lag(value, {j}) OVER w * {0.5 ** j!r} ELSE 0.0 END"
+    for j in range(8)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
+    f"THEN {0.5 ** j!r} ELSE 0.0 END"
+    for j in range(8)
+)
+
+
+@register(
+    "op_win_01_ewma",
+    f"SELECT event_id, user_id, round(({_EWMA_NUM}) / nullif(({_EWMA_DEN}), 0), 6) "
+    "AS ewma FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+def op_win_01_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-01 (EWMA twin): truncated exponentially-weighted moving
+    average — 8 stacked lag terms over ONE window spec (single key
+    shuffle, plan-literal weights); the oracle replays the identical
+    lag algebra."""
+    from gexp_ml_dask_spark.operators.windows import ewma_in_key
+
+    out = ewma_in_key(load_events(spark, sf_dir), alpha=0.5, depth=8)
+    return out.select("event_id", "user_id", "ewma")
+
+
 @register(
     "op_win_04_ntile",
     "SELECT event_id, user_id, CAST(ntile(10) OVER "
@@ -2012,6 +2041,52 @@ def op_llm_02_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
     )
     return dedup_clusters(pairs)
+
+
+@register(
+    "op_llm_02_neardup_dedup",
+    # The deduplicated corpus itself: drop every cluster member that
+    # is not its cluster's canonical (minimum) doc_id. Same
+    # recursive-CTE transitive closure as op_llm_02_dup_clusters,
+    # finished with an anti-join.
+    "WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sh), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, "
+    "b.nsh AS nb, count(*) AS ni FROM e a JOIN e b ON a.sh = b.sh "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), "
+    "p0 AS (SELECT id_a, id_b FROM p "
+    "WHERE round(ni / (na + nb - ni), 6) >= 0.4), "
+    "edges AS (SELECT id_a AS u, id_b AS v FROM p0 "
+    "UNION SELECT id_b, id_a FROM p0), "
+    "reach AS (SELECT u AS node, u AS lab FROM edges "
+    "UNION SELECT e2.v, r.lab FROM reach r JOIN edges e2 ON e2.u = r.node), "
+    "drop_ids AS (SELECT node FROM reach GROUP BY node "
+    "HAVING min(lab) <> node) "
+    "SELECT d.doc_id, d.lang, d.source FROM documents d "
+    "WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)",
+)
+def op_llm_02_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (near-dup dedup output): the corpus with every
+    non-canonical near-dup cluster member removed — cluster table
+    (iterative CC over n-gram Jaccard pairs) anti-joined back onto
+    the documents; the drop list is cluster-sized, so the anti-join
+    broadcasts and the corpus never shuffles."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+    from gexp_ml_dask_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.4, n=3)
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register("op_llm_02_minhash_lsh")
