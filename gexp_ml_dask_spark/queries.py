@@ -746,6 +746,33 @@ def op_sql_01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_12_top_k_sketch",
+    # The sketch tracks up to 10k items exactly; this corpus's
+    # vocabulary (31 terms) is far below that, so the "approximate"
+    # heavy hitters are exact and the oracle is the plain wordcount.
+    "SELECT term, count(*) AS n FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) t "
+    "WHERE term <> '' GROUP BY term",
+)
+def op_agg_12_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-12 (heavy hitters): frequent terms via Spark 4's
+    approx_top_k sketch — O(maxItemsTracked) state per partition,
+    mergeable, ONE row of output instead of a full wordcount
+    shuffle; the 100 TB path for "top phrases in the corpus". Exact
+    while distinct items fit the sketch capacity (here: always), an
+    estimate beyond; exact-twin: op_llm_04_word_freq."""
+    ex = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    row = ex.agg(F.expr("approx_top_k(term, 100, 10000)").alias("tk"))
+    return row.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("term"), F.col("s.count").alias("n")
+    )
+
+
+@register(
     "op_agg_13_profile",
     # One-pass numeric-column profile of orders. DuckDB replays it
     # as a UNION ALL of per-column aggregates (its planner merges

@@ -386,3 +386,59 @@ def test_zorder_partitions_are_monotone(spark):
     assert len(ranges) > 1
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] <= cur["lo"], (prev, cur)
+
+
+def test_funnel_broadcasts_stage_tables(spark, registry):
+    """op_llm_05_funnel: each stage's per-user table is user-dim
+    sized and must broadcast — events never shuffle on user_id."""
+    p = plan(registry["op_llm_05_funnel"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ewma_single_window_exchange(spark, registry):
+    """op_win_01_ewma: all 8 lag terms share ONE window spec — the
+    plan must contain exactly one Window over one Exchange."""
+    p = plan(registry["op_win_01_ewma"](spark, SF_ORACLE))
+    tree = p.split("(1) ")[0]
+    assert tree.count("Window") == 1, tree
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 1, tree
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """100 TB lever, config-gated: with runtime Bloom-filter join
+    pruning enabled, a selective dim-side filter must inject a
+    bloom_filter_agg on the dim side and a might_contain probe into
+    the fact side of a shuffled join — shrinking the fact shuffle
+    before it happens. Local thresholds are lowered to make the tiny
+    test tables eligible; at cluster scale the defaults (10 MB
+    creation side / 10 GB application side) gate it to genuinely
+    large scans."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        p = plan(j)
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
