@@ -89,3 +89,81 @@ def curate_documents_full(
         .select(id_col, source_col, "quality", "avg_logp")
     )
     return sample_mixture(gated, weights, source_col, id_col, seed)
+
+
+def curate_documents_max(
+    docs: DataFrame,
+    weights: dict[str, float],
+    min_quality: float = 0.5,
+    min_fluency: float = -3.43,
+    max_repetition: float = 0.2,
+    decontam_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """The maximal curation plan — every corpus signal in one lazy
+    chain: PII scrub (all docs) -> eval/train split (doc_id % 20) ->
+    exact dedup of train on scrubbed text -> within-doc repetition
+    gate (row-local 3-gram folds, free) -> heuristic quality gate ->
+    bigram-LM fluency gate (fitted on the deduped train survivors) ->
+    n-gram DECONTAMINATION against the eval split (broadcast
+    distinct-gram probe over the deduped docs) -> mixture sample.
+
+    Output: (doc_id, source, quality, avg_logp, rep_ratio) for every
+    surviving training document. Cost shape: the dedup window + the
+    bigram-LM passes are the fact shuffles (as in
+    :func:`curate_documents_full`); repetition is inlined into the
+    gate projection and the decontamination probe broadcasts the
+    eval gram table, so neither adds a fact shuffle.
+    """
+    from gexp_ml_dask_spark.llm.dedup import decontaminate
+    from gexp_ml_dask_spark.llm.text import PII_RULES, bigram_lm_scores
+
+    clean = F.col(text_col)
+    for _, pat, repl in PII_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    scrubbed = docs.withColumn(text_col, clean)
+    eval_docs = scrubbed.filter(F.col(id_col) % 20 == 0)
+    train = scrubbed.filter(F.col(id_col) % 20 != 0)
+
+    deduped = exact_dedup(train, id_col, text_col)
+    scores = bigram_lm_scores(deduped, id_col, text_col)
+
+    toks = F.split(F.col(text_col), " ")
+    nt = F.size(toks)
+    grams3 = F.when(
+        nt >= 3,
+        F.transform(
+            F.sequence(F.lit(1), nt - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = F.coalesce(
+        F.try_divide(
+            (F.size(grams3) - F.size(F.array_distinct(grams3))).cast("double"),
+            F.size(grams3).cast("double"),
+        ),
+        F.lit(0.0),
+    )
+
+    contaminated = (
+        decontaminate(deduped, eval_docs, decontam_n, id_col, text_col)
+        .filter(F.col("is_contaminated"))
+        .select(id_col)
+    )
+
+    gated = (
+        deduped.withColumn("quality", F.round(quality_expr(text_col), 6))
+        .withColumn("rep_ratio", F.round(rep, 6))
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("rep_ratio") <= max_repetition)
+        )
+        .join(scores.select(id_col, "avg_logp"), id_col)
+        .filter(F.col("avg_logp") >= min_fluency)
+        .join(F.broadcast(contaminated), id_col, "left_anti")
+        .select(id_col, source_col, "quality", "avg_logp", "rep_ratio")
+    )
+    return sample_mixture(gated, weights, source_col, id_col, seed)

@@ -2805,6 +2805,77 @@ def _curation_full_oracle() -> str:
     )
 
 
+def _curation_max_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {int(round(w * 100000))})"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    hb = _HB.format(key="g.doc_id", n=100000)
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "'https?://\\S+', '<URL>', 'g'), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, source, {scrub} AS text FROM documents), "
+        "ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM s "
+        "WHERE doc_id % 20 = 0), "
+        "evg AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS gram "
+        "FROM ev, unnest(range(1, greatest(len(toks) - 1, 1))) AS gi(i)), "
+        "tr AS (SELECT * FROM s WHERE doc_id % 20 <> 0), "
+        "keep AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY sha256(text)), "
+        "d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM tr "
+        "WHERE doc_id IN (SELECT doc_id FROM keep)), "
+        "cont AS (SELECT DISTINCT dg.doc_id FROM "
+        "(SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM d, "
+        "unnest(range(1, greatest(len(toks) - 1, 1))) AS gi(i)) dg "
+        "JOIN evg USING (gram)), "
+        "q AS (SELECT doc_id, source, "
+        "round(CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END + "
+        "CASE WHEN len(list_filter(toks, "
+        "x -> list_contains(['the','a','of','and','to'], x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END, 6) "
+        "AS quality, "
+        "round(coalesce((len(g3) - len(list_distinct(g3))) / "
+        "nullif(CAST(len(g3) AS DOUBLE), 0), 0), 6) AS rep_ratio "
+        "FROM (SELECT doc_id, source, toks, "
+        "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
+        "i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3 FROM d) t), "
+        "db AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d "
+        "WHERE len(toks) >= 2), "
+        "m AS (SELECT bigram, count(*) AS c12 FROM db GROUP BY 1), "
+        "p AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1 "
+        "FROM m GROUP BY 1), "
+        "f AS (SELECT d2.doc_id, round(avg(ln(m.c12 / p.c1)), 6) AS avg_logp "
+        "FROM db d2 JOIN m ON d2.bigram = m.bigram "
+        "JOIN p ON split_part(d2.bigram, ' ', 1) = p.w1 GROUP BY 1), "
+        "g AS (SELECT q.doc_id, q.source, q.quality, f.avg_logp, q.rep_ratio "
+        "FROM q JOIN f ON q.doc_id = f.doc_id "
+        "WHERE q.quality >= 0.5 AND q.rep_ratio <= 0.2 "
+        "AND f.avg_logp >= -3.43 "
+        "AND q.doc_id NOT IN (SELECT doc_id FROM cont)), "
+        f"w(source, cut) AS (VALUES {values}) "
+        "SELECT g.doc_id, g.source, g.quality, g.avg_logp, g.rep_ratio FROM g "
+        "JOIN w ON g.source = w.source "
+        f"WHERE {hb} < cut"
+    )
+
+
+@register("op_llm_08_curation_max", _curation_max_oracle())
+def op_llm_08_curation_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-08 (maximal curation): scrub -> eval/train split ->
+    exact dedup -> repetition gate + quality gate -> bigram-LM
+    fluency gate -> decontamination vs the eval split -> mixture
+    sample, one lazy chain, value-oracled row-for-row."""
+    from gexp_ml_dask_spark.plans.curation import curate_documents_max
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents_max(docs, _MIX_WEIGHTS, min_quality=0.5)
+
+
 @register("op_llm_08_curation_full", _curation_full_oracle())
 def op_llm_08_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-08 (extended curation): PII scrub -> exact dedup on
