@@ -192,3 +192,51 @@ def map_column(
         F.coalesce(F.col("_v"), F.col(col)) if keep_unmapped else F.col("_v")
     )
     return out.withColumn(col, mapped).drop("_k", "_v")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    max_distance: int = 2,
+    id_col: str = "p_partkey",
+    block_fn=None,
+) -> DataFrame:
+    """OP-JOIN-07 `[mandate]` — approximate string self/two-table
+    join: pairs whose ``text_col`` values are within ``max_distance``
+    Levenshtein edits. Classic entity-resolution kernel.
+
+    Never an all-pairs cross join: candidates are generated by a
+    hash equi-join on a BLOCKING key (default: first token of the
+    string) plus a length-difference prefilter — |a.len - b.len| >
+    d implies distance > d, so the cheap codegen filter runs before
+    the O(len^2) edit-distance kernel. At 100 TB the blocking key is
+    the scalability contract (refine it — first token + length
+    bucket, or an LSH band — until the largest block's pair count is
+    task-sized); the Levenshtein verify itself is JVM codegen.
+    """
+    blk = block_fn or (lambda c: F.split(c, " ").getItem(0))
+    a = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        blk(F.col(text_col)).alias("_blk"),
+        F.length(text_col).alias("_la"),
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        blk(F.col(text_col)).alias("_blk"),
+        F.length(text_col).alias("_lb"),
+    )
+    cand = a.join(b, "_blk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("_la") - F.col("_lb")) <= max_distance)
+    )
+    return (
+        cand.withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("_ta"), F.col("_tb")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+        .select("id_a", "id_b", "edit_distance")
+    )

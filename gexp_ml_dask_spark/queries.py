@@ -1924,6 +1924,29 @@ def op_ml_10_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_join_07_fuzzy",
+    # Blocked approximate string join: first-token block + length
+    # prefilter, Levenshtein verify at distance <= 2.
+    "WITH p AS (SELECT p_partkey, p_name, "
+    "split_part(p_name, ' ', 1) AS blk, length(p_name) AS l FROM part) "
+    "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance "
+    "FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey "
+    "AND abs(a.l - b.l) <= 2 "
+    "AND levenshtein(a.p_name, b.p_name) <= 2",
+)
+def op_join_07_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-07 `[mandate]` (fuzzy join): part-name pairs within 2
+    Levenshtein edits — blocked candidate generation (first-token
+    equi-join + length prefilter) with a codegen edit-distance
+    verify; no all-pairs join ever forms."""
+    from gexp_ml_dask_spark.operators.joins import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_join(part, part, "p_name", max_distance=2)
+
+
+@register(
     "op_llm_01_exact_dedup",
     "SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n "
     "FROM documents GROUP BY 1",
