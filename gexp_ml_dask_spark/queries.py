@@ -833,6 +833,86 @@ def op_agg_13_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_14_coexpression",
+    # Pairwise Pearson over the 10 top-variance genes, from explicit
+    # sum aggregates so both engines run the identical algebra
+    # (engine-native corr() differs in summation internals).
+    f"WITH g AS ({G_QTY}), "
+    "v AS (SELECT gene_id, var_samp(value) AS v FROM g GROUP BY gene_id), "
+    "topg AS (SELECT gene_id FROM "
+    "(SELECT gene_id, row_number() OVER (ORDER BY v DESC, gene_id) AS rn "
+    "FROM v) t WHERE rn <= 10), "
+    # pseudo-bulk pooling: samples bucketed mod 50 so the gene x
+    # bucket matrix is dense enough to correlate.
+    "gg AS (SELECT sample_id % 50 AS bucket, gene_id, "
+    "sum(value) AS val FROM g "
+    "WHERE gene_id IN (SELECT gene_id FROM topg) GROUP BY 1, 2), "
+    "j AS (SELECT a.gene_id AS gene_a, b.gene_id AS gene_b, "
+    "a.val AS x, b.val AS y FROM gg a JOIN gg b "
+    "ON a.bucket = b.bucket AND a.gene_id < b.gene_id), "
+    "s AS (SELECT gene_a, gene_b, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+    "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy "
+    "FROM j GROUP BY 1, 2) "
+    "SELECT gene_a, gene_b, n, "
+    "round((n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx) * "
+    "(n * syy - sy * sy)), 0), 6) AS pearson FROM s WHERE n >= 2",
+)
+def op_agg_14_coexpression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-14 `[mandate]` (co-expression matrix): pairwise Pearson
+    correlation between the 10 highest-variance genes over
+    pseudo-bulk pools (samples bucketed mod 50, values summed — the
+    pooling that makes the gene x bucket matrix dense). Fully lazy:
+    variance top-k is a window over the gene DIMENSION (bounded, one
+    dimension-sized task), the pair join runs over the pooled
+    10-gene slice, and the correlation reduces to one hash aggregate
+    of plain sums — the formula is spelled out so the oracle replays
+    the identical float algebra."""
+    g = gexp(spark, sf_dir)
+    v = g.groupBy("gene_id").agg(F.var_samp("value").alias("v"))
+    w = Window.orderBy(F.desc("v"), F.asc("gene_id"))
+    topg = (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("gene_id")
+    )
+    gg = (
+        g.join(F.broadcast(topg), "gene_id")
+        .groupBy((F.col("sample_id") % 50).alias("bucket"), F.col("gene_id"))
+        .agg(F.sum("value").alias("val"))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    # both join sides read the pooled slice; persist so the scan +
+    # top-k subplan runs once
+    gg = gg.persist(StorageLevel.MEMORY_AND_DISK)
+    a = gg.select(
+        F.col("gene_id").alias("gene_a"), "bucket", F.col("val").alias("x")
+    )
+    b = gg.select(
+        F.col("gene_id").alias("gene_b"), "bucket", F.col("val").alias("y")
+    )
+    j = a.join(b, ["bucket"]).filter(F.col("gene_a") < F.col("gene_b"))
+    s = j.groupBy("gene_a", "gene_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    pearson = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "gene_a", "gene_b", "n", F.round(pearson, 6).alias("pearson")
+    )
+
+
 @register("op_agg_12_approx_distinct")
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
