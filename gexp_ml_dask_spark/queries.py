@@ -1314,6 +1314,25 @@ def op_scl_07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_scl_07_variant",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+    "FROM events",
+)
+def op_scl_07_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-07 (VARIANT twin): semi-structured extraction through
+    Spark 4's VARIANT type — parse_json once into the binary
+    variant encoding, then typed variant_get path access. At 100 TB
+    VARIANT beats per-path get_json_object when several paths are
+    read (one parse, many O(1) binary lookups) and beats a rigid
+    from_json schema when shapes drift."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 ML composites (SQL-expressible parts)
 # ---------------------------------------------------------------------------
