@@ -468,3 +468,19 @@ def self_repetition(
             6,
         ).alias("repetition_ratio"),
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """OP-LLM-04 — canonical text normalization for dedup/scoring:
+    lowercase, strip non-alphanumerics, collapse runs of whitespace,
+    trim. A chained codegen regexp pipeline, one scan, no shuffle —
+    the projection that usually runs immediately before hashing in
+    an exact-dedup pass (normalize + sha2 collapses case/punctuation
+    variants of the same document)."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    c = F.trim(c)
+    return docs.select(F.col(id_col), c.alias("norm_text"))

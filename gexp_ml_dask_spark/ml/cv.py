@@ -84,3 +84,28 @@ def cv_summary(scores: list[float]) -> tuple[float, float]:
     mean = sum(scores) / n
     var = sum((s - mean) ** 2 for s in scores) / n
     return mean, var
+
+
+def with_stratified_fold(
+    df: DataFrame,
+    k: int = 10,
+    class_col: str = "event_type",
+    key_col: str = "event_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT stratified k-fold assignment: within each class, rows
+    are ranked by their seeded md5 (a deterministic shuffle) and
+    dealt round-robin — every class splits |c|/k ± 1 across folds,
+    the guarantee sklearn's StratifiedKFold gives and plain
+    multinomial hashing only approximates. One window shuffle on the
+    class key; membership is a pure function of (class ranks, seed),
+    so it is oracle-checkable row-for-row."""
+    from pyspark.sql import Window
+
+    from gexp_ml_dask_spark.ml.pipeline import hash_bucket
+
+    h = hash_bucket(key_col, seed, 1_000_000_000)
+    w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("long")
+    )

@@ -43,3 +43,16 @@ def accuracy(pred: DataFrame, label_col: str = "label", pred_col: str = "predict
 
 def r2_score(pred: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> float:
     return r2_score_df(pred, label_col, pred_col).collect()[0]["r2"]
+
+
+def rmse_df(pred: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> DataFrame:
+    """Root-mean-squared error as a one-row DataFrame (single
+    aggregate; the sqrt is driver-free column arithmetic)."""
+    err = F.col(label_col) - F.col(pred_col)
+    return pred.agg(F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"))
+
+
+def mae_df(pred: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> DataFrame:
+    """Mean absolute error as a one-row DataFrame."""
+    err = F.abs(F.col(label_col) - F.col(pred_col))
+    return pred.agg(F.round(F.avg(err), 6).alias("mae"))

@@ -1570,6 +1570,49 @@ def op_ml_06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_ml_06_stratified_folds",
+    f"SELECT event_id, event_type, "
+    f"CAST((row_number() OVER (PARTITION BY event_type "
+    f"ORDER BY {_HB.format(key='event_id', n=1000000000)} ASC, event_id ASC) "
+    "- 1) % 10 AS BIGINT) AS fold FROM events",
+)
+def op_ml_06_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-06 (stratified twin): EXACT per-class fold balance —
+    rows ranked within their class by seeded md5 (a deterministic
+    shuffle) and dealt round-robin; every class splits |c|/k ± 1,
+    the StratifiedKFold guarantee. One window shuffle."""
+    from gexp_ml_dask_spark.ml.cv import with_stratified_fold
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type")
+    return with_stratified_fold(ev, k=10).select(
+        "event_id", "event_type", "fold"
+    )
+
+
+@register(
+    "op_ml_10_rmse_mae",
+    f"WITH g AS ({G_QTY}), "
+    "p AS (SELECT gene_id, avg(value) AS pred FROM g GROUP BY gene_id), "
+    "j AS (SELECT g.value AS y, p.pred FROM g JOIN p USING (gene_id)) "
+    "SELECT round(sqrt(avg((y - pred) * (y - pred))), 6) AS rmse, "
+    "round(avg(abs(y - pred)), 6) AS mae FROM j",
+)
+def op_ml_10_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10 (regression metrics beyond r2): RMSE + MAE in one
+    aggregate over the same prediction join as the r2 scorer."""
+    g = gexp(spark, sf_dir)
+    p = g.groupBy("gene_id").agg(F.avg("value").alias("pred"))
+    j = g.join(p, "gene_id").select(
+        F.col("value").alias("y"), F.col("pred")
+    )
+    err = F.col("y") - F.col("pred")
+    return j.agg(
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+    )
+
+
 @register("op_ml_07_gbdt_fit_predict")
 def op_ml_07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-ML-07 (rows-only): GBDT-family fit + predict (MLlib
@@ -2623,6 +2666,21 @@ def op_llm_04_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.llm.text import self_repetition
 
     return self_repetition(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "op_llm_04_normalize_text",
+    "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text FROM documents",
+)
+def op_llm_04_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (text normalization): lowercase + strip
+    non-alphanumerics + collapse whitespace + trim — the chained
+    codegen projection that runs before hashing in a
+    case/punctuation-insensitive exact dedup."""
+    from gexp_ml_dask_spark.llm.text import normalize_text
+
+    return normalize_text(load_table(spark, sf_dir, "documents"))
 
 
 @register(
