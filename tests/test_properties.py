@@ -520,3 +520,94 @@ def test_dup_ngram_spans_match_naive(spark, texts):
         for r in duplicate_ngram_spans(df, n=n).collect()
     }
     assert out == expected
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc d", min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_join_matches_naive_within_block(spark, names):
+    """fuzzy_join must return exactly the naive all-pairs result
+    RESTRICTED to its blocking contract (same first token, length
+    within d) — the block is the declared recall boundary, the
+    Levenshtein verify must be exact inside it."""
+    from gexp_ml_dask_spark.operators.joins import fuzzy_join
+
+    d = 2
+    rows = [(i, n) for i, n in enumerate(names)]
+    expected = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and a.split(" ")[0] == b.split(" ")[0] and abs(
+                len(a) - len(b)
+            ) <= d and _py_lev(a, b) <= d:
+                expected.add((i, j, _py_lev(a, b)))
+
+    df = spark.createDataFrame(rows, "p_partkey LONG, p_name STRING")
+    got = {
+        (r["id_a"], r["id_b"], r["edit_distance"])
+        for r in fuzzy_join(df, df, "p_name", max_distance=d).collect()
+    }
+    assert got == expected
+
+
+def test_ewma_matches_python_reference(spark):
+    """ewma_in_key vs a direct Python evaluation of the truncated
+    weighted mean over the last `depth` observations."""
+    import datetime
+
+    from gexp_ml_dask_spark.operators.windows import ewma_in_key
+
+    rows = [
+        (i, 1, datetime.datetime(2024, 1, 1, 0, 0, i), float(v))
+        for i, v in enumerate([5, 1, 4, 4, 9, 2, 7, 3, 8, 6])
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE")
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_in_key(df, alpha=0.5, depth=4).collect()
+    }
+    vals = [v for *_, v in rows]
+    for t in range(len(vals)):
+        window = vals[max(0, t - 3) : t + 1][::-1]  # newest first
+        num = sum(v * 0.5**j for j, v in enumerate(window))
+        den = sum(0.5**j for j in range(len(window)))
+        assert abs(out[t] - round(num / den, 6)) < 1e-9, (t, out[t], num / den)
+
+
+def test_quantile_norm_equalizes_sample_distributions(spark):
+    """After quantile normalization, every full-length sample must
+    carry the IDENTICAL multiset of values (the defining property of
+    the method)."""
+    from gexp_ml_dask_spark.ml.normalization import quantile_normalize
+
+    rows = []
+    import random
+
+    rnd = random.Random(7)
+    for s in range(5):
+        for g in range(12):
+            rows.append((s, f"g{g}", rnd.uniform(0, 100)))
+    df = spark.createDataFrame(rows, "sample_id LONG, gene_id STRING, value DOUBLE")
+    out = quantile_normalize(df).collect()
+    by_sample = {}
+    for r in out:
+        by_sample.setdefault(r["sample_id"], []).append(r["value_qn"])
+    dists = [tuple(sorted(v)) for v in by_sample.values()]
+    assert len(set(dists)) == 1
