@@ -240,3 +240,52 @@ def fuzzy_join(
         .filter(F.col("edit_distance") <= max_distance)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed /
+    changed between two table versions (rows equal on all
+    ``compare_cols`` are dropped). One full-outer hash join on the
+    key; the comparison is a codegen conjunction with null-safe
+    equality (``eqNullSafe``), so NULL -> value transitions count as
+    changes. The data-ops primitive behind incremental validation
+    and CDC backfills.
+    """
+    # Explicit presence markers — a present row whose compare cols
+    # are all NULL must still count as present.
+    o = old.select(
+        F.col(key_col),
+        F.lit(True).alias("_old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key_col),
+        F.lit(True).alias("_new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_col, "full_outer")
+    all_equal = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        all_equal = eq if all_equal is None else all_equal & eq
+    status = (
+        F.when(F.col("_old_present").isNull(), F.lit("added"))
+        .when(F.col("_new_present").isNull(), F.lit("removed"))
+        .when(~all_equal, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "same")
+        .select(
+            key_col,
+            "status",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

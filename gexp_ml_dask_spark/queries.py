@@ -1860,6 +1860,92 @@ def op_phy_05_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_src_05_upsert",
+    # Keep-latest merge: updates (version 2) overwrite base
+    # (version 1) per key; untouched keys survive unchanged.
+    "WITH base AS (SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS version, "
+    "o_totalprice AS price FROM orders), "
+    "upd AS (SELECT o_orderkey, CAST(2 AS BIGINT), o_totalprice + 1000 "
+    "FROM orders WHERE o_orderkey % 10 = 0), "
+    "u AS (SELECT * FROM base UNION ALL SELECT * FROM upd), "
+    "r AS (SELECT k, version, price, row_number() OVER "
+    "(PARTITION BY k ORDER BY version DESC) AS rn FROM u) "
+    "SELECT k, version, round(price, 6) AS price FROM r WHERE rn = 1",
+)
+def op_src_05_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-05 (upsert): MERGE-by-rewrite for plain parquet lakes —
+    union base + updates, keep the highest-version row per key (ONE
+    window shuffle); the compaction-job shape open-source Spark uses
+    where no transactional table format is present."""
+    from gexp_ml_dask_spark.sources.writers import upsert_keep_latest
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).cast("long").alias("version"),
+            (F.col("o_totalprice") + 1000).alias("price"),
+        )
+    )
+    out = upsert_keep_latest(base, updates, "k", "version")
+    return out.select("k", "version", r6("price").alias("price"))
+
+
+@register(
+    "op_set_04_table_diff",
+    # Snapshot diff: new version drops keys %7==0, reprices %5==0,
+    # and adds shifted keys for %11==0.
+    "WITH old AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders), "
+    "new AS (SELECT k, CASE WHEN k % 5 = 0 THEN price + 1 ELSE price END "
+    "AS price FROM old WHERE k % 7 <> 0 "
+    "UNION ALL SELECT k + 100000000, price FROM old WHERE k % 11 = 0) "
+    "SELECT coalesce(o.k, n.k) AS k, "
+    "CASE WHEN o.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' "
+    "ELSE 'changed' END AS status, "
+    "round(o.price, 6) AS old_price, round(n.price, 6) AS new_price "
+    "FROM old o FULL OUTER JOIN new n ON o.k = n.k "
+    "WHERE o.k IS NULL OR n.k IS NULL OR o.price <> n.price",
+)
+def op_set_04_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SET-04 `[mandate]` (snapshot diff): added / removed /
+    changed keys between two table versions — one full-outer hash
+    join with null-safe column comparison; the incremental-validation
+    / CDC-backfill primitive."""
+    from gexp_ml_dask_spark.operators.joins import table_diff
+
+    old = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    new = (
+        old.filter(F.col("k") % 7 != 0)
+        .withColumn(
+            "price",
+            F.when(F.col("k") % 5 == 0, F.col("price") + 1).otherwise(
+                F.col("price")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 100000000).alias("k"), "price"
+            )
+        )
+    )
+    out = table_diff(old, new, "k", ["price"])
+    return out.select(
+        "k",
+        "status",
+        r6("old_price").alias("old_price"),
+        r6("new_price").alias("new_price"),
+    )
+
+
 @register("op_src_05_parquet_sink", G_QTY)
 def op_src_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-SRC-05 (sink): sized snappy parquet write + read-back

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # ~64 MB target partition files — the reference's explicit tuning
 # (data/brca_undersample.py:20 `npartitions = bytes/6.4e7`;
@@ -115,3 +116,32 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     tooling consumes. Spark writes one JSON object per line per
     partition file (read back with multiLine=False)."""
     df.write.mode(mode).json(path)
+
+
+def upsert_keep_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    version_col: str,
+) -> DataFrame:
+    """MERGE-by-rewrite for plain parquet lakes (open-source Spark
+    has no transactional MERGE without a table format): union base
+    and updates, keep the highest-version row per key (ties to the
+    update side). One window shuffle on the key; at 100 TB this is
+    the compaction job shape — partition the output by the same key
+    ranges as the base so unchanged partitions can be skipped by a
+    partition-pruned variant.
+    """
+    from pyspark.sql import Window
+
+    tagged = base.withColumn("_side", F.lit(0)).unionByName(
+        updates.withColumn("_side", F.lit(1))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(version_col), F.desc("_side")
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_side")
+    )
