@@ -1001,6 +1001,33 @@ def op_win_04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value_rank")
 
 
+@register(
+    "op_win_02_validity_intervals",
+    # SCD-2 dimension build: each event opens a validity interval
+    # for its value that closes at the user's next event (NULL = the
+    # current row). epoch BIGINTs so no raw timestamps hit the hash.
+    "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS valid_from, "
+    "CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id))) AS BIGINT) AS valid_to, "
+    "round(value, 6) AS value FROM events",
+)
+def op_win_02_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-02 (SCD-2 twin): slowly-changing-dimension validity
+    intervals — each event's value holds from its timestamp until
+    the user's next event (lead window, one key shuffle); the
+    history table an as-of join (OP-JOIN-04) probes."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("valid_to"),
+        r6("value").alias("value"),
+    )
+
+
 _EWMA_NUM = " + ".join(
     f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
     f"THEN lag(value, {j}) OVER w * {0.5 ** j!r} ELSE 0.0 END"
@@ -2752,6 +2779,62 @@ def op_llm_04_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.llm.text import self_repetition
 
     return self_repetition(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "op_llm_04_bm25",
+    # BM25 (k1=1.2, b=0.75, Lucene idf) for the 2-term query
+    # ['table', 'scan'] — two terms keep the per-doc sum
+    # commutative-exact in float. Only docs matching >=1 term score.
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t), "
+    "s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM "
+    "(SELECT doc_id, dl, unnest(toks) AS term FROM d) x "
+    "WHERE term IN ('table', 'scan') GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+    "SELECT tf.doc_id, round(sum("
+    "ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1) * "
+    "(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))"
+    "), 6) AS bm25 FROM tf JOIN df ON tf.term = df.term, s "
+    "GROUP BY tf.doc_id",
+)
+def op_llm_04_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (BM25): the standard retrieval scorer over the
+    corpus for a literal 2-term query — one explode + (doc, term)
+    hash agg for tf, a term-dim df aggregate and a 1-row corpus-stat
+    aggregate both broadcast back, score is pure column arithmetic.
+    The oracle replays the identical formula; two query terms keep
+    the float sum order-insensitive."""
+    k1, b = 1.2, 0.75
+    q_terms = ["table", "scan"]
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).withColumn("dl", F.size("toks").cast("long"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        j.withColumn("_s", score)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
 
 
 @register(
