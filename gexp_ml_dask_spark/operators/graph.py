@@ -198,3 +198,31 @@ def dedup_clusters(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+def triangle_count(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Global triangle count over an undirected edge list (edges
+    given once as src < dst). Uses the degree-free oriented form:
+    with every edge stored low->high, a triangle (a<b<c) is counted
+    exactly once by joining e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two hash
+    joins, no explosion beyond real wedge counts. At 100 TB the
+    standard refinement (orient by degree instead of id) bounds the
+    wedge fan-out of hub nodes; id-orientation is kept here because
+    it is what the SQL oracle can replay verbatim.
+
+    Returns a 1-row DataFrame (n_triangles BIGINT).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    tri = wedges.join(
+        e3,
+        (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

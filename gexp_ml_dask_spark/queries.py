@@ -2394,6 +2394,39 @@ def op_llm_02_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_llm_02_triangles",
+    # Triangle count over the near-dup pair graph — same inverted-
+    # index pair CTE as op_llm_02_ngram_jaccard, then the oriented
+    # (a<b<c) three-way join counts each triangle exactly once.
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sh), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, "
+    "b.nsh AS nb, count(*) AS ni FROM e a JOIN e b ON a.sh = b.sh "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), "
+    "p0 AS (SELECT id_a AS u, id_b AS v FROM p "
+    "WHERE round(ni / (na + nb - ni), 6) >= 0.4) "
+    "SELECT count(*) AS n_triangles FROM p0 e1 "
+    "JOIN p0 e2 ON e1.v = e2.u "
+    "JOIN p0 e3 ON e1.u = e3.u AND e2.v = e3.v",
+)
+def op_llm_02_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (graph analytics): triangle count over the near-dup
+    pair graph — the cluster-density signal that separates tight
+    duplicate cliques from chains; oriented low->high edges make two
+    hash joins count each triangle exactly once."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+    from gexp_ml_dask_spark.operators.graph import triangle_count
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
+    )
+    return triangle_count(pairs)
+
+
 @register("op_llm_02_minhash_lsh")
 def op_llm_02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (MinHash-LSH, rows-only): approx-Jaccard candidate
