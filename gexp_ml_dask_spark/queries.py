@@ -1640,6 +1640,43 @@ def op_ml_10_rmse_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_ml_11_weighted_sample",
+    # Efraimidis-Spirakis weighted sampling without replacement,
+    # derandomized: u = (md5_bucket + 1) / 2^20 is a deterministic
+    # uniform in (0,1], key score = -ln(u)/w, keep the k smallest.
+    # Weight = o_totalprice, so expensive orders are oversampled.
+    f"WITH d AS (SELECT o_orderkey, o_totalprice, "
+    f"({_HB.format(key='o_orderkey', n=1048576)} + 1) / 1048576.0 AS u "
+    "FROM orders), "
+    "s AS (SELECT o_orderkey, round(-ln(u) / o_totalprice, 6) AS score "
+    "FROM d WHERE o_totalprice > 0) "
+    "SELECT o_orderkey, score FROM s "
+    "ORDER BY score ASC, o_orderkey ASC LIMIT 200",
+)
+def op_ml_11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-11 (weighted twin): exact-k weighted sampling WITHOUT
+    replacement (Efraimidis-Spirakis A-Res): per-row exponential
+    score -ln(u)/w with u derived from the seeded md5 bucket — a
+    pure function of (key, seed), so the drawn sample is identical
+    on any partition layout AND row-for-row oracle-checkable (unlike
+    rand()-based reservoirs). The global top-k plans as
+    TakeOrderedAndProject: per-partition heaps, no full sort."""
+    from gexp_ml_dask_spark.ml.pipeline import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = (hash_bucket("o_orderkey", 42, 1 << 20) + 1) / float(1 << 20)
+    return (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            "o_orderkey",
+            F.round(-F.log(u) / F.col("o_totalprice"), 6).alias("score"),
+        )
+        .orderBy(F.asc("score"), F.asc("o_orderkey"))
+        .limit(200)
+    )
+
+
 @register("op_ml_07_gbdt_fit_predict")
 def op_ml_07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-ML-07 (rows-only): GBDT-family fit + predict (MLlib
