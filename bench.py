@@ -48,6 +48,7 @@ HEADLINE = [
     "op_llm_02_dup_clusters",       # near-dup clusters (pairs -> union-find/CC)
     "op_llm_04_scrub_pii",          # PII scrub (chained codegen regex scan)
     "op_llm_02_dup_ngram_spans",    # cross-doc repeated-ngram coverage (2 window shuffles)
+    "op_llm_08_curation_max",       # every curation signal chained (scrub->dedup->gates->decontam->mix)
 ]
 
 
