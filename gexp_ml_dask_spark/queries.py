@@ -3712,6 +3712,44 @@ def op_llm_05_stateful_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "op_llm_05_foreach_multiplex",
+    # The merged-on-read counts after the stream drains must equal
+    # the plain batch aggregate over the source.
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def op_llm_05_foreach_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-05 (foreachBatch multi-sink): each micro-batch lands in
+    a raw parquet archive AND a per-type partial-counts table — two
+    sinks per batch, which no single native writeStream sink can do.
+    Returned result: the merge-on-read aggregation of the partial
+    counts, value-oracled against the batch groupBy."""
+    import shutil
+
+    from gexp_ml_dask_spark.streaming import streaming_multiplex_sink
+
+    base = "/tmp/gexp_spark_artifacts/multiplex"
+    for suffix in ("_data", "_counts", "_data_chk"):
+        shutil.rmtree(base + suffix, ignore_errors=True)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    q = streaming_multiplex_sink(stream, base + "_data", base + "_counts")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(base + "_counts")
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 @register("op_llm_05_stateful_dedup")
 def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-05/06 (rows-only): custom stateful streaming operator —

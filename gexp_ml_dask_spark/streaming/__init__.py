@@ -5,6 +5,7 @@ from gexp_ml_dask_spark.streaming.joins import (
 from gexp_ml_dask_spark.streaming.stateful import (
     streaming_first_seen_dedup,
     streaming_per_source_cap,
+    streaming_multiplex_sink,
     streaming_per_source_cap_tws,
     streaming_watermark_dedup,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_tumbling_counts",
     "streaming_first_seen_dedup",
     "streaming_per_source_cap",
+    "streaming_multiplex_sink",
     "streaming_per_source_cap_tws",
     "streaming_watermark_dedup",
     "interval_join_batch",

@@ -230,3 +230,37 @@ def streaming_per_source_cap(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_multiplex_sink(
+    events_stream: DataFrame,
+    data_path: str,
+    counts_path: str,
+):
+    """``foreachBatch`` multi-sink: every micro-batch is appended to
+    a raw parquet archive AND folded into a per-event-type counts
+    table — two sinks fed atomically per batch, which no single
+    native ``writeStream`` sink can express. The counts table is
+    merge-on-read: each batch appends its partial counts and readers
+    aggregate (at 100 TB a periodic compaction job sums the partials
+    back to one row per key — the same keep-latest/compaction shape
+    as ``sources.writers.upsert_keep_latest``).
+
+    Returns the started StreamingQuery; callers stop it.
+    """
+    from pyspark.sql import functions as F
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(data_path)
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(counts_path)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", data_path + "_chk")
+        .start()
+    )
