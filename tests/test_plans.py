@@ -442,3 +442,27 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_upsert_single_window_exchange(spark, registry):
+    """op_src_05_upsert: the keep-latest merge is ONE window over one
+    hash exchange on the key — no join, no extra shuffle."""
+    p = plan(registry["op_src_05_upsert"](spark, SF_ORACLE))
+    tree = p.split("(1) ")[0]
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 1, tree
+    assert "Join" not in tree, tree
+    # Spark inserts WindowGroupLimit BELOW the exchange: each map
+    # task pre-prunes to its local top-1 per key, so the shuffle
+    # carries candidates only — pin this, it is the scale win.
+    assert "WindowGroupLimit" in tree.split("Exchange")[1], tree
+
+
+def test_curation_max_broadcasts_gates(spark, registry):
+    """op_llm_08_curation_max: the decontamination drop list, the
+    mixture weights, and the per-doc score join sides are all
+    bounded — every join in the composite must be broadcast-hash,
+    never sort-merge."""
+    p = plan(registry["op_llm_08_curation_max"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
