@@ -913,6 +913,60 @@ def op_agg_14_coexpression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_15_frequent_pairs",
+    # Market-basket frequent pairs with a-priori pruning: only items
+    # that are frequent alone (support >= 5 orders) enter the pair
+    # self-join — the classic candidate-space bound.
+    "WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item "
+    "FROM lineitem), "
+    "f1 AS (SELECT item, count(*) AS support FROM b GROUP BY item "
+    "HAVING count(*) >= 5), "
+    "bf AS (SELECT b.basket, b.item FROM b JOIN f1 ON b.item = f1.item), "
+    "p AS (SELECT a.item AS item_a, c.item AS item_b, count(*) AS support "
+    "FROM bf a JOIN bf c ON a.basket = c.basket AND a.item < c.item "
+    "GROUP BY 1, 2) "
+    "SELECT item_a, item_b, support FROM p WHERE support >= 2",
+)
+def op_agg_15_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-15 `[mandate]` (market basket): frequent item PAIRS
+    over order baskets with a-priori pruning — items below the
+    1-item support threshold never enter the pair self-join, the
+    candidate-space bound that keeps basket mining tractable at
+    100 TB (the full lattice walk is MLlib FPGrowth; the 1- and
+    2-itemset levels are exactly SQL-expressible and value-oracled
+    here)."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    f1 = (
+        b.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 5)
+        .select("item")
+    )
+    bf = b.join(F.broadcast(f1), "item").select("basket", "item")
+    a, c = bf.alias("a"), bf.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.basket") == F.col("c.basket"))
+            & (F.col("a.item") < F.col("c.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("c.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return pairs
+
+
 @register("op_agg_12_approx_distinct")
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
