@@ -77,6 +77,23 @@ def gexp(spark: SparkSession, sf_dir: str, value: str = "l_quantity") -> DataFra
     )
 
 
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents widened to cluster parallelism (fan_out): the
+    driver table is one parquet row group, so every shingle/token
+    explode would otherwise run map-side on ONE core — measured
+    6.5 s -> 3.8 s on the near-dup cluster pipeline at sf0.1.
+
+    Used ONLY where the pre-shuffle per-row work dominates (the
+    n-gram Jaccard pair family + decontamination, whose interpreted
+    shingle build and persist are the cost). Measured REGRESSIONS on
+    minhash (2.9 -> 3.8 s) and the span detector (1.3 -> 2.5 s),
+    whose heavy work already runs after their first shuffle — the
+    added repartition only costs there; they keep the plain load."""
+    from gexp_ml_dask_spark.operators.physical import fan_out
+
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
+
 # Shared oracle CTE: same long-form view in SQL.
 _G = (
     "SELECT l_orderkey AS sample_id, l_partkey AS gene_id, "
@@ -2324,7 +2341,7 @@ def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
+        load_docs(spark, sf_dir), threshold=0.4, n=3
     )
 
 
@@ -2395,7 +2412,7 @@ def op_llm_02_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast probe + per-doc agg."""
     from gexp_ml_dask_spark.llm.dedup import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     return decontaminate(train, eval_docs, n=3)
@@ -2434,7 +2451,7 @@ def op_llm_02_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.operators.graph import dedup_clusters
 
     pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
+        load_docs(spark, sf_dir), threshold=0.4, n=3
     )
     return dedup_clusters(pairs)
 
@@ -2474,7 +2491,7 @@ def op_llm_02_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
     from gexp_ml_dask_spark.operators.graph import dedup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.4, n=3)
     clusters = dedup_clusters(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("component")).select(
@@ -2513,7 +2530,7 @@ def op_llm_02_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.operators.graph import triangle_count
 
     pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.4, n=3
+        load_docs(spark, sf_dir), threshold=0.4, n=3
     )
     return triangle_count(pairs)
 
