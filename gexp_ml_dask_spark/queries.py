@@ -3507,6 +3507,75 @@ def op_llm_05_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_03_series_similarity",
+    # Distributed time-series similarity search (REPOSE/Odyssey-
+    # shaped workload): per-user 1-hour activity series vs user 1's
+    # series, euclidean over the shared long form — missing buckets
+    # on either side contribute the other side's square (full outer
+    # join against the broadcast query series).
+    "WITH s AS (SELECT user_id, "
+    "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b, "
+    "sum(value) AS v FROM events GROUP BY 1, 2), "
+    "q AS (SELECT b, v AS qv FROM s WHERE user_id = 1), "
+    "j AS (SELECT s.user_id, "
+    "coalesce(s.v, 0) AS v, coalesce(q.qv, 0) AS qv "
+    "FROM s LEFT JOIN q ON s.b = q.b WHERE s.user_id <> 1), "
+    "miss AS (SELECT u.user_id, 0 AS v, q.qv FROM q "
+    "CROSS JOIN (SELECT DISTINCT user_id FROM s WHERE user_id <> 1) u "
+    "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.user_id = u.user_id "
+    "AND s.b = q.b)) "
+    "SELECT user_id, round(sqrt(sum((v - qv) * (v - qv))), 6) AS distance "
+    "FROM (SELECT * FROM j UNION ALL SELECT * FROM miss) t "
+    "GROUP BY user_id ORDER BY distance ASC, user_id ASC LIMIT 10",
+)
+def op_llm_03_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (time-series similarity search): 10 users whose
+    hourly activity series is nearest (euclidean) to user 1's — the
+    distributed trajectory/series-search workload. One (user, bucket)
+    hash agg; the query series broadcasts; buckets absent on one
+    side contribute the other side's square (union of the left join
+    and the anti-join remainder); TakeOrderedAndProject top-k."""
+    ev = load_events(spark, sf_dir)
+    s = (
+        ev.withColumn(
+            "b", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+        )
+        .groupBy("user_id", "b")
+        .agg(F.sum("value").alias("v"))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    s = s.persist(StorageLevel.MEMORY_AND_DISK)
+    q = s.filter(F.col("user_id") == 1).select("b", F.col("v").alias("qv"))
+    others = s.filter(F.col("user_id") != 1)
+    j = others.join(F.broadcast(q), "b", "left").select(
+        "user_id",
+        F.coalesce("v", F.lit(0.0)).alias("v"),
+        F.coalesce("qv", F.lit(0.0)).alias("qv"),
+    )
+    users = others.select("user_id").distinct()
+    present = others.join(F.broadcast(q.select("b")), "b").select(
+        "user_id", "b"
+    )
+    miss = (
+        users.crossJoin(F.broadcast(q))
+        .join(present, ["user_id", "b"], "left_anti")
+        .select("user_id", F.lit(0.0).alias("v"), F.col("qv"))
+    )
+    dist = F.round(
+        F.sqrt(F.sum((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv")))),
+        6,
+    )
+    return (
+        j.unionByName(miss)
+        .groupBy("user_id")
+        .agg(dist.alias("distance"))
+        .orderBy(F.asc("distance"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@register(
     "op_llm_05_tumbling_window",
     "SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start, "
     "event_type, count(*) AS n, round(sum(value), 6) AS total "
