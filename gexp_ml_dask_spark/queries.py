@@ -2978,6 +2978,47 @@ def op_llm_04_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEXICON = [
+    ("fast", 2),
+    ("big", 1),
+    ("small", 1),
+    ("slow", -2),
+    ("error", -3),
+]
+
+
+@register(
+    "op_llm_04_lexicon_sentiment",
+    # AFINN-style lexicon scoring (the classic Spark sentiment
+    # workload): per-doc sum of matched token valences + match count.
+    "WITH lex(term, valence) AS (VALUES "
+    + ", ".join(f"('{t}', {v})" for t, v in _LEXICON)
+    + "), "
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents) "
+    "SELECT t.doc_id, CAST(sum(l.valence) AS BIGINT) AS sentiment, "
+    "count(*) AS n_matches FROM tok t JOIN lex l ON t.term = l.term "
+    "GROUP BY t.doc_id",
+)
+def op_llm_04_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (lexicon sentiment): AFINN-style valence scoring —
+    token explode probed against a broadcast lexicon dim, one
+    per-doc hash agg; the large-scale sentiment-analysis shape
+    (lexicons are always broadcast-sized)."""
+    lex = spark.createDataFrame(_LEXICON, "term STRING, valence INT")
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("valence").cast("long").alias("sentiment"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+
+
 @register(
     "op_llm_04_normalize_text",
     "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
