@@ -790,6 +790,31 @@ def op_agg_12_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_13_histogram",
+    # Equal-width histogram, fixed [0, 500) domain in 50-wide bins:
+    # bucket = clamp(floor(value/50)) — identical float arithmetic
+    # in both engines, one hash aggregate.
+    "SELECT event_type, "
+    "CAST(least(greatest(floor(value / 50), 0), 9) AS BIGINT) AS bin, "
+    "count(*) AS n FROM events GROUP BY 1, 2",
+)
+def op_agg_13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-13 (histogram twin): per-event-type equal-width value
+    histogram — bin assignment is row-local clamp/floor arithmetic,
+    the whole distribution is ONE hash aggregate (contrast the exact
+    percentile paths, which need per-group sorting). The fixed
+    domain keeps it single-pass; a data-dependent domain adds one
+    min/max pre-pass broadcast as literals."""
+    ev = load_events(spark, sf_dir)
+    bin_ = (
+        F.least(F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    )
+    return ev.groupBy("event_type", bin_).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "op_agg_13_profile",
     # One-pass numeric-column profile of orders. DuckDB replays it
     # as a UNION ALL of per-column aggregates (its planner merges
