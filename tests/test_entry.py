@@ -41,3 +41,14 @@ def test_survey_operator_ids_all_registered():
         if not any(n.startswith(f"op_{fam.lower()}_{num}") for n in names)
     ]
     assert not missing, f"SURVEY ids with no registered query: {missing}"
+
+
+def test_bench_headline_queries_registered():
+    """Every name in bench.py's HEADLINE list must be a registered
+    query — a typo there would crash the driver's per-round bench."""
+    import bench
+
+    from gexp_ml_dask_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names with no registered query: {missing}"
