@@ -345,6 +345,10 @@ def tfidf_top_terms(
 # address inside a URL is consumed by the URL rule). Patterns are
 # restricted to the RE2 ∩ Java-regex common subset so the DuckDB
 # oracle replays them byte-for-byte.
+# Rule order is load-bearing: url/email first (they may contain
+# digit runs), then ip and ssn, then phone. No cross-rule collisions:
+# ip octets are <=3 digits so the 3-3-4 phone shape can never match
+# inside one, and ssn's 3-2-4 hyphen shape is disjoint from both.
 PII_RULES: list[tuple[str, str, str]] = [
     ("url", r"https?://\S+", "<URL>"),
     (
@@ -352,6 +356,8 @@ PII_RULES: list[tuple[str, str, str]] = [
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
         "<EMAIL>",
     ),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 ]
 

@@ -3066,17 +3066,25 @@ def op_llm_04_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle exercises every regex rule on every row, not an identity.
     "WITH planted AS (SELECT doc_id, concat(text, ' contact user', "
     "CAST(doc_id AS VARCHAR), '@example.com or 555-123-4567 see "
-    "https://ex', CAST(doc_id AS VARCHAR), '.org/a b') AS t "
+    "https://ex', CAST(doc_id AS VARCHAR), '.org/a from 10.0.0.1 "
+    "ssn 123-45-6789 b') AS t "
     "FROM documents) "
     "SELECT doc_id, "
-    "regexp_replace(regexp_replace(regexp_replace(t, "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(t, "
     "'https?://\\S+', '<URL>', 'g'), "
     "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+    "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
     "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS clean_text, "
     "CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_url, "
     "CAST(len(regexp_extract_all(t, "
     "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
     "AS n_email, "
+    "CAST(len(regexp_extract_all(t, "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
+    "CAST(len(regexp_extract_all(t, "
+    "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
     "CAST(len(regexp_extract_all(t, "
     "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone "
     "FROM planted",
@@ -3097,7 +3105,7 @@ def op_llm_04_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("@example.com or 555-123-4567 see https://ex"),
             F.col("doc_id").cast("string"),
-            F.lit(".org/a b"),
+            F.lit(".org/a from 10.0.0.1 ssn 123-45-6789 b"),
         ).alias("text"),
     )
     return scrub_pii(planted)
@@ -3325,9 +3333,12 @@ def _curation_full_oracle() -> str:
     )
     hb = _HB.format(key="g.doc_id", n=100000)
     scrub = (
-        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(text, "
         "'https?://\\S+', '<URL>', 'g'), "
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
         "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')"
     )
     return (
@@ -3368,9 +3379,12 @@ def _curation_max_oracle() -> str:
     )
     hb = _HB.format(key="g.doc_id", n=100000)
     scrub = (
-        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(text, "
         "'https?://\\S+', '<URL>', 'g'), "
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
         "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')"
     )
     return (
