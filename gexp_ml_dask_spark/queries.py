@@ -1009,6 +1009,40 @@ def op_agg_15_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+@register(
+    "op_agg_16_skew_stats",
+    # Join-key skew diagnostics over lineitem's order key: per-key
+    # row counts reduced to the skew summary that decides whether a
+    # join needs salting (OP-JOIN-06) or AQE skew-split suffices.
+    "WITH c AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem "
+    "GROUP BY l_orderkey) "
+    "SELECT count(*) AS n_keys, CAST(max(n) AS BIGINT) AS max_rows, "
+    "round(avg(n), 6) AS avg_rows, "
+    "round(max(n) / avg(n), 6) AS skew_ratio, "
+    "round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n), 6) AS p99_rows "
+    "FROM c",
+)
+def op_agg_16_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-16 `[mandate]` (skew diagnostics): per-key row counts
+    reduced to n_keys / max / avg / max-over-avg ratio / exact p99 —
+    the pre-flight answer to "does this join key need salting
+    (OP-JOIN-06), or will AQE skew-split absorb it?". Two hash aggs
+    (per-key count, then the scalar summary); the exact p99 runs
+    over the count table, which is keys-sized, not fact-sized."""
+    c = (
+        gexp(spark, sf_dir)
+        .groupBy(F.col("sample_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(F.avg("n"), 6).alias("avg_rows"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+        F.round(agg.grouped_percentile("n", 0.99), 6).alias("p99_rows"),
+    )
+
+
 @register("op_agg_12_approx_distinct")
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
