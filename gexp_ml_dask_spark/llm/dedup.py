@@ -629,3 +629,49 @@ def embedding_neardup_pairs(
         F.round(cosine, 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (containment / overlap coefficient) — pairs with
+    |A∩B| / min(|A|,|B|) >= threshold over distinct shingle sets.
+    Flags near-SUBSET duplicates (quote inclusion, boilerplate
+    wrapping) that symmetric Jaccard under-scores: a 100-shingle doc
+    fully contained in a 1000-shingle doc has Jaccard 0.1 but
+    containment 1.0. Identical inverted-index pair machinery to
+    :func:`ngram_jaccard_pairs`; only the final ratio differs.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = docs.select(F.col(id_col), shingles(text_col, n).alias("_shs"))
+    exploded = shingled.select(
+        F.col(id_col),
+        F.size("_shs").alias("_nsh"),
+        F.explode("_shs").alias("_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left, right = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        left.join(
+            right,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._nsh").alias("_na"),
+            F.col("b._nsh").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    cont = F.col("_ni") / F.least(F.col("_na"), F.col("_nb"))
+    return (
+        inter.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

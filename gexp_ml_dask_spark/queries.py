@@ -2405,6 +2405,34 @@ def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_02_containment",
+    # Containment (overlap coefficient): |A∩B| / min(|A|,|B|) —
+    # catches documents that are near-SUBSETS of another (quote
+    # inclusion, boilerplate wrapping), which symmetric Jaccard
+    # under-scores. Same inverted-index pair base.
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sh), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb, "
+    "count(*) AS ni FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2, 3, 4) "
+    "SELECT id_a, id_b, round(ni / least(na, nb), 6) AS containment FROM p "
+    "WHERE round(ni / least(na, nb), 6) >= 0.7",
+)
+def op_llm_02_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (containment): overlap coefficient
+    |A∩B| / min(|A|,|B|) over shingle sets — flags near-SUBSET
+    duplicates (quoted or boilerplate-wrapped documents) that
+    symmetric Jaccard under-scores; same inverted-index pair join,
+    different final ratio."""
+    from gexp_ml_dask_spark.llm.dedup import containment_pairs
+
+    return containment_pairs(load_docs(spark, sf_dir), threshold=0.7, n=3)
+
+
+@register(
     "op_llm_02_dup_ngram_spans",
     # Token-level exact-substring dedup signal: per document, the
     # coverage of 5-grams that also occur in another document.
