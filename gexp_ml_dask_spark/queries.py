@@ -2433,6 +2433,71 @@ def op_llm_02_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_02_tf_cosine",
+    # Sparse term-frequency cosine between documents — the classic
+    # IR doc-doc similarity, no embeddings: dot = sum(tfa*tfb) over
+    # SHARED terms (inverted-index join), norms prejoined per doc.
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+    "WHERE term <> '' GROUP BY 1, 2), "
+    "nrm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY 1), "
+    "dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "sum(a.tf * b.tf) AS dot FROM tf a JOIN tf b "
+    "ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine "
+    "FROM dot JOIN nrm na ON dot.id_a = na.doc_id "
+    "JOIN nrm nb ON dot.id_b = nb.doc_id "
+    "WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9",
+)
+def op_llm_02_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (TF cosine): doc-doc cosine over sparse term-
+    frequency vectors — the embedding-free IR similarity. The dot
+    product only materializes for pairs SHARING a term (inverted-
+    index join on the tf table); per-doc norms are dimension-sized
+    and broadcast back. Integer tf products keep the dot exact, so
+    only the final ratio needs rounding."""
+    from pyspark.storagelevel import StorageLevel
+
+    tok = load_docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = (
+        tok.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("_na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("_nb"))
+    out = (
+        dot.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6)
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .select("id_a", "id_b", "cosine")
+    )
+    return out
+
+
+@register(
     "op_llm_02_dup_ngram_spans",
     # Token-level exact-substring dedup signal: per document, the
     # coverage of 5-grams that also occur in another document.
