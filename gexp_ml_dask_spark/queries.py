@@ -1043,6 +1043,80 @@ def op_agg_16_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_14_spearman",
+    # Spearman = Pearson over within-gene RANKS of the pooled
+    # values (deterministic tie-break by bucket id), computed from
+    # the same explicit-sum algebra as op_agg_14_coexpression.
+    f"WITH g AS ({G_QTY}), "
+    "v AS (SELECT gene_id, var_samp(value) AS v FROM g GROUP BY gene_id), "
+    "topg AS (SELECT gene_id FROM "
+    "(SELECT gene_id, row_number() OVER (ORDER BY v DESC, gene_id) AS rn "
+    "FROM v) t WHERE rn <= 10), "
+    "gg AS (SELECT sample_id % 50 AS bucket, gene_id, "
+    "sum(value) AS val FROM g "
+    "WHERE gene_id IN (SELECT gene_id FROM topg) GROUP BY 1, 2), "
+    "r AS (SELECT bucket, gene_id, CAST(row_number() OVER "
+    "(PARTITION BY gene_id ORDER BY val, bucket) AS DOUBLE) AS rk FROM gg), "
+    "j AS (SELECT a.gene_id AS gene_a, b.gene_id AS gene_b, "
+    "a.rk AS x, b.rk AS y FROM r a JOIN r b "
+    "ON a.bucket = b.bucket AND a.gene_id < b.gene_id), "
+    "s AS (SELECT gene_a, gene_b, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+    "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy "
+    "FROM j GROUP BY 1, 2) "
+    "SELECT gene_a, gene_b, n, "
+    "round((n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx) * "
+    "(n * syy - sy * sy)), 0), 6) AS spearman FROM s WHERE n >= 2",
+)
+def op_agg_14_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-14 (Spearman twin): rank correlation between the
+    top-variance genes over pseudo-bulk pools — robust to outliers
+    and monotone transforms, the other standard co-expression
+    statistic. One extra per-gene rank window on the pooled
+    (dimension-sized) table; then the identical explicit-sum Pearson
+    algebra over the ranks."""
+    g = gexp(spark, sf_dir)
+    v = g.groupBy("gene_id").agg(F.var_samp("value").alias("v"))
+    w = Window.orderBy(F.desc("v"), F.asc("gene_id"))
+    topg = (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("gene_id")
+    )
+    gg = (
+        g.join(F.broadcast(topg), "gene_id")
+        .groupBy((F.col("sample_id") % 50).alias("bucket"), F.col("gene_id"))
+        .agg(F.sum("value").alias("val"))
+    )
+    wr = Window.partitionBy("gene_id").orderBy(F.asc("val"), F.asc("bucket"))
+    from pyspark.storagelevel import StorageLevel
+
+    r = gg.withColumn(
+        "rk", F.row_number().over(wr).cast("double")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = r.select(F.col("gene_id").alias("gene_a"), "bucket", F.col("rk").alias("x"))
+    b = r.select(F.col("gene_id").alias("gene_b"), "bucket", F.col("rk").alias("y"))
+    j = a.join(b, ["bucket"]).filter(F.col("gene_a") < F.col("gene_b"))
+    s = j.groupBy("gene_a", "gene_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    rho = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "gene_a", "gene_b", "n", F.round(rho, 6).alias("spearman")
+    )
+
+
 @register("op_agg_12_approx_distinct")
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
