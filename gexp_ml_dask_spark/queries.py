@@ -1117,6 +1117,82 @@ def op_agg_14_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_17_welch_t",
+    # Differential expression: Welch's t per gene between the 'O'
+    # and 'F' order-status phenotype groups — the canonical DE scan.
+    f"WITH g AS ({G_QTY}), "
+    "lab AS (SELECT o_orderkey AS sample_id, o_orderstatus AS cls "
+    "FROM orders WHERE o_orderstatus IN ('O', 'F')), "
+    "j AS (SELECT g.gene_id, lab.cls, g.value FROM g "
+    "JOIN lab ON g.sample_id = lab.sample_id), "
+    "st AS (SELECT gene_id, cls, count(*) AS n, avg(value) AS m, "
+    "var_samp(value) AS v FROM j GROUP BY 1, 2), "
+    "w AS (SELECT a.gene_id, a.n AS n1, a.m AS m1, a.v AS v1, "
+    "b.n AS n2, b.m AS m2, b.v AS v2 "
+    "FROM st a JOIN st b ON a.gene_id = b.gene_id "
+    "AND a.cls = 'O' AND b.cls = 'F') "
+    "SELECT gene_id, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+    "round((m1 - m2) / nullif(sqrt(v1 / n1 + v2 / n2), 0), 6) AS t_stat "
+    "FROM w WHERE n1 >= 2 AND n2 >= 2",
+)
+def op_agg_17_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-17 `[mandate]` (differential expression): per-gene
+    Welch's t-statistic between two phenotype groups — the analysis
+    the reference's workload exists to feed. One labeled join (the
+    label table is sample-dimension-sized), one (gene, class) hash
+    agg, then a gene-dim self-join assembling the two groups'
+    moments into the t formula — pure column arithmetic, identical
+    algebra on both engines."""
+    g = gexp(spark, sf_dir)
+    lab = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderkey").alias("sample_id"),
+            F.col("o_orderstatus").alias("cls"),
+        )
+    )
+    st = (
+        g.join(lab, "sample_id")
+        .groupBy("gene_id", "cls")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    a = st.filter(F.col("cls") == "O").select(
+        "gene_id",
+        F.col("n").alias("n1"),
+        F.col("m").alias("m1"),
+        F.col("v").alias("v1"),
+    )
+    b = st.filter(F.col("cls") == "F").select(
+        "gene_id",
+        F.col("n").alias("n2"),
+        F.col("m").alias("m2"),
+        F.col("v").alias("v2"),
+    )
+    t = F.try_divide(
+        F.col("m1") - F.col("m2"),
+        F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+    )
+    return (
+        a.join(b, "gene_id")
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            "gene_id",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(t, 6).alias("t_stat"),
+        )
+    )
+
+
 @register("op_agg_12_approx_distinct")
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
