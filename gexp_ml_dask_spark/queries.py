@@ -1878,6 +1878,88 @@ def op_ml_06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_ml_10_confusion",
+    # Precision/recall/F1 for a deterministic threshold classifier:
+    # predict 'O' when the sample's total quantity is above the
+    # global median, against the true order-status label.
+    f"WITH g AS ({G_QTY}), "
+    "tot AS (SELECT sample_id, sum(value) AS total FROM g GROUP BY 1), "
+    "med AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY total) "
+    "AS m FROM tot), "
+    "lab AS (SELECT o_orderkey AS sample_id, o_orderstatus AS y FROM orders "
+    "WHERE o_orderstatus IN ('O', 'F')), "
+    "p AS (SELECT lab.y, CASE WHEN tot.total > med.m THEN 'O' ELSE 'F' END "
+    "AS yhat FROM tot JOIN lab ON tot.sample_id = lab.sample_id, med), "
+    "c AS (SELECT "
+    "sum(CASE WHEN y = 'O' AND yhat = 'O' THEN 1 ELSE 0 END) AS tp, "
+    "sum(CASE WHEN y = 'F' AND yhat = 'O' THEN 1 ELSE 0 END) AS fp, "
+    "sum(CASE WHEN y = 'O' AND yhat = 'F' THEN 1 ELSE 0 END) AS fn, "
+    "sum(CASE WHEN y = 'F' AND yhat = 'F' THEN 1 ELSE 0 END) AS tn FROM p) "
+    "SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+    "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, "
+    "round(tp / nullif(CAST(tp + fp AS DOUBLE), 0), 6) AS precision_o, "
+    "round(tp / nullif(CAST(tp + fn AS DOUBLE), 0), 6) AS recall_o, "
+    "round(2.0 * tp / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0), 6) AS f1_o "
+    "FROM c",
+)
+def op_ml_10_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10 (confusion-matrix metrics): tp/fp/fn/tn + precision/
+    recall/F1 for a deterministic median-threshold classifier against
+    the order-status label — one conditional aggregate over the
+    prediction join; the metric family MulticlassClassification-
+    Evaluator serves, expressed as plain SQL both engines replay."""
+    g = gexp(spark, sf_dir)
+    tot = g.groupBy("sample_id").agg(F.sum("value").alias("total"))
+    from pyspark.storagelevel import StorageLevel
+
+    tot = tot.persist(StorageLevel.MEMORY_AND_DISK)
+    med = tot.agg(agg.grouped_percentile("total", 0.5).alias("m"))
+    lab = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderkey").alias("sample_id"),
+            F.col("o_orderstatus").alias("y"),
+        )
+    )
+    p = (
+        tot.join(lab, "sample_id")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "y",
+            F.when(F.col("total") > F.col("m"), F.lit("O"))
+            .otherwise(F.lit("F"))
+            .alias("yhat"),
+        )
+    )
+    c = p.agg(
+        F.sum(((F.col("y") == "O") & (F.col("yhat") == "O")).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == "F") & (F.col("yhat") == "O")).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == "O") & (F.col("yhat") == "F")).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == "F") & (F.col("yhat") == "F")).cast("long")).alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.try_divide(F.col("tp"), (F.col("tp") + F.col("fp")).cast("double")), 6
+        ).alias("precision_o"),
+        F.round(
+            F.try_divide(F.col("tp"), (F.col("tp") + F.col("fn")).cast("double")), 6
+        ).alias("recall_o"),
+        F.round(
+            F.try_divide(
+                2.0 * F.col("tp"),
+                (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            ),
+            6,
+        ).alias("f1_o"),
+    )
+
+
+@register(
     "op_ml_06_stratified_folds",
     f"SELECT event_id, event_type, "
     f"CAST((row_number() OVER (PARTITION BY event_type "
