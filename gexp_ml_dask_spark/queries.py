@@ -1133,7 +1133,8 @@ def op_agg_14_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM st a JOIN st b ON a.gene_id = b.gene_id "
     "AND a.cls = 'O' AND b.cls = 'F') "
     "SELECT gene_id, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
-    "round((m1 - m2) / nullif(sqrt(v1 / n1 + v2 / n2), 0), 6) AS t_stat "
+    "round((m1 - m2) / nullif(sqrt(v1 / n1 + v2 / n2), 0), 6) AS t_stat, "
+    "round(log2(m1 / m2), 6) AS log2_fc "
     "FROM w WHERE n1 >= 2 AND n2 >= 2",
 )
 def op_agg_17_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,6 +1190,9 @@ def op_agg_17_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("long").alias("n1"),
             F.col("n2").cast("long").alias("n2"),
             F.round(t, 6).alias("t_stat"),
+            # values are strictly positive quantities, so the means
+            # are positive and log2 is ANSI-safe
+            F.round(F.log2(F.col("m1") / F.col("m2")), 6).alias("log2_fc"),
         )
     )
 
