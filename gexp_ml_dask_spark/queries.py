@@ -1964,6 +1964,55 @@ def op_ml_10_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_ml_10_auc",
+    # Rank-based ROC AUC (Mann-Whitney form): rank all samples by
+    # score with a deterministic tie order, AUC = (sum of positive
+    # ranks - n_pos(n_pos+1)/2) / (n_pos * n_neg).
+    f"WITH g AS ({G_QTY}), "
+    "tot AS (SELECT sample_id, sum(value) AS score FROM g GROUP BY 1), "
+    "lab AS (SELECT o_orderkey AS sample_id, "
+    "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS y FROM orders "
+    "WHERE o_orderstatus IN ('O', 'F')), "
+    "r AS (SELECT lab.y, CAST(row_number() OVER "
+    "(ORDER BY tot.score, tot.sample_id) AS DOUBLE) AS rk "
+    "FROM tot JOIN lab ON tot.sample_id = lab.sample_id), "
+    "s AS (SELECT sum(CASE WHEN y = 1 THEN rk ELSE 0 END) AS rpos, "
+    "sum(y) AS np, sum(1 - y) AS nn FROM r) "
+    "SELECT round((rpos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc FROM s",
+)
+def op_ml_10_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10 (ROC AUC): Mann-Whitney rank form — one global rank
+    window over the scored samples (deterministic tie order so both
+    engines assign identical ranks), then a single aggregate. At
+    100 TB the global sort is the cost; sampling or the bucketed
+    approximate-rank form replaces it when exactness is waived."""
+    g = gexp(spark, sf_dir)
+    tot = g.groupBy("sample_id").agg(F.sum("value").alias("score"))
+    lab = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderkey").alias("sample_id"),
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("y"),
+        )
+    )
+    w = Window.orderBy(F.asc("score"), F.asc("sample_id"))
+    r = (
+        tot.join(lab, "sample_id")
+        .withColumn("rk", F.row_number().over(w).cast("double"))
+    )
+    s = r.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rk")).otherwise(0.0)).alias("rpos"),
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+    )
+    auc = (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return s.select(F.round(auc, 6).alias("auc"))
+
+
+@register(
     "op_ml_06_stratified_folds",
     f"SELECT event_id, event_type, "
     f"CAST((row_number() OVER (PARTITION BY event_type "
