@@ -2013,6 +2013,49 @@ def op_ml_10_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_ml_10_calibration",
+    # Reliability bins: score deciles (deterministic NTILE order) vs
+    # observed positive rate — the calibration diagnostic.
+    f"WITH g AS ({G_QTY}), "
+    "tot AS (SELECT sample_id, sum(value) AS score FROM g GROUP BY 1), "
+    "lab AS (SELECT o_orderkey AS sample_id, "
+    "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS y FROM orders "
+    "WHERE o_orderstatus IN ('O', 'F')), "
+    "r AS (SELECT tot.score, lab.y, CAST(ntile(10) OVER "
+    "(ORDER BY tot.score, tot.sample_id) AS BIGINT) AS bin "
+    "FROM tot JOIN lab ON tot.sample_id = lab.sample_id) "
+    "SELECT bin, count(*) AS n, round(avg(score), 6) AS mean_score, "
+    "round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate FROM r GROUP BY bin",
+)
+def op_ml_10_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10 (calibration): reliability bins — samples dealt into
+    score deciles (deterministic NTILE) and each bin reduced to mean
+    score + observed positive rate; the diagnostic that shows
+    whether a scorer's magnitudes are trustworthy, not just its
+    ranking (AUC)."""
+    g = gexp(spark, sf_dir)
+    tot = g.groupBy("sample_id").agg(F.sum("value").alias("score"))
+    lab = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderkey").alias("sample_id"),
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("y"),
+        )
+    )
+    w = Window.orderBy(F.asc("score"), F.asc("sample_id"))
+    r = (
+        tot.join(lab, "sample_id")
+        .withColumn("bin", F.ntile(10).over(w).cast("long"))
+    )
+    return r.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("pos_rate"),
+    )
+
+
+@register(
     "op_ml_06_stratified_folds",
     f"SELECT event_id, event_type, "
     f"CAST((row_number() OVER (PARTITION BY event_type "
