@@ -137,6 +137,127 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (exact n-gram Jaccard, prefix-filtered) — the EXACT
+    same pair set as :func:`ngram_jaccard_pairs`, computed with
+    AllPairs prefix filtering (Bayardo/Ma/Srikant, WWW'07) instead of
+    a full inverted-index self-join.
+
+    Why: the unblocked self-join's cost is sum over shingles of
+    df(shingle)^2 — one hot shingle fans out quadratically at 100 TB.
+    Prefix filtering is a LOSSLESS block: order every doc's shingles
+    by ascending global frequency; if J(A,B) >= t, A and B must share
+    a shingle within each one's first ``n_sh - ceil(t*n_sh) + 1``
+    shingles in that order. Only prefixes enter the index, so hot
+    (most frequent) shingles land in the suffix and never join;
+    candidates are then verified with one exact ``array_intersect``
+    per pair against the full shingle arrays.
+
+    Guarantees recall 1.0 (it is a theorem, not an LSH probability),
+    so this is safe to substitute anywhere the DuckDB oracle checks
+    the exact pair/cluster output. A +1 slack on the prefix length
+    and a -1e-6 slack on the size filter cover the round(.,6)
+    threshold semantics.
+
+    Scale posture: the extra global frequency pass is one partial-agg
+    shuffle; the verify joins are shuffles on doc_id (candidate-count
+    sized, not pair-fanout sized). At sf0.1 the unblocked join is
+    faster on wall-clock (see BASELINE.md A/B) because this corpus
+    has no hot shingles — at 100 TB with Zipf shingle frequencies the
+    prefix index is the only shape that survives.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    eps = 1.0e-6  # round(jac, 6) >= t admits jac >= t - 5e-7
+    shingled = docs.select(
+        F.col(id_col), shingles(text_col, n).alias("_shs")
+    ).withColumn("_nsh", F.size("_shs"))
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+
+    ex = shingled.select(id_col, "_nsh", F.explode("_shs").alias("_sh"))
+    freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    # Rank each doc's shingles rarest-first; keep only the prefix
+    # that any >=t partner must intersect. floor() (not ceil) keeps
+    # one extra slot of slack — longer prefix is always safe.
+    w = Window.partitionBy(id_col).orderBy("_df", "_sh")
+    prefix = (
+        ex.join(freq, "_sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn")
+            <= F.col("_nsh") - F.floor(F.lit(threshold) * F.col("_nsh")) + 1
+        )
+        .select(id_col, "_nsh", "_sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Size filter: J <= min(na,nb)/max(na,nb), so qualifying pairs
+    # satisfy least >= (t - eps) * greatest.
+    cand = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a._nsh"), F.col("b._nsh"))
+                >= (threshold - eps)
+                * F.greatest(F.col("a._nsh"), F.col("b._nsh"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_shs").alias("_shs_a"),
+        F.col("_nsh").alias("_na"),
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_shs").alias("_shs_b"),
+        F.col("_nsh").alias("_nb"),
+    )
+    ni = F.size(F.array_intersect("_shs_a", "_shs_b"))
+    jac = ni / (F.col("_na") + F.col("_nb") - ni)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_auto(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_gate: int = 1_000_000,
+) -> DataFrame:
+    """OP-LLM-02 — strategy-gated exact Jaccard pairs: the unblocked
+    inverted-index join below ``size_gate`` documents, the lossless
+    prefix-filtered form above it. Both produce the IDENTICAL pair
+    set (pinned in tests/test_llm_ops.py), so the gate is purely a
+    physical choice: at bench scale the all-pairs join is
+    dispatch-bound and ~2x faster (sf0.1 A/B in BASELINE.md:
+    2.4 s vs 5.1 s), while at 100 TB the prefix index is the only
+    shape without a hot-shingle quadratic fan-out. One count() job
+    decides (cheap vs either join)."""
+    if docs.count() <= size_gate:
+        return ngram_jaccard_pairs(docs, threshold, n, id_col, text_col)
+    return ngram_jaccard_pairs_prefix(docs, threshold, n, id_col, text_col)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 24,
