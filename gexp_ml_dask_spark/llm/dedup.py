@@ -143,6 +143,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_col: str | None = None,
 ) -> DataFrame:
     """OP-LLM-02 (exact n-gram Jaccard, prefix-filtered) — the EXACT
     same pair set as :func:`ngram_jaccard_pairs`, computed with
@@ -161,54 +162,84 @@ def ngram_jaccard_pairs_prefix(
 
     Guarantees recall 1.0 (it is a theorem, not an LSH probability),
     so this is safe to substitute anywhere the DuckDB oracle checks
-    the exact pair/cluster output. A +1 slack on the prefix length
-    and a -1e-6 slack on the size filter cover the round(.,6)
-    threshold semantics.
+    the exact pair/cluster output — the identical-pair-set parity vs
+    the inverted-index form is pinned in
+    tests/test_llm_ops.py::test_prefix_jaccard_identical_pairs
+    (sf0.001 corpus + a planted hot-shingle fixture). The admission
+    band of round(jac, 6) >= t is jac >= t - 5e-7, so BOTH the size
+    filter and the prefix length are derived from the slackened
+    threshold (t - 1e-6): the prefix bound uses
+    floor((t - eps) * n_sh), which is <= ceil((t - 5e-7) * n_sh) for
+    every document size, keeping losslessness size-independent (no
+    reliance on a +1 slack that a >2M-shingle document would outgrow).
+
+    ``block_col`` composes: candidates are additionally required to
+    agree on the blocking key (the same contract as
+    :func:`ngram_jaccard_pairs`). The frequency order stays global —
+    any single total order preserves the theorem; blocking only
+    shrinks the candidate space further.
 
     Scale posture: the extra global frequency pass is one partial-agg
     shuffle; the verify joins are shuffles on doc_id (candidate-count
-    sized, not pair-fanout sized). At sf0.1 the unblocked join is
-    faster on wall-clock (see BASELINE.md A/B) because this corpus
-    has no hot shingles — at 100 TB with Zipf shingle frequencies the
-    prefix index is the only shape that survives.
+    sized, not pair-fanout sized). At bench scale the unblocked join
+    is faster on wall-clock (see BASELINE.md "prefix vs inverted
+    Jaccard" A/B) because this corpus has no hot shingles — at 100 TB
+    with Zipf shingle frequencies the prefix index is the only shape
+    that survives.
     """
     from pyspark.storagelevel import StorageLevel
 
     eps = 1.0e-6  # round(jac, 6) >= t admits jac >= t - 5e-7
     shingled = docs.select(
-        F.col(id_col), shingles(text_col, n).alias("_shs")
+        F.col(id_col),
+        shingles(text_col, n).alias("_shs"),
+        *([F.col(block_col)] if block_col else []),
     ).withColumn("_nsh", F.size("_shs"))
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
 
-    ex = shingled.select(id_col, "_nsh", F.explode("_shs").alias("_sh"))
+    ex = shingled.select(
+        id_col,
+        "_nsh",
+        F.explode("_shs").alias("_sh"),
+        *([F.col(block_col)] if block_col else []),
+    )
     freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
     # Rank each doc's shingles rarest-first; keep only the prefix
-    # that any >=t partner must intersect. floor() (not ceil) keeps
-    # one extra slot of slack — longer prefix is always safe.
+    # that any >=t partner must intersect. The bound is derived from
+    # the slackened admission threshold (t - eps), so it covers the
+    # round(., 6) semantics for documents of ANY size.
     w = Window.partitionBy(id_col).orderBy("_df", "_sh")
     prefix = (
         ex.join(freq, "_sh")
         .withColumn("_rn", F.row_number().over(w))
         .filter(
             F.col("_rn")
-            <= F.col("_nsh") - F.floor(F.lit(threshold) * F.col("_nsh")) + 1
+            <= F.col("_nsh")
+            - F.floor((F.lit(threshold) - F.lit(eps)) * F.col("_nsh"))
+            + 1
         )
-        .select(id_col, "_nsh", "_sh")
+        .select(
+            id_col, "_nsh", "_sh", *([F.col(block_col)] if block_col else [])
+        )
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # Size filter: J <= min(na,nb)/max(na,nb), so qualifying pairs
     # satisfy least >= (t - eps) * greatest.
-    cand = (
-        a.join(
-            b,
-            (F.col("a._sh") == F.col("b._sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (
-                F.least(F.col("a._nsh"), F.col("b._nsh"))
-                >= (threshold - eps)
-                * F.greatest(F.col("a._nsh"), F.col("b._nsh"))
-            ),
+    cand_cond = (
+        (F.col("a._sh") == F.col("b._sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            F.least(F.col("a._nsh"), F.col("b._nsh"))
+            >= (threshold - eps)
+            * F.greatest(F.col("a._nsh"), F.col("b._nsh"))
         )
+    )
+    if block_col:
+        cand_cond = cand_cond & (
+            F.col(f"a.{block_col}") == F.col(f"b.{block_col}")
+        )
+    cand = (
+        a.join(b, cand_cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -236,26 +267,59 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+JACCARD_STRATEGY_CONF = "spark.gexp_ml.jaccard.strategy"
+
+
 def ngram_jaccard_pairs_auto(
     docs: DataFrame,
     threshold: float = 0.4,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_col: str | None = None,
+    strategy: str | None = None,
+    size_hint: int | None = None,
     size_gate: int = 1_000_000,
 ) -> DataFrame:
-    """OP-LLM-02 — strategy-gated exact Jaccard pairs: the unblocked
-    inverted-index join below ``size_gate`` documents, the lossless
-    prefix-filtered form above it. Both produce the IDENTICAL pair
-    set (pinned in tests/test_llm_ops.py), so the gate is purely a
-    physical choice: at bench scale the all-pairs join is
-    dispatch-bound and ~2x faster (sf0.1 A/B in BASELINE.md:
-    2.4 s vs 5.1 s), while at 100 TB the prefix index is the only
-    shape without a hot-shingle quadratic fan-out. One count() job
-    decides (cheap vs either join)."""
-    if docs.count() <= size_gate:
-        return ngram_jaccard_pairs(docs, threshold, n, id_col, text_col)
-    return ngram_jaccard_pairs_prefix(docs, threshold, n, id_col, text_col)
+    """OP-LLM-02 — strategy-gated exact Jaccard pairs. Both physical
+    forms produce the IDENTICAL pair set (pinned in
+    tests/test_llm_ops.py::test_prefix_jaccard_identical_pairs), so
+    the gate is purely a physical choice: at bench scale the
+    inverted-index join wins on wall-clock (sf0.1 same-host A/B in
+    BASELINE.md, "prefix vs inverted Jaccard"), while at 100 TB the
+    prefix index is the only shape without a hot-shingle quadratic
+    fan-out.
+
+    The gate is LAZY — no Spark job runs at plan-build time.
+    Resolution order:
+
+    1. explicit ``strategy`` argument (``"inverted"`` | ``"prefix"``);
+    2. the session conf ``spark.gexp_ml.jaccard.strategy`` (same
+       values — how a 100 TB pipeline flips every call site at once);
+    3. ``size_hint`` (a caller-known document count, e.g. from table
+       stats) vs ``size_gate``;
+    4. default ``"inverted"`` — right for oracle/bench scale; large
+       deployments set the conf or pass the hint.
+
+    ``block_col`` is forwarded to either form unchanged.
+    """
+    if strategy is None:
+        strategy = docs.sparkSession.conf.get(JACCARD_STRATEGY_CONF, "auto")
+    if strategy == "auto":
+        strategy = (
+            "prefix"
+            if size_hint is not None and size_hint > size_gate
+            else "inverted"
+        )
+    if strategy == "inverted":
+        return ngram_jaccard_pairs(
+            docs, threshold, n, id_col, text_col, block_col
+        )
+    if strategy == "prefix":
+        return ngram_jaccard_pairs_prefix(
+            docs, threshold, n, id_col, text_col, block_col
+        )
+    raise ValueError(f"unknown jaccard strategy: {strategy}")
 
 
 def minhash_signatures(

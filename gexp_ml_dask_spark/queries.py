@@ -2724,10 +2724,13 @@ def op_llm_01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (exact n-gram Jaccard): shingle inverted-index
-    self-join — only pairs sharing a shingle materialize."""
-    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+    self-join — only pairs sharing a shingle materialize. Routed
+    through the lazy strategy gate: the lossless prefix-filtered form
+    (AllPairs) takes over at 100 TB via conf/size-hint, identical
+    pair set either way."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs_auto
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_auto(
         load_docs(spark, sf_dir), threshold=0.4, n=3
     )
 
@@ -2926,11 +2929,13 @@ def op_llm_02_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (cluster formation): near-dup candidate pairs
     resolved into duplicate clusters via iterative connected
     components (label propagation + pointer jumping — the only
-    legitimately iterative operator; see operators/graph.py)."""
-    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+    legitimately iterative operator; see operators/graph.py). The
+    candidate stage goes through the lazy strategy gate, so at 100 TB
+    the prefix-filtered (hot-shingle-safe) form feeds the CC loop."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs_auto
     from gexp_ml_dask_spark.operators.graph import dedup_clusters
 
-    pairs = ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs_auto(
         load_docs(spark, sf_dir), threshold=0.4, n=3
     )
     return dedup_clusters(pairs)
@@ -2968,11 +2973,11 @@ def op_llm_02_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative CC over n-gram Jaccard pairs) anti-joined back onto
     the documents; the drop list is cluster-sized, so the anti-join
     broadcasts and the corpus never shuffles."""
-    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs_auto
     from gexp_ml_dask_spark.operators.graph import dedup_clusters
 
     docs = load_docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.4, n=3)
+    pairs = ngram_jaccard_pairs_auto(docs, threshold=0.4, n=3)
     clusters = dedup_clusters(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id"
@@ -3006,10 +3011,10 @@ def op_llm_02_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph — the cluster-density signal that separates tight
     duplicate cliques from chains; oriented low->high edges make two
     hash joins count each triangle exactly once."""
-    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs_auto
     from gexp_ml_dask_spark.operators.graph import triangle_count
 
-    pairs = ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs_auto(
         load_docs(spark, sf_dir), threshold=0.4, n=3
     )
     return triangle_count(pairs)

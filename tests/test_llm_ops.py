@@ -577,3 +577,130 @@ def test_curation_full_gates_compose(spark, docs):
         docs, weights, min_quality=0.0, min_fluency=-3.3
     )
     assert tight.count() < full.count()
+
+
+def _pair_set(df):
+    return {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+
+
+def test_prefix_jaccard_identical_pairs(spark, docs):
+    """The AllPairs prefix-filtered form must produce the IDENTICAL
+    pair set (ids AND rounded jaccard) as the inverted-index join —
+    losslessness is a theorem, so this is exact set equality, at two
+    thresholds, on the corpus with planted exact + near duplicates.
+    This is the parity the dedup.py docstrings cite."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    for t in (0.4, 0.8):
+        inv = _pair_set(ngram_jaccard_pairs(docs, threshold=t, n=3))
+        pre = _pair_set(ngram_jaccard_pairs_prefix(docs, threshold=t, n=3))
+        assert inv == pre, (t, inv ^ pre)
+    assert inv  # exact dups exist at 0.8, so the sets are non-trivial
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_docs(spark):
+    """Synthetic Zipf-ish corpus: EVERY doc opens with the same three
+    tokens (one globally hot trigram shingle), near-dup pairs differ
+    only in their final token, and the rest of each doc is unique.
+    This is the regime where the unblocked inverted index goes
+    quadratic and prefix filtering must still be lossless."""
+    rows = []
+    for i in range(40):
+        tail = " ".join(f"tok{i}_{j}" for j in range(8))
+        rows.append((i, f"the quick fox {tail} end{i}"))
+        if i < 10:  # planted near-dup: same text, different last token
+            rows.append((1000 + i, f"the quick fox {tail} alt{i}"))
+    # one near-dup pair with odd/even ids (lands cross-block under
+    # blk = doc_id % 2, so blocking provably drops it)
+    rows.append((600, "the quick fox cross a b c d e f g end600"))
+    rows.append((601, "the quick fox cross a b c d e f g alt600"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_prefix_jaccard_hot_shingle_lossless(spark, hot_shingle_docs):
+    from gexp_ml_dask_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    inv = _pair_set(ngram_jaccard_pairs(hot_shingle_docs, threshold=0.5))
+    pre = _pair_set(
+        ngram_jaccard_pairs_prefix(hot_shingle_docs, threshold=0.5)
+    )
+    assert inv == pre, inv ^ pre
+    found = {(a, b) for a, b, _ in pre}
+    for i in range(10):  # every planted near-dup pair is recovered
+        assert (i, 1000 + i) in found
+
+
+def test_prefix_jaccard_block_col_forwarding(spark, hot_shingle_docs):
+    """block_col composes identically in both physical forms: pairs
+    restricted to the same blocking key, full-set jaccard."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    blocked = hot_shingle_docs.withColumn("blk", F.col("doc_id") % 2)
+    inv = _pair_set(
+        ngram_jaccard_pairs(blocked, threshold=0.5, block_col="blk")
+    )
+    pre = _pair_set(
+        ngram_jaccard_pairs_prefix(blocked, threshold=0.5, block_col="blk")
+    )
+    auto = _pair_set(
+        ngram_jaccard_pairs_auto(
+            blocked, threshold=0.5, block_col="blk", strategy="prefix"
+        )
+    )
+    assert inv == pre == auto
+    # blocking is a restriction of the unblocked pair set
+    unblocked = _pair_set(ngram_jaccard_pairs(blocked, threshold=0.5))
+    assert pre <= unblocked and len(pre) < len(unblocked)
+
+
+def test_jaccard_auto_gate_is_lazy_and_routes(spark, hot_shingle_docs):
+    """The strategy gate must not launch a job at plan-build time,
+    and must route per explicit arg > session conf > size_hint."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        JACCARD_STRATEGY_CONF,
+        ngram_jaccard_pairs_auto,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    plan_prefix = ngram_jaccard_pairs_auto(
+        hot_shingle_docs, threshold=0.5, strategy="prefix"
+    )
+    plan_inverted = ngram_jaccard_pairs_auto(
+        hot_shingle_docs, threshold=0.5, strategy="inverted"
+    )
+    assert tracker.getJobIdsForGroup(None) == before  # lazy: no job ran
+    # the prefix plan carries the row_number Window; the inverted
+    # plan has none — a cheap structural probe of which path was built
+    assert "Window" in plan_prefix._jdf.queryExecution().toString()
+    assert "Window" not in plan_inverted._jdf.queryExecution().toString()
+
+    spark.conf.set(JACCARD_STRATEGY_CONF, "prefix")
+    try:
+        via_conf = ngram_jaccard_pairs_auto(hot_shingle_docs, threshold=0.5)
+        assert "Window" in via_conf._jdf.queryExecution().toString()
+    finally:
+        spark.conf.unset(JACCARD_STRATEGY_CONF)
+    via_hint = ngram_jaccard_pairs_auto(
+        hot_shingle_docs, threshold=0.5, size_hint=10_000_000
+    )
+    assert "Window" in via_hint._jdf.queryExecution().toString()
+    default = ngram_jaccard_pairs_auto(hot_shingle_docs, threshold=0.5)
+    assert "Window" not in default._jdf.queryExecution().toString()
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs_auto(
+            hot_shingle_docs, threshold=0.5, strategy="bogus"
+        )
