@@ -780,18 +780,47 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    method: str = "lsh",
+    n_planes: int = 4,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """OP-LLM-02 (embedding cosine) — semantic near-dup pairs with
-    rounded cosine >= threshold. Brute self-join; pass ``block_col``
-    (LSH bucket / IVF cell / partition key) to keep the pair space
-    linear at scale.
+    rounded cosine >= threshold.
+
+    Methods (the scale-safe one is the DEFAULT; brute is opt-in):
+
+    * ``method='lsh'`` (default): sign-LSH blocking — each vector is
+      bucketed by ``n_tables`` independent seeded hyperplane families
+      (see :func:`~gexp_ml_dask_spark.llm.similarity.hyperplane_buckets`);
+      pairs colliding in ANY table are candidates (union, dedup BEFORE
+      the cosine kernel), then verified with the exact cosine. The
+      candidate join is an EQUI-join on the bucket id — a hash join,
+      never a nested-loop — so the pair space is bucket-bound at
+      100 TB. Recall is the standard OR-of-tables S-curve
+      (1 - (1 - p^n_planes)^n_tables for per-plane agreement p);
+      raise ``n_tables`` / lower ``n_planes`` to trade cost for
+      recall. ``family='md5'`` makes the buckets plan-literal and
+      SQL-reproducible (value-oracled in op_llm_02_embedding_neardup_lsh).
+    * ``method='brute'``: the exact all-pairs self-join — its only
+      join condition is ``id < id``, which plans as a nested-loop
+      over ALL pairs. Oracle/bench-scale only (this is the exactness
+      contract the DuckDB oracle checks); never the default.
+    * ``block_col``: caller-supplied blocking key (IVF cell,
+      partition key) — equality-joined; overrides ``method``.
 
     Norms are computed per VECTOR below the join (n sqrt-folds), not
     per pair (n² would triple the interpreted higher-order-function
     work in the pair kernel — measured 63s -> ~20s at 5k vectors);
     dividing the pairwise dot by the two prejoined norms performs
     the identical float ops in the identical order as cosine_expr."""
-    from gexp_ml_dask_spark.llm.similarity import dot_expr, norm_expr
+    from gexp_ml_dask_spark.llm.similarity import (
+        dot_expr,
+        hyperplane_buckets,
+        norm_expr,
+    )
 
     sel = [
         F.col(id_col),
@@ -800,6 +829,52 @@ def embedding_neardup_pairs(
     if block_col:
         sel.append(F.col(block_col))
     docs = embeddings.select(*sel).withColumn("_n", norm_expr(F.col("_v")))
+
+    if block_col is None and method == "lsh":
+        cand = None
+        for t in range(n_tables):
+            bt = hyperplane_buckets(
+                docs.select(id_col, "_v"),
+                n_planes,
+                dim,
+                "_v",
+                seed + t,
+                out_col="_bucket",
+                family=family,
+            ).select(id_col, "_bucket")
+            a, b = bt.alias("a"), bt.alias("b")
+            pairs_t = a.join(
+                b,
+                (F.col("a._bucket") == F.col("b._bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+        cand = cand.distinct()
+        va = docs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        vb = docs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
+        cosine = F.try_divide(
+            dot_expr(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
+        )
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    if block_col is None and method != "brute":
+        raise ValueError(f"unknown embedding neardup method: {method}")
+
     a, b = docs.alias("a"), docs.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:

@@ -3152,13 +3152,75 @@ def op_llm_02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4",
 )
 def op_llm_02_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-02 (embedding cosine near-dup): brute pair join at
-    oracle scale (norms prejoined, one fold per pair); block_col
-    (LSH/IVF) bounds the pair space at 100 TB."""
+    """OP-LLM-02 (embedding cosine near-dup, EXACT twin): the
+    all-pairs join, opted into explicitly (method='brute') because
+    the DuckDB oracle here checks the complete >= t pair set — the
+    same oracle-scale-exact / scale-path-twin split as the exact
+    percentile and md5-minhash families. The production default of
+    embedding_neardup_pairs is the sign-LSH blocked form
+    (op_llm_02_embedding_neardup_lsh), whose candidate join is an
+    equi hash join."""
     from gexp_ml_dask_spark.llm.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        method="brute",
+    )
+
+
+def _embedding_neardup_lsh_oracle(
+    n_planes: int = 4, n_tables: int = 2, dim: int = 64, seed: int = 42
+) -> str:
+    """SQL twin of embedding_neardup_pairs(method='lsh',
+    family='md5'): the hyperplanes are pure functions of the seed, so
+    the SAME floats are baked into this text and DuckDB reproduces
+    the bucketing, candidate union, and exact-cosine verify."""
+    from gexp_ml_dask_spark.llm.similarity import md5_hyperplanes
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j, p in enumerate(planes)
+        )
+
+    buckets = ", ".join(
+        f"{bucket_expr(md5_hyperplanes(n_planes, dim, seed + t))} AS b{t}"
+        for t in range(n_tables)
+    )
+    cand_union = " UNION ".join(
+        f"SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM b x JOIN b y "
+        f"ON x.b{t} = y.b{t} AND x.vec_id < y.vec_id"
+        for t in range(n_tables)
+    )
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {buckets} FROM c), "
+        f"cand AS ({cand_union}) "
+        "SELECT id_a, id_b, "
+        "round(list_cosine_similarity(ca.v, cb.v), 6) AS cosine "
+        "FROM cand JOIN c ca ON ca.vec_id = id_a "
+        "JOIN c cb ON cb.vec_id = id_b "
+        "WHERE round(list_cosine_similarity(ca.v, cb.v), 6) >= 0.4"
+    )
+
+
+@register("op_llm_02_embedding_neardup_lsh", _embedding_neardup_lsh_oracle())
+def op_llm_02_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (embedding cosine near-dup, scale path): sign-LSH
+    blocked candidate generation — 2 independent 4-plane md5
+    hyperplane tables, candidates = bucket-equality hash joins
+    (NEVER a nested loop; pinned in tests/test_plans.py), exact
+    cosine verify. Value-oracled: the md5 family is plan-literal, so
+    DuckDB reproduces the identical candidate set and cosines."""
+    from gexp_ml_dask_spark.llm.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        method="lsh",
+        family="md5",
     )
 
 

@@ -73,11 +73,38 @@ def test_embedding_neardup_symmetric_block(spark):
     from gexp_ml_dask_spark.llm.dedup import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    pairs = embedding_neardup_pairs(emb, threshold=0.3)
+    pairs = embedding_neardup_pairs(emb, threshold=0.3, method="brute")
     rows = pairs.collect()
     assert all(r["id_a"] < r["id_b"] for r in rows)
-    blocked = embedding_neardup_pairs(emb, threshold=0.3, block_col="label")
+    blocked = embedding_neardup_pairs(
+        emb, threshold=0.3, block_col="label", method="brute"
+    )
     assert blocked.count() <= len(rows)
+
+
+def test_embedding_neardup_lsh_subset_of_brute(spark):
+    """The default (LSH-blocked) form returns a SUBSET of the exact
+    brute pair set — identical (id, cosine) rows for every candidate
+    it admits — and its candidate join is an equi join, not a
+    nested loop over all pairs."""
+    from gexp_ml_dask_spark.llm.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.3, method="brute"
+        ).collect()
+    }
+    lsh_df = embedding_neardup_pairs(emb, threshold=0.3)  # default method
+    lsh = {(r["id_a"], r["id_b"], r["cosine"]) for r in lsh_df.collect()}
+    assert lsh <= brute
+    assert len(lsh) > 0
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        embedding_neardup_pairs(emb, method="bogus")
 
 
 def test_knn_bruteforce_top1_is_most_similar(spark):

@@ -466,3 +466,17 @@ def test_curation_max_broadcasts_gates(spark, registry):
     p = plan(registry["op_llm_08_curation_max"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_embedding_neardup_lsh_is_hash_join(spark, registry):
+    """op_llm_02_embedding_neardup_lsh: the candidate stage is an
+    EQUI join on the hyperplane bucket id — a hash/sort-merge join,
+    never a nested loop over all vector pairs (the brute twin's
+    id<id-only condition plans as BroadcastNestedLoopJoin; the scale
+    path must not)."""
+    p = plan(registry["op_llm_02_embedding_neardup_lsh"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or (
+        "ShuffledHashJoin" in p
+    ), p
