@@ -52,3 +52,27 @@ def test_bench_headline_queries_registered():
 
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"bench names with no registered query: {missing}"
+
+
+def test_driver_order_is_permutation():
+    """The driver-visibility reorder must be a pure permutation of
+    the registry: every registered query/oracle survives with its
+    original callable/SQL, unchecked names lead, recorded-green names
+    trail in their first-recorded order."""
+    from gexp_ml_dask_spark.queries import (
+        ORACLE,
+        QUERIES,
+        _driver_checked,
+        _driver_order,
+    )
+
+    names = list(QUERIES)
+    order = _driver_order(names)
+    assert sorted(order) == sorted(names)  # permutation, nothing lost
+    assert set(ORACLE) <= set(QUERIES)
+    checked = [n for n in _driver_checked() if n in QUERIES]
+    assert checked, "no recorded driver sweeps found"
+    # the trailing block is exactly the recorded-green set, in order
+    assert order[-len(checked):] == checked
+    # everything ahead of it has no green driver row yet
+    assert not (set(order[: len(order) - len(checked)]) & set(checked))
