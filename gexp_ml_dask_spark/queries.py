@@ -1197,20 +1197,39 @@ def op_agg_17_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_agg_12_approx_distinct")
+@register(
+    "op_agg_12_approx_distinct",
+    # Sketch estimates are not bit-portable across engines, so the
+    # value contract is the ERROR BAND, which IS portable: each
+    # engine's own HLL estimate must sit within 5% of its own exact
+    # distinct count, per key. Both sides also emit the exact count
+    # (engine-independent), so the hash compare pins (key, truth,
+    # band-ok) — a real correctness contract, not a row count.
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "
+    "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) "
+    "<= 0.05 * count(DISTINCT user_id) AS within_5pct "
+    "FROM events GROUP BY event_type",
+)
 def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-AGG-12 `[mandate]` (rows-only): per-event-type approximate
-    distinct users — HyperLogLog++ with rsd=0.02, O(1) state per key
-    vs a distinct-shuffle of every (key,user) pair. Sketch estimates
-    are not bit-portable across engines, so the driver gate is
-    rows-only; the ≤5% error bound vs the exact count AND the
-    mergeability of the DataSketches-HLL twin (partition sketches →
-    union == whole-table sketch) are asserted in
-    tests/test_llm_ops.py."""
-    from gexp_ml_dask_spark.operators.aggregates import approx_distinct_by
-
-    return approx_distinct_by(
-        load_events(spark, sf_dir), "event_type", "user_id", rsd=0.02
+    """OP-AGG-12 `[mandate]`: per-event-type approximate distinct
+    users — HyperLogLog++ (rsd=0.02), O(1) state per key vs a
+    distinct-shuffle of every (key,user) pair. The production
+    operator is approx_distinct_by (sketch only); THIS query is its
+    error-band contract: the sketch estimate must land within 5% of
+    the exact distinct count, checked value-for-value against
+    DuckDB's own approx_count_distinct under the same band (plus the
+    engine-independent exact count). Mergeability of the
+    DataSketches-HLL twin is asserted in tests/test_llm_ops.py."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.count_distinct(F.col("user_id"))
+            )
+            <= 0.05 * F.count_distinct(F.col("user_id"))
+        ).alias("within_5pct"),
     )
 
 
