@@ -15,6 +15,17 @@ cost/recall tradeoff:
 At 100 TB: exact and simhash are single-shuffle; ngram/embedding
 brute pairs need blocking (LSH band buckets / IVF) — the *_candidates
 forms here take a blocking column for that reason.
+
+Persist lifecycle: the pair-join operators persist their shingle /
+posting intermediates (MEMORY_AND_DISK) because BOTH join sides
+consume them — without the persist each side re-runs the interpreted
+shingle pipeline, measured 2x the whole join cost. The handles live
+inside the returned (lazy) plan, so the functions cannot unpersist
+eagerly; the release contract is the CALLER's: `df.unpersist()` on
+the consumed result's sources or `spark.catalog.clearCache()` when a
+batch of dedup queries completes (bench.py does the latter between
+queries). Long-lived pipelines that loop over corpora should scope
+each iteration with clearCache.
 """
 
 from __future__ import annotations
@@ -717,6 +728,7 @@ def decontaminate(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """OP-LLM-02 (benchmark decontamination) — flag training documents
     that share any token ``n``-gram with a held-out evaluation set
@@ -730,9 +742,12 @@ def decontaminate(
     at 100 TB the eval set is benchmark-sized (MBs), so its distinct
     gram table broadcasts and the training side is ONE scan + explode
     + broadcast semi-probe + per-doc hash agg; no shuffle ever
-    carries the training grams. If the eval side outgrows the
-    broadcast threshold Catalyst falls back to a shuffled hash join
-    on the gram key — same semantics, still one pass over training.
+    carries the training grams. ``broadcast_eval=True`` (default)
+    FORCES the broadcast with an explicit hint — Catalyst honors the
+    hint regardless of size, so for an unusually large eval corpus
+    pass ``broadcast_eval=False`` to let the planner pick (it falls
+    back to a shuffled hash join on the gram key — same semantics,
+    still one pass over training).
     """
     def doc_grams(df: DataFrame, keep_pos: bool) -> DataFrame:
         toks = F.split(F.col(text_col), " ")
@@ -752,7 +767,9 @@ def decontaminate(
         )
         return gram if keep_pos else gram.select("gram").distinct()
 
-    eval_grams = F.broadcast(doc_grams(eval_docs, keep_pos=False))
+    eval_grams = doc_grams(eval_docs, keep_pos=False)
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     hits = (
         doc_grams(docs, keep_pos=True)
         .join(eval_grams, "gram")

@@ -21,6 +21,22 @@ except Exception:  # pragma: no cover - absent dependency
     HAS_XGBOOST = False
 
 
+def classifier_engine() -> str:
+    """Provenance literal for OP-ML-07 outputs: which backend the
+    gated import actually selected in this environment."""
+    return "xgboost.spark" if HAS_XGBOOST else "mllib.random_forest"
+
+
+def lightgbm_engine() -> str:
+    """Provenance literal for OP-ML-08 outputs."""
+    try:  # pragma: no cover - synapseml absent in this container
+        import synapse.ml.lightgbm  # noqa: F401
+
+        return "synapseml.lightgbm"
+    except Exception:
+        return "mllib.onevsrest_gbt"
+
+
 def make_classifier(
     features_col: str = "features",
     label_col: str = "label_idx",

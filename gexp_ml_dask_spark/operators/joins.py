@@ -201,10 +201,17 @@ def fuzzy_join(
     max_distance: int = 2,
     id_col: str = "p_partkey",
     block_fn=None,
+    self_join: bool = True,
 ) -> DataFrame:
-    """OP-JOIN-07 `[mandate]` — approximate string self/two-table
-    join: pairs whose ``text_col`` values are within ``max_distance``
-    Levenshtein edits. Classic entity-resolution kernel.
+    """OP-JOIN-07 `[mandate]` — approximate string join: pairs whose
+    ``text_col`` values are within ``max_distance`` Levenshtein
+    edits. Classic entity-resolution kernel.
+
+    ``self_join=True`` (the default) treats ``left`` and ``right``
+    as the same table and keeps each unordered pair once
+    (``id_a < id_b``). For a genuine TWO-TABLE join pass
+    ``self_join=False`` — every cross-table match is kept, whatever
+    the id order (ids may even collide across tables).
 
     Never an all-pairs cross join: candidates are generated by a
     hash equi-join on a BLOCKING key (default: first token of the
@@ -228,10 +235,10 @@ def fuzzy_join(
         blk(F.col(text_col)).alias("_blk"),
         F.length(text_col).alias("_lb"),
     )
-    cand = a.join(b, "_blk").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.col("_la") - F.col("_lb")) <= max_distance)
-    )
+    cond = F.abs(F.col("_la") - F.col("_lb")) <= max_distance
+    if self_join:
+        cond = cond & (F.col("id_a") < F.col("id_b"))
+    cand = a.join(b, "_blk").filter(cond)
     return (
         cand.withColumn(
             "edit_distance",

@@ -2158,10 +2158,11 @@ def op_ml_11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ml_07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-ML-07 (rows-only): GBDT-family fit + predict (MLlib
     RandomForest multiclass / xgboost.spark when importable) —
-    returns per-(label, prediction) counts."""
+    returns per-(label, prediction) counts, stamped with the backend
+    that actually trained (`engine` provenance column)."""
     from pyspark.ml.feature import VectorAssembler
 
-    from gexp_ml_dask_spark.ml.models import make_classifier
+    from gexp_ml_dask_spark.ml.models import classifier_engine, make_classifier
     from gexp_ml_dask_spark.ml.pipeline import encode_labels, train_test_split
 
     data = _order_features(spark, sf_dir)
@@ -2178,6 +2179,7 @@ def op_ml_07(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prediction").cast("long").alias("prediction"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("engine", F.lit(classifier_engine()))
     )
 
 
@@ -2186,10 +2188,14 @@ def op_ml_08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-ML-08 (rows-only): the LightGBM benchmark variant
     (cluster_default_benchmark.py:137-143) — SynapseML LightGBM when
     present, else OneVsRest(GBTClassifier); returns per-(label,
-    prediction) counts like OP-ML-07."""
+    prediction) counts like OP-ML-07, stamped with the backend that
+    actually trained (`engine` provenance column)."""
     from pyspark.ml.feature import VectorAssembler
 
-    from gexp_ml_dask_spark.ml.models import make_lightgbm_classifier
+    from gexp_ml_dask_spark.ml.models import (
+        lightgbm_engine,
+        make_lightgbm_classifier,
+    )
     from gexp_ml_dask_spark.ml.pipeline import encode_labels, train_test_split
 
     data = _order_features(spark, sf_dir)
@@ -2206,6 +2212,7 @@ def op_ml_08(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prediction").cast("long").alias("prediction"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("engine", F.lit(lightgbm_engine()))
     )
 
 
@@ -2233,9 +2240,11 @@ def op_ml_09(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(best.getRegParam()),
                 float(best.getElasticNetParam()),
                 float(max(cv_model.avgMetrics)),
+                "mllib.logreg_cv",
             )
         ],
-        "best_reg_param double, best_elastic_net double, best_cv_accuracy double",
+        "best_reg_param double, best_elastic_net double, "
+        "best_cv_accuracy double, engine string",
     )
 
 
@@ -4446,9 +4455,11 @@ def op_llm_05_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_llm_05_stateful_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-05 (per-source cap): "at most N docs per source"
-    corpus balancing on Spark 4's transformWithStateInPandas — a
-    ValueState counter per source admits rows in ascending doc_id
-    until the cap, across micro-batches."""
+    corpus balancing on applyInPandasWithState — a per-source
+    GroupState counter admits rows in ascending doc_id until the
+    cap, across micro-batches. (The transformWithStateInPandas twin
+    is env-gated in tests — this container's protobuf lacks its
+    descriptors.)"""
     from gexp_ml_dask_spark.streaming import streaming_per_source_cap
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema

@@ -239,12 +239,20 @@ def streaming_multiplex_sink(
 ):
     """``foreachBatch`` multi-sink: every micro-batch is appended to
     a raw parquet archive AND folded into a per-event-type counts
-    table — two sinks fed atomically per batch, which no single
-    native ``writeStream`` sink can express. The counts table is
-    merge-on-read: each batch appends its partial counts and readers
-    aggregate (at 100 TB a periodic compaction job sums the partials
-    back to one row per key — the same keep-latest/compaction shape
-    as ``sources.writers.upsert_keep_latest``).
+    table — two sinks fed from one batch, which no single native
+    ``writeStream`` sink can express. Delivery is AT-LEAST-ONCE, not
+    atomic: foreachBatch checkpoints the batch id only after the
+    function returns, so a crash between the two writes (or after
+    them but before the checkpoint) replays the whole batch on
+    restart and can duplicate appends. Production deployments make
+    the writes idempotent per batch (write to a batch_id-keyed
+    path / transactional table keyed on batch_id); here the demo
+    sinks tolerate duplicates because the counts table is
+    merge-on-read anyway: each batch appends partial counts and
+    readers aggregate (at 100 TB a periodic compaction job sums the
+    partials back to one row per key — the same
+    keep-latest/compaction shape as
+    ``sources.writers.upsert_keep_latest``).
 
     Returns the started StreamingQuery; callers stop it.
     """
