@@ -44,8 +44,13 @@ def assemble_vectors(
     for every sample, zeros explicit) stays entirely JVM-side:
     sort_array + field extraction. ``dense=False`` handles ragged
     input — absent pairs become sparse zeros — via an Arrow-batched
-    pandas UDF building SparseVectors (the declared escape hatch,
-    OP-LLM-06; a JVM scatter for ragged rows doesn't exist).
+    Python UDF building SparseVectors (the declared escape hatch; a
+    JVM sparse constructor doesn't exist in pyspark.ml.functions).
+    The indices/values arrays are column-built and sorted JVM-side
+    BEFORE the UDF, so Python only wraps two ready arrays per sample
+    (Arrow transfer, no per-cell pickle loop) — the plan shows
+    ArrowEvalPython, never BatchEvalPython (pinned in
+    tests/test_plans.py).
 
     ``combine_duplicates`` (default True) sums repeated
     (sample, gene) pairs first — scipy's COO->CSR contract; without
@@ -77,17 +82,25 @@ def assemble_vectors(
 
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
-    # VectorUDT cannot cross the Arrow boundary (mapInPandas), so
-    # this is a plain UDF — but it fires once per SAMPLE over the
-    # pre-aggregated pair array (n rows, not n×f cells), so the
-    # pickle cost is per-sample, not per-value.
-    @F.udf(returnType=VectorUDT())
-    def to_sparse(ps):
-        return SparseVector(
-            n_genes, [int(p["_gidx"]) for p in ps], [float(p["v"]) for p in ps]
-        )
+    # Split the sorted pair structs into flat (indices, values)
+    # arrays with JVM transforms; the Arrow-optimized UDF then only
+    # wraps the two ready arrays in a SparseVector per SAMPLE (n
+    # rows, not n×f cells) — inputs cross as Arrow batches, no
+    # row-at-a-time pickle (BatchEvalPython) stage in the plan.
+    @F.udf(returnType=VectorUDT(), useArrow=True)
+    def to_sparse(idx, vals):
+        return SparseVector(n_genes, idx, vals)
 
-    return pairs.select(sample_col, to_sparse(F.col("_pairs")).alias(out_col))
+    flat = pairs.select(
+        sample_col,
+        F.transform(F.col("_pairs"), lambda p: p["_gidx"]).alias("_idx"),
+        F.transform(F.col("_pairs"), lambda p: p["v"].cast("double")).alias(
+            "_vals"
+        ),
+    )
+    return flat.select(
+        sample_col, to_sparse(F.col("_idx"), F.col("_vals")).alias(out_col)
+    )
 
 
 def train_test_split(

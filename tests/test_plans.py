@@ -480,3 +480,20 @@ def test_embedding_neardup_lsh_is_hash_join(spark, registry):
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or (
         "ShuffledHashJoin" in p
     ), p
+
+
+def test_sparse_assembly_is_arrow_not_pickle(spark):
+    """assemble_vectors(dense=False): the SparseVector wrap must be
+    the Arrow-optimized UDF over JVM-prebuilt (indices, values)
+    arrays — ArrowEvalPython in the plan, never the row-at-a-time
+    BatchEvalPython pickle stage."""
+    from gexp_ml_dask_spark.ml.pipeline import assemble_vectors
+
+    g = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").selectExpr(
+        "l_orderkey as sample_id",
+        "l_partkey as gene_id",
+        "l_quantity as value",
+    )
+    p = plan(assemble_vectors(g, dense=False))
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" in p, p
