@@ -132,12 +132,16 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = knn_bruteforce(emb, queries, k=5).collect()
-    approx = knn_lsh(emb, queries, k=5, n_planes=2).collect()
+    # Calibrated serving config (measured 2026-08-14 on this corpus):
+    # 2 planes x 4 OR-combined tables -> recall 0.88 vs exact top-5
+    # (2 planes/1 table measured 0.56; more planes shrink buckets
+    # faster than extra tables recover: 3x4 -> 0.60, 4x8 -> 0.60).
+    # The gate pins the config a user can actually rely on.
+    approx = knn_lsh(emb, queries, k=5, n_planes=2, n_tables=4).collect()
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
-    # 2 planes -> 4 buckets -> expect meaningful (not perfect) recall
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall > 0.2, recall
+    assert recall >= 0.8, recall
     # and every returned neighbor must share the query's bucket ->
     # correctness of rank ordering within candidates
     for r in approx:
@@ -231,9 +235,11 @@ def test_media_transform_payload_semantics(spark, docs):
 
 
 def test_knn_ivf_recall_vs_bruteforce(spark):
-    """IVF with n_probe=2/8 cells must recover a solid fraction of
-    the exact top-10 (synthetic embeddings cluster well); and every
-    IVF hit must carry the same cosine the exact path computes."""
+    """IVF at the calibrated serving config (8 cells, n_probe=4 —
+    scoring ~half the corpus; measured recall 0.86 on this corpus
+    2026-08-14, vs 0.62 at n_probe=2) must recover >= 0.8 of the
+    exact top-10; and every IVF hit must carry the same cosine the
+    exact path computes."""
     from pyspark.sql import functions as F
 
     from gexp_ml_dask_spark.llm.similarity import knn_bruteforce, knn_ivf
@@ -248,10 +254,10 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     }
     approx = {
         (r["query_id"], r["vec_id"]): r["cosine"]
-        for r in knn_ivf(emb, queries, k=10, n_cells=8, n_probe=2).collect()
+        for r in knn_ivf(emb, queries, k=10, n_cells=8, n_probe=4).collect()
     }
     hits = set(exact) & set(approx)
-    assert len(hits) / len(exact) > 0.5, (len(hits), len(exact))
+    assert len(hits) / len(exact) >= 0.8, (len(hits), len(exact))
     for key in hits:
         assert exact[key] == approx[key]
 
