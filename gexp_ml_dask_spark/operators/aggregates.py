@@ -148,30 +148,39 @@ def collect_exact_quantiles(
         return {c: [None] * len(qs) for c, qs in cols.items()}
 
     sketch = first
-    below = df.agg(
+    # ONE second pass: the exact below-bracket rank AND the sorted
+    # in-bracket values fold into a single aggregate job (previously
+    # a count job plus a separate toPandas collection — two full
+    # scans of the fact-sized input). The collect_list array is
+    # O(n/accuracy) values per target — the same volume the old
+    # collection shipped to the driver, now reduced map-side first.
+    second = df.agg(
         *[
-            F.count(F.when(F.col(c) < F.lit(sketch[name][0]), 1)).alias(name)
+            F.count(
+                F.when(F.col(c) < F.lit(sketch[name][0]), 1)
+            ).alias(f"_b_{name}")
             for name, c, _k, _n in targets
-        ]
+        ],
+        *[
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col(c).between(
+                            F.lit(sketch[name][0]), F.lit(sketch[name][1])
+                        ),
+                        F.col(c),
+                    )
+                )
+            ).alias(f"_v_{name}")
+            for name, c, _k, _n in targets
+        ],
     ).collect()[0]
-    in_bracket = [
-        F.when(
-            F.col(c).between(F.lit(sketch[name][0]), F.lit(sketch[name][1])),
-            F.col(c),
-        ).alias(name)
-        for name, c, _k, _n in targets
-    ]
-    any_hit = None
-    for name, *_ in targets:
-        cond = F.col(name).isNotNull()
-        any_hit = cond if any_hit is None else (any_hit | cond)
-    rows = df.select(*in_bracket).where(any_hit).toPandas()
 
     picked: dict[str, float | None] = {}
     fallback_cols: set[str] = set()
     for name, c, k, _n in targets:
-        vals = sorted(v for v in rows[name].tolist() if v == v and v is not None)
-        start = below[name]
+        vals = [v for v in second[f"_v_{name}"] if v == v and v is not None]
+        start = second[f"_b_{name}"]
         lo_i, hi_i = math.floor(k) - start, math.ceil(k) - start
         if lo_i < 0 or hi_i >= len(vals):
             fallback_cols.add(c)

@@ -497,3 +497,42 @@ def test_sparse_assembly_is_arrow_not_pickle(spark):
     p = plan(assemble_vectors(g, dense=False))
     assert "BatchEvalPython" not in p, p
     assert "ArrowEvalPython" in p, p
+
+
+def _jobs_for(spark, group: str, fn) -> int:
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_tmm_uq_fit_job_budget(spark):
+    """Eager-fit job ceilings for the flagship normalizers (counted
+    via job-group listener; includes AQE stage-materialization jobs
+    at shuffle_partitions=8/local[4]). The TMM fit is pinned at 3
+    driver actions — bounds sketch, folded below+bracket collect
+    (was two scans), geomean — plus AQE jobs; a regression that adds
+    an eager scan bumps the total past the ceiling."""
+    from gexp_ml_dask_spark.ml.normalization import (
+        tmm_factors,
+        upper_quartile_transform,
+    )
+    from tests.conftest import SF_SMOKE
+
+    gexp = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").selectExpr(
+        "l_orderkey as sample_id",
+        "l_partkey as gene_id",
+        "l_quantity as value",
+    )
+    spark.catalog.clearCache()
+    n_tmm = _jobs_for(spark, "tmm_fit", lambda: tmm_factors(gexp).collect())
+    assert n_tmm <= 20, n_tmm  # measured 20 after the fold (21 before)
+    spark.catalog.clearCache()
+    n_uq = _jobs_for(
+        spark, "uq_fit", lambda: upper_quartile_transform(gexp).count()
+    )
+    assert n_uq <= 12, n_uq  # measured 12
+    spark.catalog.clearCache()
