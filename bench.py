@@ -49,6 +49,9 @@ HEADLINE = [
     "op_llm_04_scrub_pii",          # PII scrub (chained codegen regex scan)
     "op_llm_02_dup_ngram_spans",    # cross-doc repeated-ngram coverage (2 window shuffles)
     "op_llm_08_curation_max",       # every curation signal chained (scrub->dedup->gates->decontam->mix)
+    "op_agg_14_coexpression",       # gene-gene correlation (pair agg over co-keyed join)
+    "op_agg_17_welch_t",            # Welch's t between groups (2 partial aggs)
+    "op_join_07_fuzzy",             # blocked Levenshtein entity-resolution join
 ]
 
 
