@@ -222,8 +222,17 @@ def fuzzy_join(
     bucket, or an LSH band — until the largest block's pair count is
     task-sized); the Levenshtein verify itself is JVM codegen.
     """
+    from gexp_ml_dask_spark.operators.physical import fan_out
+
     blk = block_fn or (lambda c: F.split(c, " ").getItem(0))
-    a = left.select(
+    # Widen the probe side to cluster parallelism BEFORE the join:
+    # the build side is dim-sized and broadcasts, so the verify
+    # stage (candidate fanout x Levenshtein) inherits the probe
+    # scan's partitioning — a 1-row-group input would run every
+    # edit-distance evaluation on one core (measured 21.9 s -> ~2 s
+    # at sf0.1, 24M candidates, local[32]). fan_out is a guarded
+    # no-op once the scan already has enough splits.
+    a = fan_out(left).select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("_ta"),
         blk(F.col(text_col)).alias("_blk"),
