@@ -8,12 +8,16 @@ entities, not replicas:
 * every key column shifts by `i * stride` per copy (stride = a round
   power of ten above the max key), so joins/windows see 10x the key
   cardinality;
-* `documents.text` is perturbed per copy (one vowel translated to a
-  copy-specific digit) so cross-copy near-duplicate similarity
-  collapses and the dedup workload keeps the sf0.1 per-corpus
-  structure at 10x the corpus — plain replication would instead
-  create 10-cliques of exact dups and an O(copies^2) pair blowup the
-  real generator would never produce;
+* `documents.text` is perturbed per copy (ALL five vowels translated
+  to a copy-unique character set) so virtually every shingle differs
+  across copies: cross-copy similarity collapses to ~0 for exact
+  Jaccard AND for MinHash banding, and the dedup workload keeps the
+  sf0.1 per-corpus structure at 10x the corpus. Plain replication
+  would create 10-cliques of exact dups and an O(copies^2) pair
+  blowup; a single-vowel translate was measured to still leave
+  enough shared shingles for cross-copy band collisions (minhash_lsh
+  137 s at sf1 vs 2.8 s at sf0.1 — superlinear; the real generator's
+  distinct documents would never collide like that);
 * `part.p_name` is perturbed the same way, so the fuzzy join's
   first-token block VOCABULARY grows with the copies while block
   sizes stay sf0.1-shaped (a constant copy-tag token would instead
@@ -48,6 +52,14 @@ SHIFT_COLS = {
 }
 
 VOWELS = "aeiou"
+# 5 substitute characters per copy, disjoint across the 9 shifted
+# copies (copy 0 keeps the original text): digits + uppercase +
+# token-safe punctuation (texts split on single spaces only).
+_SUBST = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ!@#$%^&*("
+
+
+def _subst(i: int) -> str:
+    return _SUBST[(i - 1) * 5 : i * 5]
 
 
 def main() -> None:
@@ -76,15 +88,14 @@ def main() -> None:
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * strides[k]))
             if table == "documents" and i > 0:
-                # perturb: one vowel -> copy digit, cross-copy
+                # perturb: all vowels -> copy-unique chars; cross-copy
                 # similarity collapses, within-copy structure intact
                 c = c.withColumn(
-                    "text", F.translate("text", VOWELS[i % 5], str(i % 10))
+                    "text", F.translate("text", VOWELS, _subst(i))
                 )
             if table == "part" and i > 0:
                 c = c.withColumn(
-                    "p_name",
-                    F.translate("p_name", VOWELS[i % 5], str(i % 10)),
+                    "p_name", F.translate("p_name", VOWELS, _subst(i))
                 )
             parts.append(c)
         u = parts[0]
