@@ -3252,6 +3252,54 @@ def op_llm_02_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle() -> str:
+    """Recursive-CTE twin of the full semantic-dedup composite: the
+    md5-hyperplane LSH pair CTE (identical to
+    op_llm_02_embedding_neardup_lsh) closed transitively and
+    anti-joined back onto the embeddings table."""
+    base = _embedding_neardup_lsh_oracle()
+    head, final = base.split(" SELECT id_a, id_b, ", 1)
+    return (
+        head.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", p0 AS (SELECT id_a, id_b, "
+        + final
+        + "), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM p0 "
+        "UNION SELECT id_b, id_a FROM p0), "
+        "reach AS (SELECT u AS node, u AS lab FROM edges "
+        "UNION SELECT e2.v, r.lab FROM reach r JOIN edges e2 ON e2.u = r.node), "
+        "drop_ids AS (SELECT node FROM reach GROUP BY node "
+        "HAVING min(lab) <> node) "
+        "SELECT vec_id, label FROM embeddings "
+        "WHERE vec_id NOT IN (SELECT node FROM drop_ids)"
+    )
+
+
+@register("op_llm_02_semantic_dedup", _semantic_dedup_oracle())
+def op_llm_02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (semantic dedup composite): the embedding table with
+    every non-canonical member of a semantic near-dup cluster
+    removed — sign-LSH blocked cosine pairs (md5 plan-literal family,
+    hash-join candidates), transitive closure via the iterative CC
+    operator, broadcast drop-list anti-join. The embedding-space
+    equivalent of op_llm_02_neardup_dedup: at 100 TB every stage is
+    bucket- or cluster-bound (no all-pairs join anywhere)."""
+    from gexp_ml_dask_spark.llm.dedup import embedding_neardup_pairs
+    from gexp_ml_dask_spark.operators.graph import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.4, method="lsh", family="md5"
+    )
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(F.broadcast(drop), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
+
+
 _KNN_ORACLE = (
     "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
     "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5), "
