@@ -611,3 +611,40 @@ def test_quantile_norm_equalizes_sample_distributions(spark):
         by_sample.setdefault(r["sample_id"], []).append(r["value_qn"])
     dists = [tuple(sorted(v)) for v in by_sample.values()]
     assert len(set(dists)) == 1
+
+
+def corpus_strategy(max_docs=8):
+    """Tiny corpora over a SMALL token vocabulary, so shared shingles
+    (and hot shingles) are common — the adversarial regime for the
+    prefix filter's losslessness claim."""
+    token = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    text = st.lists(token, min_size=3, max_size=9).map(" ".join)
+    return st.lists(text, min_size=2, max_size=max_docs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus_strategy(), st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_jaccard_lossless_property(spark, texts, threshold):
+    """ngram_jaccard_pairs_prefix must return the IDENTICAL pair set
+    (ids and rounded jaccard) as the inverted-index join on ANY
+    corpus at ANY threshold — losslessness is a theorem (AllPairs
+    prefix filtering), so a single counterexample is a bug."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    inv = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=threshold, n=2).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs_prefix(
+            docs, threshold=threshold, n=2
+        ).collect()
+    }
+    assert inv == pre, (threshold, texts, inv ^ pre)
