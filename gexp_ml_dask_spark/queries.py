@@ -2737,8 +2737,7 @@ def op_llm_01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "op_llm_02_ngram_jaccard",
+_NGRAM_JACCARD_ORACLE = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
     "sh AS (SELECT doc_id, list_distinct(list_transform("
     "range(1, greatest(len(toks) - 3, 0) + 2), "
@@ -2748,8 +2747,11 @@ def op_llm_01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count(*) AS ni FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id "
     "GROUP BY 1, 2, 3, 4) "
     "SELECT id_a, id_b, round(ni / (na + nb - ni), 6) AS jaccard FROM p "
-    "WHERE round(ni / (na + nb - ni), 6) >= 0.4",
+    "WHERE round(ni / (na + nb - ni), 6) >= 0.4"
 )
+
+
+@register("op_llm_02_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (exact n-gram Jaccard): shingle inverted-index
     self-join — only pairs sharing a shingle materialize. Routed
@@ -2760,6 +2762,21 @@ def op_llm_02_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_jaccard_pairs_auto(
         load_docs(spark, sf_dir), threshold=0.4, n=3
+    )
+
+
+@register("op_llm_02_ngram_jaccard_prefix", _NGRAM_JACCARD_ORACLE)
+def op_llm_02_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (exact n-gram Jaccard, prefix-filtered 100 TB form):
+    the SAME oracle as op_llm_02_ngram_jaccard — AllPairs prefix
+    filtering is lossless, so the driver value-checks the scale
+    path's exact output directly. Hot shingles never enter the
+    candidate index (BASELINE.md hot-shingle A/B: 11.8 s vs the
+    inverted join's 58 s on a boilerplate-header corpus)."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs_auto
+
+    return ngram_jaccard_pairs_auto(
+        load_docs(spark, sf_dir), threshold=0.4, n=3, strategy="prefix"
     )
 
 
