@@ -1,0 +1,76 @@
+"""Registry-wide physical-plan audit for 100 TB anti-patterns.
+
+Builds (does not drain) every registered query's plan at sf0.001 and
+flags BroadcastNestedLoopJoin / CartesianProduct / BatchEvalPython.
+tests/test_plans.py pins the shape of the headline queries; this
+sweeps the WHOLE registry so a new registration can't quietly ship a
+nested-loop join.
+
+Known-benign whitelist (audited 2026-08-14, flagged 8/158, all by
+inspection legitimate):
+
+* scalar broadcasts (1-row side, the standard scalar-join shape):
+  op_ml_02_tmm (global ref_total), op_fil_02_stat_threshold_genes
+  (global mean/var thresholds), op_llm_04_bm25 (global avgdl),
+  op_llm_03_series_similarity (one broadcast query series),
+  op_ml_10_confusion (global row total);
+* bounded-query-batch kNN, queries-side broadcast BY DESIGN (the
+  cross product IS the brute scorer; the scale path is the LSH/IVF
+  twin): op_llm_03_knn_bruteforce, op_llm_03_knn_ivf (probe scoring);
+* explicit oracle-scale brute twin: op_llm_02_embedding_neardup
+  (method='brute'; production default is the LSH-blocked
+  op_llm_02_embedding_neardup_lsh, plan-pinned hash join).
+
+Exit code 1 if any query OUTSIDE the whitelist is flagged.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+BAD = ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]
+
+WHITELIST = {
+    "op_ml_02_tmm": {"BroadcastNestedLoopJoin"},
+    "op_fil_02_stat_threshold_genes": {"BroadcastNestedLoopJoin"},
+    "op_llm_04_bm25": {"BroadcastNestedLoopJoin"},
+    "op_llm_03_series_similarity": {"BroadcastNestedLoopJoin"},
+    "op_ml_10_confusion": {"BroadcastNestedLoopJoin"},
+    "op_llm_03_knn_bruteforce": {"BroadcastNestedLoopJoin"},
+    "op_llm_03_knn_ivf": {"BroadcastNestedLoopJoin"},
+    "op_llm_02_embedding_neardup": {"BroadcastNestedLoopJoin"},
+}
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from gexp_ml_dask_spark.queries import QUERIES
+    from gexp_ml_dask_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan_audit", master="local[4]", shuffle_partitions=8
+    )
+    sf = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.001")
+    bad_new: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        try:
+            p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # surface crashes too
+            bad_new[name] = [f"ERR {type(ex).__name__}: {str(ex)[:100]}"]
+            continue
+        found = {b for b in BAD if b in p}
+        extra = found - WHITELIST.get(name, set())
+        if extra:
+            bad_new[name] = sorted(extra)
+    for k, v in sorted(bad_new.items()):
+        print("FLAG", k, v)
+    print(f"audited {len(QUERIES)}, new flags {len(bad_new)}")
+    spark.stop()
+    return 1 if bad_new else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
