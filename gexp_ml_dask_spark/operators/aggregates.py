@@ -433,9 +433,11 @@ def approx_distinct_by(
     distinct labels exactly, OP-AGG-09); this is the 100 TB form:
     O(1) state per key instead of a distinct-shuffle of every value,
     with relative standard deviation ``rsd``. One hash aggregate,
-    map-side partials merge sketch state. Error bound vs the exact
-    count is asserted in tests (estimates are not engine-portable,
-    so this op is rows-only at the driver gate)."""
+    map-side partials merge sketch state. Estimates are not
+    engine-portable bit-for-bit, so the driver-facing query
+    (op_agg_12_approx_distinct) value-checks the PORTABLE contract
+    instead: each engine's estimate within 5% of its own exact
+    distinct count, plus the engine-independent exact count."""
     return df.groupBy(key_col).agg(
         F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
     )
