@@ -4321,13 +4321,22 @@ def op_llm_05_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows_batch(load_events(spark, sf_dir))
 
 
-@register("op_llm_05_streaming_watermark")
+@register(
+    "op_llm_05_streaming_watermark",
+    # Complete-mode sink after processAllAvailable == the full batch
+    # aggregation (the watermark only bounds STATE, complete mode
+    # re-emits every window) — so the real streaming path shares the
+    # batch twin's exact value oracle.
+    "SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start, "
+    "event_type, count(*) AS n, round(sum(value), 6) AS total "
+    "FROM events GROUP BY 1, 2",
+)
 def op_llm_05_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-05 (rows-only): the REAL Structured Streaming path —
-    parquet file source -> withWatermark -> tumbling windows ->
-    memory sink, driven to completion; returns the sink contents.
-    Batch-equivalence with op_llm_05_tumbling_window is asserted in
-    tests/test_streaming.py."""
+    """OP-LLM-05: the REAL Structured Streaming path — parquet file
+    source -> withWatermark -> tumbling windows -> complete-mode
+    memory sink, driven to completion; the final sink contents equal
+    the batch aggregation, so the stream output itself is
+    value-oracled (not just rows-checked)."""
     from gexp_ml_dask_spark.streaming import streaming_tumbling_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4380,13 +4389,22 @@ def op_llm_05_streaming_sessions(
     return spark.table(name)
 
 
-@register("op_llm_05_streaming_enrich")
+@register(
+    "op_llm_05_streaming_enrich",
+    # Complete-mode final sink == full batch rollup; the tier dim is
+    # a pure function of user_id, so DuckDB rebuilds it inline.
+    "SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start, "
+    "CASE WHEN user_id % 3 = 0 THEN 'bronze' "
+    "WHEN user_id % 3 = 1 THEN 'silver' ELSE 'gold' END AS tier, "
+    "count(*) AS n, round(sum(value), 6) AS total "
+    "FROM events GROUP BY 1, 2",
+)
 def op_llm_05_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-05 (rows-only): stream-static join — the event stream
-    is enriched per micro-batch against a static user->tier
-    dimension (broadcast lookup, stateless; only the windowed agg
-    holds state), then rolled up per (window, tier). Batch
-    equivalence is asserted in tests/test_streaming.py."""
+    """OP-LLM-05: stream-static join — the event stream is enriched
+    per micro-batch against a static user->tier dimension (broadcast
+    lookup, stateless; only the windowed agg holds state), then
+    rolled up per (window, tier). Complete-mode final sink equals the
+    batch rollup, so the stream output is value-oracled."""
     from gexp_ml_dask_spark.streaming import streaming_static_enrich
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4445,16 +4463,27 @@ def op_llm_05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_batch(load_events(spark, sf_dir))
 
 
-@register("op_llm_05_stream_stream_join")
+@register(
+    "op_llm_05_stream_stream_join",
+    # An INNER stream-stream join emits a match as soon as both sides
+    # are buffered; a single micro-batch carries the whole log, so
+    # the appended sink equals the batch interval join exactly (the
+    # watermark only bounds buffer eviction).
+    "SELECT p.user_id AS user_id, c.event_id AS left_id, "
+    "p.event_id AS right_id, "
+    "CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delta_s "
+    "FROM events c JOIN events p ON c.user_id = p.user_id "
+    "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE",
+)
 def op_llm_05_stream_stream_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """OP-LLM-05 (rows-only): watermarked STREAM-STREAM interval join
-    — two file-source streams over the same event log, each
-    watermarked, joined on user + [0, 30 min] event-time band; state
-    eviction is bounded by watermark + interval. Batch equivalence
-    with op_llm_05_interval_join is asserted in
-    tests/test_streaming.py."""
+    """OP-LLM-05: watermarked STREAM-STREAM interval join — two
+    file-source streams over the same event log, each watermarked,
+    joined on user + [0, 30 min] event-time band; state eviction is
+    bounded by watermark + interval. The appended inner-join output
+    is value-oracled against the batch interval join."""
     from gexp_ml_dask_spark.streaming import streaming_interval_join
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4476,14 +4505,20 @@ def op_llm_05_stream_stream_join(
     return spark.table(name)
 
 
-@register("op_llm_05_watermark_dedup")
+@register(
+    "op_llm_05_watermark_dedup",
+    # The duplicated copies are byte-identical, so WHICHEVER copy
+    # dropDuplicatesWithinWatermark keeps, the surviving values equal
+    # the original event rows — a full value oracle, not just a
+    # row-count invariant (event_id is unique in the source).
+    "SELECT event_id, event_type, user_id FROM events",
+)
 def op_llm_05_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-05 (rows-only): built-in bounded-state streaming dedup
-    — the stream unioned with itself (every event duplicated) passes
-    through ``dropDuplicatesWithinWatermark``; state per key is
-    EVICTED once the watermark passes its event time. Exactly one
-    row per event_id must survive (asserted with a row-count
-    invariant in tests/test_streaming.py)."""
+    """OP-LLM-05: built-in bounded-state streaming dedup — the stream
+    unioned with itself (every event duplicated) passes through
+    ``dropDuplicatesWithinWatermark``; state per key is EVICTED once
+    the watermark passes its event time. The survivors equal the
+    original event rows (value-oracled)."""
     from gexp_ml_dask_spark.streaming import streaming_watermark_dedup
     from gexp_ml_dask_spark.streaming.windows import _open_event_stream
 
@@ -4588,12 +4623,21 @@ def op_llm_05_foreach_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_llm_05_stateful_dedup")
+@register(
+    "op_llm_05_stateful_dedup",
+    # Single-batch emission == the batch keep-first groups (min
+    # doc_id per content hash), so the custom stateful operator's
+    # streamed output carries a full value oracle.
+    "SELECT sha256(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id "
+    "FROM documents GROUP BY 1",
+)
 def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-LLM-05/06 (rows-only): custom stateful streaming operator —
+    """OP-LLM-05/06: custom stateful streaming operator —
     applyInPandasWithState online exact-dedup over a documents
-    stream; per-hash state in the (sharded) state store. Equivalence
-    with batch keep-first is asserted in tests/test_streaming.py."""
+    stream; per-hash state in the (sharded) state store. The emitted
+    (text_hash, keep_id) pairs equal the batch keep-first groups
+    (value-oracled); multi-batch prefix consistency is asserted in
+    tests/test_streaming.py."""
     from gexp_ml_dask_spark.streaming import streaming_first_seen_dedup
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
