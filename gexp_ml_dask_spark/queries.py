@@ -4358,15 +4358,43 @@ def op_llm_05_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("op_llm_05_streaming_sessions")
+@register(
+    "op_llm_05_streaming_sessions",
+    # Append-mode session emission is DETERMINISTIC for a one-batch
+    # file source: a session is emitted iff its end (= last event ts
+    # + 5 min gap, microsecond exact) <= the final watermark, which
+    # Spark computes as the ms-TRUNCATED max event time minus the
+    # 30-min delay (boundary semantics probed empirically: end == wm
+    # emits, end == wm + 500us holds). Sessions themselves are the
+    # same gaps-and-islands as the batch twin (exactly-gap-apart
+    # events MERGE, so the break condition is strictly > 5 min).
+    "WITH o AS (SELECT user_id, ts, value, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+    "m AS (SELECT user_id, ts, value, CASE WHEN prev IS NULL "
+    "OR ts - prev > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s FROM o), "
+    "s AS (SELECT user_id, ts, value, sum(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+    "g AS (SELECT user_id, "
+    "CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start, "
+    "CAST(epoch_us(max(ts)) // 1000000 + 300 AS BIGINT) AS session_end, "
+    "epoch_us(max(ts)) + 300000000 AS end_us, "
+    "count(*) AS n_events, round(sum(value), 6) AS total "
+    "FROM s GROUP BY user_id, sid), "
+    "w AS (SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us "
+    "FROM events) "
+    "SELECT user_id, session_start, session_end, n_events, total "
+    "FROM g, w WHERE g.end_us <= w.wm_us",
+)
 def op_llm_05_streaming_sessions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """OP-LLM-05 (rows-only): stateful streaming SESSION windows —
-    file source -> withWatermark -> session_window merge -> append
-    sink (append is the only mode where a session is emitted exactly
-    once, when the watermark certifies no more events can join it).
-    Closed-session equivalence with the batch form is asserted in
+    """OP-LLM-05: stateful streaming SESSION windows — file source ->
+    withWatermark -> session_window merge -> append sink (append is
+    the only mode where a session is emitted exactly once, when the
+    watermark certifies no more events can join it). The emitted set
+    is value-oracled: for a one-batch source it is exactly the batch
+    sessions whose end <= final watermark (ms-truncated max event
+    time - 30 min); subset equivalence is additionally asserted in
     tests/test_streaming.py."""
     from gexp_ml_dask_spark.streaming import streaming_session_counts
 
