@@ -722,6 +722,99 @@ def duplicate_ngram_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (duplicated-span REMOVAL) — the cleaned-corpus twin
+    of :func:`duplicate_ngram_spans`: actually CUT the repeated
+    substrings out of each document instead of only scoring coverage
+    (the "remove all but one occurrence" step of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Deterministic keep rule: a token range covered by a
+    cross-document duplicated ``n``-gram is removed from every
+    document EXCEPT the canonical one (the minimum ``id_col`` that
+    contains the gram), which keeps its copy — so every duplicated
+    span survives exactly once corpus-wide and the rule needs no
+    tie-breaking randomness.
+
+    Returns one row per document:
+    (doc_id, text_clean, n_tokens, n_removed_tokens).
+
+    Plan shape (the gram-window shuffle dominates, same as the spans
+    signal): positional n-grams via one row-local posexplode; ONE
+    window shuffle on the gram string reduces each gram to two
+    BIGINTs (min/max owner); removal intervals collapse per doc into
+    a bounded array (list length <= doc token count); the rebuild is
+    a JVM higher-order filter over the token array — no Python, no
+    second pass over the grams.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    gram_positions = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), (F.col("n_tokens") - (n - 1)).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                gram_positions,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(" ", F.slice("_t", i, n)).alias("gram"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(id_col, "_g.pos", "_g.gram")
+
+    wg = Window.partitionBy("gram")
+    removal = (
+        grams.withColumn("_mn", F.min(id_col).over(wg))
+        .withColumn("_mx", F.max(id_col).over(wg))
+        .filter(
+            (F.col("_mn") != F.col("_mx")) & (F.col(id_col) != F.col("_mn"))
+        )
+        .select(
+            id_col,
+            F.col("pos").alias("s"),
+            (F.col("pos") + (n - 1)).alias("e"),
+        )
+    )
+    intervals = removal.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_ivs")
+    )
+
+    joined = base.join(intervals, id_col, "left").withColumn(
+        "_ivs",
+        F.coalesce(
+            "_ivs", F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ),
+    )
+    kept = F.filter(
+        "_t",
+        lambda x, i: ~F.exists(
+            "_ivs",
+            lambda iv: ((i + 1) >= iv["s"]) & ((i + 1) <= iv["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.size(kept)).cast("long").alias(
+            "n_removed_tokens"
+        ),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -2912,6 +2912,47 @@ def op_llm_02_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_02_remove_dup_spans",
+    # Cleaned-corpus twin of the spans signal: cut every
+    # cross-document duplicated 5-gram span from all but the minimum
+    # owner doc (each duplicated span survives exactly once
+    # corpus-wide). Both engines rebuild the text from the kept
+    # 1-based token positions.
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS t, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), "
+    "grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    "array_to_string(t[i:i+4], ' ') AS gram "
+    "FROM base, unnest(range(1, greatest(n_tokens - 3, 1))) AS g(i)), "
+    "flagged AS (SELECT doc_id, pos, pos + 4 AS e, "
+    "min(doc_id) OVER (PARTITION BY gram) AS mn, "
+    "max(doc_id) OVER (PARTITION BY gram) AS mx FROM grams), "
+    "rem AS (SELECT doc_id, pos, e FROM flagged "
+    "WHERE mn <> mx AND doc_id <> mn), "
+    "cov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p "
+    "FROM rem, unnest(range(pos, e + 1)) AS c(p)), "
+    "tok AS (SELECT doc_id, n_tokens, unnest(t) AS tk, "
+    "CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS i FROM base) "
+    "SELECT tok.doc_id, "
+    "coalesce(string_agg(tk, ' ' ORDER BY i) "
+    "FILTER (WHERE cov.p IS NULL), '') AS text_clean, "
+    "max(n_tokens) AS n_tokens, "
+    "CAST(count(*) FILTER (WHERE cov.p IS NOT NULL) AS BIGINT) "
+    "AS n_removed_tokens "
+    "FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.p "
+    "GROUP BY tok.doc_id",
+)
+def op_llm_02_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (duplicated-span removal): produce the CLEANED
+    corpus — cut cross-document repeated 5-gram spans from every doc
+    except the minimum-id owner, so each duplicated span survives
+    exactly once (Lee et al. 2022 exact-substring dedup, the
+    transform the spans signal only scores)."""
+    from gexp_ml_dask_spark.llm.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(load_table(spark, sf_dir, "documents"), n=5)
+
+
+@register(
     "op_llm_02_decontaminate",
     # Benchmark decontamination: the eval split is carved
     # deterministically (doc_id % 20 = 0) so both engines build the

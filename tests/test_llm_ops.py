@@ -737,3 +737,30 @@ def test_jaccard_auto_gate_is_lazy_and_routes(spark, hot_shingle_docs):
         ngram_jaccard_pairs_auto(
             hot_shingle_docs, threshold=0.5, strategy="bogus"
         )
+
+
+def test_remove_dup_spans_keeps_canonical_copy(spark):
+    """The planted 5-gram span must be CUT from the higher-id doc,
+    kept verbatim in the minimum-id owner, and unrelated docs must
+    pass through untouched."""
+    from gexp_ml_dask_spark.llm.dedup import remove_duplicate_spans
+
+    span = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {span} tail one"),
+            (2, f"other opening words {span} closing bit here"),
+            (3, "completely unrelated text with enough tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, n=5).collect()
+    }
+    assert span in out[1]["text_clean"]          # canonical keeps it
+    assert out[1]["n_removed_tokens"] == 0
+    assert span not in out[2]["text_clean"]      # duplicate cut
+    assert out[2]["n_removed_tokens"] == 5
+    assert out[2]["text_clean"] == "other opening words closing bit here"
+    assert out[3]["text_clean"] == "completely unrelated text with enough tokens here"
+    assert out[3]["n_removed_tokens"] == 0
