@@ -798,13 +798,21 @@ def remove_duplicate_spans(
             "_ivs", F.array().cast("array<struct<s:bigint,e:bigint>>")
         ),
     )
-    kept = F.filter(
-        "_t",
-        lambda x, i: ~F.exists(
-            "_ivs",
-            lambda iv: ((i + 1) >= iv["s"]) & ((i + 1) <= iv["e"]),
-        ),
+    # Rebuild via position-set difference, not a nested exists scan:
+    # covered positions flatten to <= n_tokens values, array_except
+    # hashes them once, so the row-local cost is O(n_tokens) instead
+    # of O(n_tokens * n_intervals) for boilerplate-heavy documents.
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform("_ivs", lambda iv: F.sequence(iv["s"], iv["e"]))
+        )
     )
+    kept_pos = F.array_sort(
+        F.array_except(
+            F.sequence(F.lit(1).cast("long"), F.col("n_tokens")), covered
+        )
+    )
+    kept = F.transform(kept_pos, lambda p: F.element_at("_t", p.cast("int")))
     return joined.select(
         F.col(id_col),
         F.concat_ws(" ", kept).alias("text_clean"),

@@ -4907,6 +4907,21 @@ _HEAVY_NAMES = {
     "op_llm_02_tf_cosine", "op_llm_02_ngram_jaccard",
 }
 
+# Sibling twins: a second registry entry for an operator ID that
+# already has ANOTHER entry ahead of it in the unchecked block. When
+# the unchecked block exceeds the driver's ~50-slot window, these are
+# the cheapest rows to defer — their ID still accumulates driver
+# evidence through the sibling — so they sort between the heavy tier
+# and rows-only. (The round-2 verdict's weak-flagged cluster family
+# op_llm_02_{tf_cosine,dup_clusters,neardup_dedup,triangles} takes
+# the freed slots.)
+_SIBLING_TWINS = {
+    "op_llm_06_media_transform",   # ID covered by multimodal_features
+    "op_llm_07_mixture_upsample",  # ID covered by mixture_sample
+    "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
+    "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
+}
+
 
 def _driver_order(names: list[str]) -> list[str]:
     checked_list = _driver_checked()
@@ -4919,7 +4934,9 @@ def _driver_order(names: list[str]) -> list[str]:
 
     def tier(n: str) -> tuple[int, int]:
         if n not in ORACLE:
-            t = 3  # rows-only: weakest evidence, run last in the block
+            t = 4  # rows-only: weakest evidence, run last in the block
+        elif n in _SIBLING_TWINS:
+            t = 3  # ID already evidenced by an earlier sibling row
         elif n in _HEAVY_NAMES:
             t = 2
         elif n.startswith(_CHEAP_PREFIXES):
