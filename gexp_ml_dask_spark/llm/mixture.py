@@ -81,3 +81,79 @@ def upsample_mixture(
         )
         .drop("_base", "_n")
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: int = 42,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle (epoch ordering): assign
+    every document a (shard, pos_in_shard) address from a seeded key
+    hash; reading shards 0..n_shards-1 in order, each sorted by
+    position, replays one fixed pseudorandom permutation of the
+    corpus — change ``seed`` per epoch for a fresh order.
+
+    Scale shape: there is NO global sort and no global row_number (a
+    single-partition window is the classic cliff); the only state is
+    a per-shard window, and shards are hash-spread, so the plan is
+    one shuffle on ``shard`` regardless of corpus size. Membership is
+    a pure function of (key, seed) — partition-layout-independent,
+    reproducible across engines (same md5 contract as
+    ml.pipeline.hash_bucket)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        docs.select(F.col(id_col), key.alias("_k"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos_in_shard")
+    )
+
+
+def balanced_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget-balanced shard assignment for training-shard
+    writing: long and short documents spread evenly over ``n_shards``
+    so no shard ends up token-heavy (plain hash sharding balances doc
+    COUNTS; with skewed doc lengths shard token totals can drift).
+
+    Rule (deterministic, no RNG): the classic size-sorted snake —
+    rank every doc by (n_tokens desc, id), then walk the shards
+    serpentine (0..N-1, N-1..0, ...). Consecutive ranks have the most
+    similar sizes, so each full snake pass adds near-identical mass
+    to every shard; the final imbalance is bounded by roughly one
+    document.
+
+    Scale shape: the global rank comes from
+    :func:`~gexp_ml_dask_spark.operators.sorts.global_rank` —
+    boundary-literal bucketed ranking, windows partitioned by the
+    bucket — NOT a bare ``Window.orderBy`` (whose empty partition
+    spec funnels the whole corpus through one task). The rank stage
+    only carries (id, n_tokens) — two BIGINTs per doc — regardless of
+    text size."""
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(F.col(id_col), ntok.alias("n_tokens"))
+    ranked = global_rank(
+        base, "n_tokens", id_col, descending=True, out_col="_rk"
+    )
+    r = F.col("_rk") - F.lit(1)
+    m = r % F.lit(2 * n_shards)
+    shard = F.when(m < n_shards, m).otherwise(
+        F.lit(2 * n_shards - 1) - m
+    ).cast("long")
+    return ranked.withColumn("shard", shard).select(
+        id_col, "n_tokens", "shard"
+    )

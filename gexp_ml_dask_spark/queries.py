@@ -3945,6 +3945,53 @@ def op_llm_07_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_llm_07_epoch_shuffle",
+    # Deterministic epoch ordering: seeded md5 key -> hash shard ->
+    # per-shard position. Both engines replay the identical key math.
+    "WITH k AS (SELECT doc_id, "
+    "md5(concat(CAST(doc_id AS VARCHAR), ':42')) AS k, "
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), "
+    "1, 8)) AS BIGINT) % 64 AS shard FROM documents) "
+    "SELECT doc_id, shard, CAST(row_number() OVER "
+    "(PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos_in_shard "
+    "FROM k",
+)
+def op_llm_07_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-07 (training-order shuffle): a reproducible
+    pseudorandom permutation of the corpus as (shard, pos_in_shard)
+    addresses — per-shard windows only, no global sort, membership a
+    pure function of (doc key, seed)."""
+    from gexp_ml_dask_spark.llm.mixture import epoch_shuffle
+
+    return epoch_shuffle(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_07_balanced_shards",
+    # Token-balanced shard assignment: global (n_tokens desc, id)
+    # snake over 16 shards. The Spark side computes the same global
+    # rank via boundary-literal buckets + offsets; DuckDB states it
+    # directly.
+    "WITH t AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER "
+    "(ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rk FROM t) "
+    "SELECT doc_id, n_tokens, "
+    "CAST(CASE WHEN rk % 32 < 16 THEN rk % 32 ELSE 31 - rk % 32 END "
+    "AS BIGINT) AS shard FROM r",
+)
+def op_llm_07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-07 (balanced training shards): spread documents over 16
+    shards so per-shard TOKEN totals stay even under skewed doc
+    lengths — the size-sorted serpentine walk, ranked by the bucketed
+    distributed global_rank (no single-partition window)."""
+    from gexp_ml_dask_spark.llm.mixture import balanced_shards
+
+    return balanced_shards(load_table(spark, sf_dir, "documents"))
+
+
 def _curation_oracle() -> str:
     values = ", ".join(
         f"('{s}', {int(round(w * 100000))})"
@@ -4918,6 +4965,8 @@ _HEAVY_NAMES = {
 _SIBLING_TWINS = {
     "op_llm_06_media_transform",   # ID covered by multimodal_features
     "op_llm_07_mixture_upsample",  # ID covered by mixture_sample
+    "op_llm_07_epoch_shuffle",     # ID covered by mixture_sample
+    "op_llm_07_balanced_shards",   # ID covered by mixture_sample
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }

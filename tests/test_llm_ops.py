@@ -764,3 +764,43 @@ def test_remove_dup_spans_keeps_canonical_copy(spark):
     assert out[2]["text_clean"] == "other opening words closing bit here"
     assert out[3]["text_clean"] == "completely unrelated text with enough tokens here"
     assert out[3]["n_removed_tokens"] == 0
+
+
+def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
+    """Every doc gets exactly one (shard, pos) address, positions are
+    dense per shard, and a different seed reorders the corpus."""
+    from gexp_ml_dask_spark.llm.mixture import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    out = epoch_shuffle(docs, seed=42, n_shards=8).collect()
+    assert len(out) == n
+    assert len({r["doc_id"] for r in out}) == n
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    addr42 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in out}
+    addr43 = {
+        r["doc_id"]: (r["shard"], r["pos_in_shard"])
+        for r in epoch_shuffle(docs, seed=43, n_shards=8).collect()
+    }
+    assert addr42 != addr43
+
+
+def test_balanced_shards_token_totals_even(spark):
+    """Shard token totals must sit within a few percent of each other
+    — the point of the snake; plain hash sharding gives no such
+    bound."""
+    from gexp_ml_dask_spark.llm.mixture import balanced_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = balanced_shards(docs, n_shards=16).collect()
+    assert len(out) == docs.count()
+    totals = {}
+    for r in out:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+    assert set(totals) == set(range(16))
+    lo, hi = min(totals.values()), max(totals.values())
+    assert hi - lo <= 0.05 * hi, totals

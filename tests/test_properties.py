@@ -522,6 +522,45 @@ def test_dup_ngram_spans_match_naive(spark, texts):
     assert out == expected
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_remove_dup_spans_match_naive(spark, texts):
+    """op_llm_02_remove_dup_spans vs a direct Python evaluation of
+    the keep rule: every cross-doc repeated 3-gram span is cut from
+    all but the minimum-id owner; surviving tokens keep order."""
+    from gexp_ml_dask_spark.llm.dedup import remove_duplicate_spans
+
+    n = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    toks = {i: t.split(" ") for i, t in docs}
+    owners: dict[str, set[int]] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            owners.setdefault(" ".join(tk[p : p + n]), set()).add(i)
+    expected = {}
+    for i, tk in toks.items():
+        covered: set[int] = set()
+        for p in range(len(tk) - n + 1):
+            own = owners[" ".join(tk[p : p + n])]
+            if len(own) > 1 and i != min(own):
+                covered.update(range(p + 1, p + n + 1))  # 1-based
+        kept = [t for j, t in enumerate(tk, 1) if j not in covered]
+        expected[i] = (" ".join(kept), len(tk), len(tk) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(df, n=n).collect()
+    }
+    assert out == expected
+
+
 def _py_lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
@@ -648,3 +687,60 @@ def test_prefix_jaccard_lossless_property(spark, texts, threshold):
         ).collect()
     }
     assert inv == pre, (threshold, texts, inv ^ pre)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=200
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_global_rank_matches_naive_window(spark, keys):
+    """global_rank (bucketed two-action form) must equal the naive
+    single-partition Window.orderBy row_number exactly — including
+    heavy ties that straddle percentile boundaries — in both
+    directions."""
+    from pyspark.sql import Window
+
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id LONG, k LONG")
+    for desc in (False, True):
+        order = F.col("k").desc() if desc else F.col("k").asc()
+        naive = {
+            r["id"]: r["r"]
+            for r in df.withColumn(
+                "r", F.row_number().over(Window.orderBy(order, F.col("id")))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(
+                df, "k", "id", descending=desc, n_buckets=4
+            ).collect()
+        }
+        assert got == naive, desc
+
+
+def test_global_rank_plan_has_no_global_window(spark):
+    """The physical plan must not contain a window with an empty
+    partition spec (the single-task funnel global_rank exists to
+    avoid)."""
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    plan = (
+        global_rank(df, "k", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        # Window [exprs], [partition spec], [order spec] — partition
+        # spec must be non-empty
+        assert m.group(1).strip() != "", plan
