@@ -722,6 +722,226 @@ def duplicate_ngram_spans(
     )
 
 
+def _tf_table(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, term, tf) postings with empty tokens dropped, persisted
+    (both the pair join and the norm pass consume it — see module
+    docstring for the release contract)."""
+    from pyspark.storagelevel import StorageLevel
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    return (
+        tok.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _tf_cosine_verify(
+    cand: DataFrame, tf: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact cosine for candidate (id_a, id_b) pairs: integer tf dot
+    over shared terms + per-doc norms — the identical final float
+    expression as the inverted form, so both strategies emit
+    bit-identical rows."""
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    ta = tf.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("_tfa")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("tf").alias("_tfb")
+    )
+    dot = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("_na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("_nb"))
+    return (
+        dot.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def tf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (TF cosine, inverted-index form): doc-doc cosine
+    over sparse term-frequency vectors — the embedding-free IR
+    similarity. The dot product only materializes for pairs SHARING a
+    term (inverted-index self-join on the tf postings); per-doc norms
+    are dimension-sized and broadcast back. Integer tf products keep
+    the dot exact, so only the final ratio needs rounding.
+
+    Cost is sum over terms of df(term)^2 — on a small-vocabulary or
+    boilerplate-heavy corpus every posting is hot and the join fans
+    out quadratically (observed: GC death at 5k docs x 31-term vocab
+    on a default-heap session). :func:`tf_cosine_pairs_prefix` is the
+    lossless scale form; :func:`tf_cosine_pairs_auto` gates them."""
+    tf = _tf_table(docs, id_col, text_col)
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("_na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("_nb"))
+    return (
+        dot.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def tf_cosine_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (TF cosine, L2-prefix-filtered) — the EXACT same
+    pair set as :func:`tf_cosine_pairs`, computed with the AllPairs
+    L2 prefix filter (Bayardo/Ma/Srikant, WWW'07 — cosine is the
+    paper's original domain) instead of a full inverted-index
+    self-join.
+
+    Theorem: unit-normalize each tf vector and fix ONE global term
+    order (ascending document frequency here — rarest first, so hot
+    postings land in the suffix and never enter the index). For a doc
+    a, let s_a(i) = sqrt(sum of squared weights from position i on).
+    If a pair shares NO term in a's prefix {positions i with
+    s_a(i) >= t}, then by Cauchy-Schwarz cos(a,b) <= s_a(first
+    suffix position) * ||b|| < t. So every qualifying pair shares a
+    term in EACH member's own prefix, and an index of prefixes probed
+    with FULL postings has recall 1.0 (prefix x prefix would need
+    the two-sided s_a + s_b bound and is NOT used here). The
+    admission band of round(cos, 6) >= t is cos >= t - 5e-7, so the
+    prefix keeps positions with suffix_sq >= (t - 1e-6)^2 - 1e-9 (the
+    squared slack also covers float accumulation in the window sum).
+
+    Identical-pair parity vs the inverted form is pinned in
+    tests/test_llm_ops.py::test_prefix_tf_cosine_identical_pairs
+    (sf0.001 corpus + a hot-vocabulary fixture); the same oracle SQL
+    drives both registered queries.
+
+    Scale posture: candidate volume is sum over terms of
+    |prefix postings| * |full postings| — at threshold 0.9 a prefix
+    only holds the rarest ~19% of each vector's squared mass, so on
+    Zipf-vocabulary text the hot terms contribute nothing to the
+    index side and candidates stay near-linear. HONEST BOUNDARY: a
+    corpus whose documents all share one tiny vocabulary (the
+    synthetic bench corpus: 31 terms) is effectively DENSE rank-31 —
+    nearly every doc pair shares prefix terms, candidates approach
+    N^2/const for ANY lossless sparse filter (measured ~5x below the
+    inverted join's fan-out, but still quadratic), and executors need
+    memory sized for the pair partial-agg maps. For that regime the
+    right tool is the sign-LSH blocked embedding path
+    (embedding_neardup_pairs with hyperplane buckets), not exact
+    sparse cosine."""
+    tt = threshold - 1.0e-6
+    tf = _tf_table(docs, id_col, text_col)
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("_nrm")
+    )
+    freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    weighted = (
+        tf.join(nrm, "doc_id")
+        .join(freq, "term")
+        .withColumn("_w2", (F.col("tf") / F.col("_nrm")) ** 2)
+    )
+    wsuf = (
+        Window.partitionBy("doc_id")
+        .orderBy("_df", "term")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = (
+        weighted.withColumn("_suf_sq", F.sum("_w2").over(wsuf))
+        .filter(F.col("_suf_sq") >= F.lit(tt * tt - 1.0e-9))
+        .select("doc_id", "term")
+    )
+    p, f = prefix.alias("p"), tf.alias("f")
+    cand = (
+        p.join(
+            f,
+            (F.col("p.term") == F.col("f.term"))
+            & (F.col("p.doc_id") != F.col("f.doc_id")),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_a"),
+            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return _tf_cosine_verify(cand, tf, threshold)
+
+
+TF_COSINE_STRATEGY_CONF = "spark.gexp_ml.tf_cosine.strategy"
+
+
+def tf_cosine_pairs_auto(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str | None = None,
+    size_hint: int | None = None,
+    size_gate: int = 1_000_000,
+) -> DataFrame:
+    """OP-LLM-02 — strategy-gated exact TF-cosine pairs; same
+    contract shape as :func:`ngram_jaccard_pairs_auto`. Both physical
+    forms emit the IDENTICAL rows (pinned in
+    tests/test_llm_ops.py::test_prefix_tf_cosine_identical_pairs).
+    The gate is LAZY — no job at plan-build time. Resolution order:
+    explicit ``strategy`` ("inverted" | "prefix"), the session conf
+    ``spark.gexp_ml.tf_cosine.strategy``, ``size_hint`` vs
+    ``size_gate``, default "inverted" (right for oracle/bench
+    scale)."""
+    if strategy is None:
+        strategy = docs.sparkSession.conf.get(TF_COSINE_STRATEGY_CONF, "auto")
+    if strategy == "auto":
+        strategy = (
+            "prefix"
+            if size_hint is not None and size_hint > size_gate
+            else "inverted"
+        )
+    if strategy == "inverted":
+        return tf_cosine_pairs(docs, threshold, id_col, text_col)
+    if strategy == "prefix":
+        return tf_cosine_pairs_prefix(docs, threshold, id_col, text_col)
+    raise ValueError(f"unknown tf_cosine strategy: {strategy}")
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     n: int = 5,

@@ -67,6 +67,17 @@ def r6(col: F.Column | str) -> F.Column:
     return F.round(c, 6)
 
 
+def r2(col: F.Column | str) -> F.Column:
+    """Monetary-sum rounding. SUMs that reach ~1e9+ magnitude (price
+    aggregates over a whole fact table) have a double ULP around
+    1e-6 — AT the 6dp rounding granularity — so engine-order float
+    non-associativity flips round(x, 6) at sf0.1+ (observed: 1-ULP,
+    rel err 4e-16). 2dp is the TPC-H answer tolerance ($0.01) and
+    sits ~4 decades above the ULP through sf100."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 2)
+
+
 def gexp(spark: SparkSession, sf_dir: str, value: str = "l_quantity") -> DataFrame:
     """lineitem as the canonical long-form expression table."""
     return load_table(spark, sf_dir, "lineitem").select(
@@ -494,7 +505,9 @@ def op_join_05(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_join_06_salted_dim",
     "SELECT c.c_nationkey AS nationkey, count(*) AS n_orders, "
-    "round(sum(o.o_totalprice), 6) AS revenue "
+    # monetary-sum 2dp contract: see r2() — 6dp is inside the
+    # double ULP of a ~1e9 sum and flips cross-engine at sf0.1+
+    "round(sum(o.o_totalprice), 2) AS revenue "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "GROUP BY 1",
 )
@@ -514,7 +527,7 @@ def op_join_06(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = jn.salted_join(fact, dim, key="custkey", salt=8)
     return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count("*").alias("n_orders"),
-        r6(F.sum("o_totalprice")).alias("revenue"),
+        r2(F.sum("o_totalprice")).alias("revenue"),
     )
 
 
@@ -741,8 +754,9 @@ def op_agg_11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q1_SQL = (
     "SELECT l_returnflag, l_linestatus, "
     "round(sum(l_quantity), 6) AS sum_qty, "
-    "round(sum(l_extendedprice), 6) AS sum_base_price, "
-    "round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, "
+    # monetary-sum 2dp contract: see r2()
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
     "round(avg(l_quantity), 6) AS avg_qty, "
     "round(avg(l_discount), 6) AS avg_disc, "
     "count(*) AS count_order "
@@ -2808,11 +2822,12 @@ def op_llm_02_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load_docs(spark, sf_dir), threshold=0.7, n=3)
 
 
-@register(
-    "op_llm_02_tf_cosine",
-    # Sparse term-frequency cosine between documents — the classic
-    # IR doc-doc similarity, no embeddings: dot = sum(tfa*tfb) over
-    # SHARED terms (inverted-index join), norms prejoined per doc.
+# Sparse term-frequency cosine between documents — the classic IR
+# doc-doc similarity, no embeddings: dot = sum(tfa*tfb) over SHARED
+# terms, norms prejoined per doc. ONE oracle for both physical
+# strategies (inverted-index join / lossless L2 prefix filter) — the
+# driver itself checks their equivalence.
+_TF_COSINE_ORACLE = (
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
     "FROM documents), "
     "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
@@ -2824,53 +2839,38 @@ def op_llm_02_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine "
     "FROM dot JOIN nrm na ON dot.id_a = na.doc_id "
     "JOIN nrm nb ON dot.id_b = nb.doc_id "
-    "WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9",
+    "WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9"
 )
+
+
+@register("op_llm_02_tf_cosine", _TF_COSINE_ORACLE)
 def op_llm_02_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (TF cosine): doc-doc cosine over sparse term-
-    frequency vectors — the embedding-free IR similarity. The dot
-    product only materializes for pairs SHARING a term (inverted-
-    index join on the tf table); per-doc norms are dimension-sized
-    and broadcast back. Integer tf products keep the dot exact, so
-    only the final ratio needs rounding."""
-    from pyspark.storagelevel import StorageLevel
+    frequency vectors — the embedding-free IR similarity, routed
+    through the lazy strategy gate (inverted-index join at
+    oracle/bench scale; the lossless L2 prefix filter via
+    ``spark.gexp_ml.tf_cosine.strategy=prefix`` or a size hint at
+    100 TB — small-vocab/boilerplate corpora make every posting hot
+    and the unblocked join quadratic). Integer tf products keep the
+    dot exact, so only the final ratio needs rounding."""
+    from gexp_ml_dask_spark.llm.dedup import tf_cosine_pairs_auto
 
-    tok = load_docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    return tf_cosine_pairs_auto(load_docs(spark, sf_dir), threshold=0.9)
+
+
+@register("op_llm_02_tf_cosine_prefix", _TF_COSINE_ORACLE)
+def op_llm_02_tf_cosine_prefix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-02 (TF cosine, forced L2-prefix strategy): the 100 TB
+    physical form registered as its own query against the SAME
+    oracle, so the driver value-checks the prefix filter's
+    losslessness itself (mirrors op_llm_02_ngram_jaccard_prefix)."""
+    from gexp_ml_dask_spark.llm.dedup import tf_cosine_pairs_auto
+
+    return tf_cosine_pairs_auto(
+        load_docs(spark, sf_dir), threshold=0.9, strategy="prefix"
     )
-    tf = (
-        tok.filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nrm = tf.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
-    )
-    a, b = tf.alias("a"), tf.alias("b")
-    dot = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
-    )
-    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("_na"))
-    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("_nb"))
-    out = (
-        dot.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6)
-        )
-        .filter(F.col("cosine") >= 0.9)
-        .select("id_a", "id_b", "cosine")
-    )
-    return out
 
 
 @register(
@@ -4967,6 +4967,7 @@ _SIBLING_TWINS = {
     "op_llm_07_mixture_upsample",  # ID covered by mixture_sample
     "op_llm_07_epoch_shuffle",     # ID covered by mixture_sample
     "op_llm_07_balanced_shards",   # ID covered by mixture_sample
+    "op_llm_02_tf_cosine_prefix",  # strategy twin of tf_cosine
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }

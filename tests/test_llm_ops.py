@@ -804,3 +804,81 @@ def test_balanced_shards_token_totals_even(spark):
     assert set(totals) == set(range(16))
     lo, hi = min(totals.values()), max(totals.values())
     assert hi - lo <= 0.05 * hi, totals
+
+
+def test_prefix_tf_cosine_identical_pairs(spark, docs):
+    """The L2-prefix-filtered TF cosine must produce the IDENTICAL
+    row set (ids AND rounded cosine) as the inverted-index join —
+    the Cauchy-Schwarz prefix bound is a theorem, so this is exact
+    set equality at two thresholds. This is the parity the dedup.py
+    docstrings cite."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        tf_cosine_pairs,
+        tf_cosine_pairs_prefix,
+    )
+
+    for t in (0.9, 0.7):
+        inv = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in tf_cosine_pairs(docs, threshold=t).collect()
+        }
+        pre = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in tf_cosine_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert inv == pre, (t, inv ^ pre)
+    assert inv  # non-trivial at 0.7 on the planted-dup corpus
+
+
+def test_prefix_tf_cosine_hot_vocab_lossless(spark, hot_shingle_docs):
+    """Small shared vocabulary = every posting hot — the regime that
+    GC-killed the unblocked join at sf0.1. The prefix index must
+    still emit the identical pair set."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        tf_cosine_pairs,
+        tf_cosine_pairs_prefix,
+    )
+
+    inv = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in tf_cosine_pairs(hot_shingle_docs, threshold=0.8).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in tf_cosine_pairs_prefix(
+            hot_shingle_docs, threshold=0.8
+        ).collect()
+    }
+    assert inv == pre and inv
+
+
+def test_tf_cosine_auto_gate_lazy_and_routed(spark, hot_shingle_docs):
+    """The strategy gate must build the requested plan without
+    running a job: the prefix plan contains the suffix-norm Window,
+    the inverted plan does not; conf and size_hint both route."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        TF_COSINE_STRATEGY_CONF,
+        tf_cosine_pairs_auto,
+    )
+
+    plan_pre = tf_cosine_pairs_auto(
+        hot_shingle_docs, threshold=0.8, strategy="prefix"
+    )
+    plan_inv = tf_cosine_pairs_auto(
+        hot_shingle_docs, threshold=0.8, strategy="inverted"
+    )
+    assert "Window" in plan_pre._jdf.queryExecution().toString()
+    assert "Window" not in plan_inv._jdf.queryExecution().toString()
+
+    spark.conf.set(TF_COSINE_STRATEGY_CONF, "prefix")
+    try:
+        via_conf = tf_cosine_pairs_auto(hot_shingle_docs, threshold=0.8)
+        assert "Window" in via_conf._jdf.queryExecution().toString()
+    finally:
+        spark.conf.unset(TF_COSINE_STRATEGY_CONF)
+    via_hint = tf_cosine_pairs_auto(
+        hot_shingle_docs, threshold=0.8, size_hint=10_000_000
+    )
+    assert "Window" in via_hint._jdf.queryExecution().toString()
+    with pytest.raises(ValueError):
+        tf_cosine_pairs_auto(hot_shingle_docs, threshold=0.8, strategy="bogus")
