@@ -1279,3 +1279,126 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def containment_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-02 (containment, prefix-filtered) — the EXACT same pair
+    set as :func:`containment_pairs`, with AllPairs-style lossless
+    candidate pruning adapted to the overlap coefficient.
+
+    Theorem (one-sided, size-oriented): a qualifying pair needs
+    |A∩B| >= t*min(|A|,|B|). Let S be the smaller set; under any
+    fixed global shingle order, if S shares nothing within its first
+    |S| - floor(t'*|S|) + 1 shingles (t' the round-6-slackened
+    threshold), the overlap is at most floor(t'*|S|) - 1 < t'*|S| —
+    contradiction. So the candidate index holds each doc's own-size
+    prefix (rarest shingles first — hot shingles never enter), probed
+    by FULL postings of docs at least as large; candidates are then
+    verified exactly with one array_intersect per pair. Identical
+    pair parity vs the inverted form is pinned in
+    tests/test_llm_ops.py::test_prefix_containment_identical_pairs.
+
+    Same scale posture (and the same dense-corpus boundary) as
+    :func:`tf_cosine_pairs_prefix` / :func:`ngram_jaccard_pairs_prefix`.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    eps = 1.0e-6
+    shingled = docs.select(
+        F.col(id_col), shingles(text_col, n).alias("_shs")
+    ).withColumn("_nsh", F.size("_shs"))
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+
+    ex = shingled.select(id_col, "_nsh", F.explode("_shs").alias("_sh"))
+    freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_sh")
+    prefix = (
+        ex.join(freq, "_sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn")
+            <= F.col("_nsh")
+            - F.floor((F.lit(threshold) - F.lit(eps)) * F.col("_nsh"))
+            + 1
+        )
+        .select(id_col, "_nsh", "_sh")
+    )
+    p, f = prefix.alias("p"), ex.alias("f")
+    cand = (
+        p.join(
+            f,
+            (F.col("p._sh") == F.col("f._sh"))
+            & (F.col(f"p.{id_col}") != F.col(f"f.{id_col}"))
+            # the theorem speaks about the SMALLER doc's prefix
+            & (F.col("p._nsh") <= F.col("f._nsh")),
+        )
+        .select(
+            F.least(
+                F.col(f"p.{id_col}"), F.col(f"f.{id_col}")
+            ).alias("id_a"),
+            F.greatest(
+                F.col(f"p.{id_col}"), F.col(f"f.{id_col}")
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_shs").alias("_shs_a"),
+        F.col("_nsh").alias("_na"),
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_shs").alias("_shs_b"),
+        F.col("_nsh").alias("_nb"),
+    )
+    ni = F.size(F.array_intersect("_shs_a", "_shs_b"))
+    cont = ni / F.least(F.col("_na"), F.col("_nb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+CONTAINMENT_STRATEGY_CONF = "spark.gexp_ml.containment.strategy"
+
+
+def containment_pairs_auto(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str | None = None,
+    size_hint: int | None = None,
+    size_gate: int = 1_000_000,
+) -> DataFrame:
+    """OP-LLM-02 — strategy-gated containment pairs; the same lazy
+    gate contract as :func:`ngram_jaccard_pairs_auto` /
+    :func:`tf_cosine_pairs_auto` (explicit ``strategy``, then conf
+    ``spark.gexp_ml.containment.strategy``, then ``size_hint`` vs
+    ``size_gate``, default "inverted")."""
+    if strategy is None:
+        strategy = docs.sparkSession.conf.get(
+            CONTAINMENT_STRATEGY_CONF, "auto"
+        )
+    if strategy == "auto":
+        strategy = (
+            "prefix"
+            if size_hint is not None and size_hint > size_gate
+            else "inverted"
+        )
+    if strategy == "inverted":
+        return containment_pairs(docs, threshold, n, id_col, text_col)
+    if strategy == "prefix":
+        return containment_pairs_prefix(docs, threshold, n, id_col, text_col)
+    raise ValueError(f"unknown containment strategy: {strategy}")

@@ -2794,12 +2794,12 @@ def op_llm_02_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_llm_02_containment",
-    # Containment (overlap coefficient): |A∩B| / min(|A|,|B|) —
-    # catches documents that are near-SUBSETS of another (quote
-    # inclusion, boilerplate wrapping), which symmetric Jaccard
-    # under-scores. Same inverted-index pair base.
+# Containment (overlap coefficient): |A∩B| / min(|A|,|B|) — catches
+# documents that are near-SUBSETS of another (quote inclusion,
+# boilerplate wrapping), which symmetric Jaccard under-scores. ONE
+# oracle for both physical strategies (inverted / size-oriented
+# prefix filter) — the driver itself checks their equivalence.
+_CONTAINMENT_ORACLE = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
     "sh AS (SELECT doc_id, list_distinct(list_transform("
     "range(1, greatest(len(toks) - 3, 0) + 2), "
@@ -2809,17 +2809,37 @@ def op_llm_02_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count(*) AS ni FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id "
     "GROUP BY 1, 2, 3, 4) "
     "SELECT id_a, id_b, round(ni / least(na, nb), 6) AS containment FROM p "
-    "WHERE round(ni / least(na, nb), 6) >= 0.7",
+    "WHERE round(ni / least(na, nb), 6) >= 0.7"
 )
+
+
+@register("op_llm_02_containment", _CONTAINMENT_ORACLE)
 def op_llm_02_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (containment): overlap coefficient
     |A∩B| / min(|A|,|B|) over shingle sets — flags near-SUBSET
     duplicates (quoted or boilerplate-wrapped documents) that
-    symmetric Jaccard under-scores; same inverted-index pair join,
-    different final ratio."""
-    from gexp_ml_dask_spark.llm.dedup import containment_pairs
+    symmetric Jaccard under-scores; routed through the lazy strategy
+    gate (inverted-index join at bench scale, size-oriented lossless
+    prefix filter via ``spark.gexp_ml.containment.strategy=prefix``
+    or a size hint at 100 TB)."""
+    from gexp_ml_dask_spark.llm.dedup import containment_pairs_auto
 
-    return containment_pairs(load_docs(spark, sf_dir), threshold=0.7, n=3)
+    return containment_pairs_auto(load_docs(spark, sf_dir), threshold=0.7, n=3)
+
+
+@register("op_llm_02_containment_prefix", _CONTAINMENT_ORACLE)
+def op_llm_02_containment_prefix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-02 (containment, forced prefix strategy): the 100 TB
+    physical form registered against the SAME oracle, so the driver
+    value-checks the size-oriented prefix filter's losslessness
+    itself (mirrors the jaccard/tf-cosine prefix twins)."""
+    from gexp_ml_dask_spark.llm.dedup import containment_pairs_auto
+
+    return containment_pairs_auto(
+        load_docs(spark, sf_dir), threshold=0.7, n=3, strategy="prefix"
+    )
 
 
 # Sparse term-frequency cosine between documents — the classic IR
@@ -4968,6 +4988,7 @@ _SIBLING_TWINS = {
     "op_llm_07_epoch_shuffle",     # ID covered by mixture_sample
     "op_llm_07_balanced_shards",   # ID covered by mixture_sample
     "op_llm_02_tf_cosine_prefix",  # strategy twin of tf_cosine
+    "op_llm_02_containment_prefix",  # strategy twin of containment
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }

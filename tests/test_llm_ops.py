@@ -882,3 +882,29 @@ def test_tf_cosine_auto_gate_lazy_and_routed(spark, hot_shingle_docs):
     assert "Window" in via_hint._jdf.queryExecution().toString()
     with pytest.raises(ValueError):
         tf_cosine_pairs_auto(hot_shingle_docs, threshold=0.8, strategy="bogus")
+
+
+def test_prefix_containment_identical_pairs(spark, docs, hot_shingle_docs):
+    """The size-oriented prefix-filtered containment must produce the
+    IDENTICAL pair set (ids AND rounded containment) as the
+    inverted-index join on both the planted-dup corpus and the
+    hot-shingle fixture — losslessness is a theorem."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    for frame in (docs, hot_shingle_docs):
+        for t in (0.7, 0.9):
+            inv = {
+                (r["id_a"], r["id_b"], r["containment"])
+                for r in containment_pairs(frame, threshold=t, n=3).collect()
+            }
+            pre = {
+                (r["id_a"], r["id_b"], r["containment"])
+                for r in containment_pairs_prefix(
+                    frame, threshold=t, n=3
+                ).collect()
+            }
+            assert inv == pre, (t, inv ^ pre)
+    assert inv  # hot-shingle fixture has planted near-subsets
