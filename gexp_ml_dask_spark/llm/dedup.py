@@ -281,6 +281,33 @@ def ngram_jaccard_pairs_prefix(
 JACCARD_STRATEGY_CONF = "spark.gexp_ml.jaccard.strategy"
 
 
+def _resolve_pair_strategy(
+    docs: DataFrame,
+    conf_key: str,
+    strategy: str | None,
+    size_hint: int | None,
+    size_gate: int,
+) -> str:
+    """ONE lazy resolution rule for every pair-operator strategy gate
+    (jaccard / tf-cosine / containment — a gate edit lands in all
+    three or none). No Spark job runs here. Order: explicit
+    ``strategy`` ("inverted" | "prefix"), the session conf (how a
+    100 TB pipeline flips every call site at once), ``size_hint`` (a
+    caller-known doc count, e.g. from table stats) vs ``size_gate``,
+    default "inverted" — right for oracle/bench scale."""
+    if strategy is None:
+        strategy = docs.sparkSession.conf.get(conf_key, "auto")
+    if strategy == "auto":
+        strategy = (
+            "prefix"
+            if size_hint is not None and size_hint > size_gate
+            else "inverted"
+        )
+    if strategy not in ("inverted", "prefix"):
+        raise ValueError(f"unknown {conf_key} strategy: {strategy}")
+    return strategy
+
+
 def ngram_jaccard_pairs_auto(
     docs: DataFrame,
     threshold: float = 0.4,
@@ -314,23 +341,15 @@ def ngram_jaccard_pairs_auto(
 
     ``block_col`` is forwarded to either form unchanged.
     """
-    if strategy is None:
-        strategy = docs.sparkSession.conf.get(JACCARD_STRATEGY_CONF, "auto")
-    if strategy == "auto":
-        strategy = (
-            "prefix"
-            if size_hint is not None and size_hint > size_gate
-            else "inverted"
-        )
-    if strategy == "inverted":
-        return ngram_jaccard_pairs(
-            docs, threshold, n, id_col, text_col, block_col
-        )
-    if strategy == "prefix":
-        return ngram_jaccard_pairs_prefix(
-            docs, threshold, n, id_col, text_col, block_col
-        )
-    raise ValueError(f"unknown jaccard strategy: {strategy}")
+    strategy = _resolve_pair_strategy(
+        docs, JACCARD_STRATEGY_CONF, strategy, size_hint, size_gate
+    )
+    fn = (
+        ngram_jaccard_pairs
+        if strategy == "inverted"
+        else ngram_jaccard_pairs_prefix
+    )
+    return fn(docs, threshold, n, id_col, text_col, block_col)
 
 
 def minhash_signatures(
@@ -742,16 +761,39 @@ def _tf_table(
     )
 
 
+def _tf_cosine_finish(
+    dot: DataFrame, tf: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail for BOTH tf-cosine strategies: join per-doc norms
+    onto the integer (id_a, id_b, dot) table, round, filter. ONE
+    definition so the cross-strategy bit-parity the shared driver
+    oracle depends on is structural, not copy-paste. The norm table
+    is per-DOC (it scales with the corpus), so there is no static
+    broadcast hint — AQE picks broadcast-hash only while the side is
+    actually small (design rule: never force a broadcast on a side
+    that scales with the data)."""
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("_na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("_nb"))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _tf_cosine_verify(
     cand: DataFrame, tf: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact cosine for candidate (id_a, id_b) pairs: integer tf dot
-    over shared terms + per-doc norms — the identical final float
-    expression as the inverted form, so both strategies emit
-    bit-identical rows."""
-    nrm = tf.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
-    )
+    over shared terms, then the shared :func:`_tf_cosine_finish`
+    tail — both strategies emit bit-identical rows by construction."""
     ta = tf.select(
         F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("_tfa")
     )
@@ -764,17 +806,7 @@ def _tf_cosine_verify(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("dot"))
     )
-    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("_na"))
-    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("_nb"))
-    return (
-        dot.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6)
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _tf_cosine_finish(dot, tf, threshold)
 
 
 def tf_cosine_pairs(
@@ -786,9 +818,10 @@ def tf_cosine_pairs(
     """OP-LLM-02 (TF cosine, inverted-index form): doc-doc cosine
     over sparse term-frequency vectors — the embedding-free IR
     similarity. The dot product only materializes for pairs SHARING a
-    term (inverted-index self-join on the tf postings); per-doc norms
-    are dimension-sized and broadcast back. Integer tf products keep
-    the dot exact, so only the final ratio needs rounding.
+    term (inverted-index self-join on the tf postings); the per-doc
+    norm table (corpus-sized — one row per doc) joins back without a
+    static broadcast hint, AQE decides. Integer tf products keep the
+    dot exact, so only the final ratio needs rounding.
 
     Cost is sum over terms of df(term)^2 — on a small-vocabulary or
     boilerplate-heavy corpus every posting is hot and the join fans
@@ -796,9 +829,6 @@ def tf_cosine_pairs(
     on a default-heap session). :func:`tf_cosine_pairs_prefix` is the
     lossless scale form; :func:`tf_cosine_pairs_auto` gates them."""
     tf = _tf_table(docs, id_col, text_col)
-    nrm = tf.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
-    )
     a, b = tf.alias("a"), tf.alias("b")
     dot = (
         a.join(
@@ -811,17 +841,7 @@ def tf_cosine_pairs(
         )
         .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
     )
-    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("_na"))
-    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("_nb"))
-    return (
-        dot.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6)
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _tf_cosine_finish(dot, tf, threshold)
 
 
 def tf_cosine_pairs_prefix(
@@ -933,19 +953,11 @@ def tf_cosine_pairs_auto(
     ``spark.gexp_ml.tf_cosine.strategy``, ``size_hint`` vs
     ``size_gate``, default "inverted" (right for oracle/bench
     scale)."""
-    if strategy is None:
-        strategy = docs.sparkSession.conf.get(TF_COSINE_STRATEGY_CONF, "auto")
-    if strategy == "auto":
-        strategy = (
-            "prefix"
-            if size_hint is not None and size_hint > size_gate
-            else "inverted"
-        )
-    if strategy == "inverted":
-        return tf_cosine_pairs(docs, threshold, id_col, text_col)
-    if strategy == "prefix":
-        return tf_cosine_pairs_prefix(docs, threshold, id_col, text_col)
-    raise ValueError(f"unknown tf_cosine strategy: {strategy}")
+    strategy = _resolve_pair_strategy(
+        docs, TF_COSINE_STRATEGY_CONF, strategy, size_hint, size_gate
+    )
+    fn = tf_cosine_pairs if strategy == "inverted" else tf_cosine_pairs_prefix
+    return fn(docs, threshold, id_col, text_col)
 
 
 def remove_duplicate_spans(
@@ -1387,18 +1399,12 @@ def containment_pairs_auto(
     :func:`tf_cosine_pairs_auto` (explicit ``strategy``, then conf
     ``spark.gexp_ml.containment.strategy``, then ``size_hint`` vs
     ``size_gate``, default "inverted")."""
-    if strategy is None:
-        strategy = docs.sparkSession.conf.get(
-            CONTAINMENT_STRATEGY_CONF, "auto"
-        )
-    if strategy == "auto":
-        strategy = (
-            "prefix"
-            if size_hint is not None and size_hint > size_gate
-            else "inverted"
-        )
-    if strategy == "inverted":
-        return containment_pairs(docs, threshold, n, id_col, text_col)
-    if strategy == "prefix":
-        return containment_pairs_prefix(docs, threshold, n, id_col, text_col)
-    raise ValueError(f"unknown containment strategy: {strategy}")
+    strategy = _resolve_pair_strategy(
+        docs, CONTAINMENT_STRATEGY_CONF, strategy, size_hint, size_gate
+    )
+    fn = (
+        containment_pairs
+        if strategy == "inverted"
+        else containment_pairs_prefix
+    )
+    return fn(docs, threshold, n, id_col, text_col)

@@ -67,30 +67,102 @@ def global_rank(
       3. rank inside each bucket with a bucket-partitioned window and
          add the bucket's offset.
 
-    Buckets are contiguous key ranges and the bucket id is a pure
-    FUNCTION of the key (not of physical layout or sampling state),
-    so offset + local rank == global rank exactly, reproducibly.
-    Ranks are 1-based, dense over the frame; ties are broken by
-    ``tie_col`` so the order is total."""
+    Buckets are contiguous (key, tie)-order ranges and the bucket id
+    is a pure FUNCTION of the row's values (not of physical layout or
+    sampling state), so offset + local rank == global rank exactly,
+    reproducibly. Ranks are 1-based, dense over the frame; ties are
+    broken by ``tie_col`` (ascending) so the order is total.
+
+    Order semantics match Spark's window defaults exactly: ascending
+    puts NULL keys first and NaN last; descending puts NaN first and
+    NULL last — each gets its own bucket slot. Exact-boundary key
+    values get their own EQUALITY slot, sub-bucketed by tie-column
+    percentiles: a heavily-tied key (every doc the same length, one
+    viral value) spreads over ~n_buckets tasks instead of funneling
+    the run through one window partition — the percentile sketch
+    lists a heavy value as multiple boundaries, so exactly the heavy
+    keys land in equality slots. ``tie_col`` should be numeric for
+    the sub-split (a non-castable tie degrades to one sub-bucket,
+    still exact).
+
+    The input is persisted (MEMORY_AND_DISK) because the two boundary
+    actions and the returned plan would otherwise re-run the upstream
+    pipeline three times; release is the caller's (unpersist /
+    clearCache), the same contract as the dedup pair operators.
+
+    Documented domain (cf. the Morton-code cliff): keys must be
+    exactly representable as doubles (ids, counts, sizes < 2^53).
+    Keys that collide after the double cast (e.g. nanosecond-epoch
+    timestamps) could interleave inside an equality slot — bucket on
+    a coarser derived key first."""
+    import math
+
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     s = F.col(key_col).cast("double")
     if descending:
         s = -s
+    t = F.col(tie_col).cast("double")
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    row = df.select(
-        F.percentile_approx(s, probs, 10_000).alias("b")
-    ).collect()[0]["b"]
-    bounds = sorted({b for b in (row or []) if b is not None})
+    brow = df.select(
+        F.percentile_approx(s, probs, 10_000).alias("kb"),
+        F.percentile_approx(t, probs, 10_000).alias("tb"),
+    ).collect()[0]
 
-    pid = F.lit(0)
+    def _clean(vals):
+        return sorted(
+            {
+                v
+                for v in (vals or [])
+                if v is not None and not math.isnan(v)
+            }
+        )
+
+    bounds, tbounds = _clean(brow["kb"]), _clean(brow["tb"])
+
+    # Slot layout over the sort key s (ascending): for distinct
+    # sorted bounds b_1..b_m, slot = #(s > b_i) + #(s >= b_i) — even
+    # slots are open intervals, odd slots hold EXACTLY one boundary
+    # value (where heavy ties live). NULL/NaN keys get the slots the
+    # window's default ordering demands.
+    cgt, cge = F.lit(0), F.lit(0)
     for b in bounds:
-        pid = pid + F.when(s > F.lit(b), 1).otherwise(0)
-    tmp = df.withColumn("_gr_pid", pid)
+        cgt = cgt + F.when(s > F.lit(b), 1).otherwise(0)
+        cge = cge + F.when(s >= F.lit(b), 1).otherwise(0)
+    last_slot = 2 * len(bounds) + 2
+    null_slot = F.lit(last_slot if descending else -2)
+    nan_slot = F.lit(-2 if descending else last_slot)
+    pid = (
+        F.when(s.isNull(), null_slot)
+        .when(F.isnan(s), nan_slot)
+        .otherwise(cgt + cge)
+    )
+
+    # Equality slots sub-bucket by tie percentiles (all rows there
+    # share ONE key value, so tie order alone decides — sub-bucketing
+    # stays consistent with the global order). NULL ties fold into
+    # sub 0 (tie asc puts NULLs first); NaN ties compare greater than
+    # every bound (Spark NaN semantics) and land in the last sub —
+    # both match the window's tie ordering.
+    sub_base = F.lit(0)
+    for b in tbounds:
+        sub_base = sub_base + F.when(t > F.lit(b), 1).otherwise(0)
+    is_eq = s.isNotNull() & ~F.isnan(s) & (cge > cgt)
+    sub = F.when(is_eq, sub_base).otherwise(F.lit(0))
+
+    k_span = len(tbounds) + 2
+    tmp = df.withColumn(
+        "_gr_k", (pid * F.lit(k_span) + sub).cast("long")
+    )
 
     counts = {
-        r["_gr_pid"]: r["c"]
-        for r in tmp.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        r["_gr_k"]: r["c"]
+        for r in tmp.groupBy("_gr_k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     }
     offsets, acc = {}, 0
     for p in sorted(counts):
@@ -104,12 +176,12 @@ def global_rank(
                 for lit in (F.lit(p), F.lit(o))
             ]
         )
-        off = F.coalesce(mapping[F.col("_gr_pid")], F.lit(0))
+        off = F.coalesce(mapping[F.col("_gr_k")], F.lit(0))
     else:
         off = F.lit(0)
 
     key_order = F.col(key_col).desc() if descending else F.col(key_col).asc()
-    w = Window.partitionBy("_gr_pid").orderBy(key_order, F.col(tie_col).asc())
+    w = Window.partitionBy("_gr_k").orderBy(key_order, F.col(tie_col).asc())
     return tmp.withColumn(
         out_col, (F.row_number().over(w) + off).cast("long")
-    ).drop("_gr_pid")
+    ).drop("_gr_k")

@@ -691,15 +691,17 @@ def test_prefix_jaccard_lossless_property(spark, texts, threshold):
 
 @given(
     keys=st.lists(
-        st.integers(min_value=0, max_value=12), min_size=1, max_size=200
+        st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+        min_size=1,
+        max_size=200,
     )
 )
 @settings(max_examples=10, deadline=None)
 def test_global_rank_matches_naive_window(spark, keys):
     """global_rank (bucketed two-action form) must equal the naive
     single-partition Window.orderBy row_number exactly — including
-    heavy ties that straddle percentile boundaries — in both
-    directions."""
+    heavy ties that straddle percentile boundaries and NULL keys —
+    in both directions."""
     from pyspark.sql import Window
 
     from gexp_ml_dask_spark.operators.sorts import global_rank
@@ -721,6 +723,50 @@ def test_global_rank_matches_naive_window(spark, keys):
             ).collect()
         }
         assert got == naive, desc
+
+
+def test_global_rank_all_tied_nan_and_null(spark):
+    """The degenerate frames: every key equal (heavy-tie regime — the
+    equality slot must sub-bucket without breaking exactness), plus a
+    mix of NaN and NULL keys whose placement must match Spark's
+    window defaults (asc: NULL first / NaN last; desc: NaN first /
+    NULL last)."""
+    from pyspark.sql import Window
+
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
+    tied = spark.createDataFrame(
+        [(i, 2048.0) for i in range(500)], "id LONG, k DOUBLE"
+    )
+    mixed = spark.createDataFrame(
+        [
+            (1, 5.0),
+            (2, None),
+            (3, float("nan")),
+            (4, 1.0),
+            (5, None),
+            (6, float("nan")),
+            (7, 9.0),
+        ],
+        "id LONG, k DOUBLE",
+    )
+    for df in (tied, mixed):
+        for desc in (False, True):
+            order = F.col("k").desc() if desc else F.col("k").asc()
+            naive = {
+                r["id"]: r["r"]
+                for r in df.withColumn(
+                    "r",
+                    F.row_number().over(Window.orderBy(order, F.col("id"))),
+                ).collect()
+            }
+            got = {
+                r["id"]: r["rank"]
+                for r in global_rank(
+                    df, "k", "id", descending=desc, n_buckets=4
+                ).collect()
+            }
+            assert got == naive, (desc, df is tied)
 
 
 def test_global_rank_plan_has_no_global_window(spark):
