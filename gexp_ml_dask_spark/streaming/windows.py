@@ -92,16 +92,27 @@ def session_windows_batch(
     )
 
 
-def _open_event_stream(spark, source_path: str, schema, ts_col: str):
+def _open_event_stream(
+    spark,
+    source_path: str,
+    schema,
+    ts_col: str,
+    max_files_per_trigger: int | None = None,
+):
     """File-source stream with the ``ts`` column normalized to a
     session-timezone TimestampType — the streaming twin of
     ``sources.readers.load_events`` (same two physical encodings
-    handled: nanos-as-long and micros-NTZ)."""
+    handled: nanos-as-long and micros-NTZ).
+    ``max_files_per_trigger`` forces MULTI-batch execution (one file
+    per micro-batch) — how the multi-batch equivalence tests drive
+    real batch boundaries through the stateful operators."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
     # Naive-as-UTC stored wall times; see sources.readers.load_events.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if source_path.endswith(".parquet"):
         # file streaming sources need a DIRECTORY; narrow to the one
         # table file with a glob filter
@@ -130,6 +141,7 @@ def streaming_session_counts(
     watermark: str = "30 minutes",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    max_files_per_trigger: int | None = None,
 ):
     """The online twin of ``session_windows_batch``: gap-based
     session windows over a file-source stream. Session windows are
@@ -139,7 +151,9 @@ def streaming_session_counts(
     watermark). Returns the unstarted streaming DataFrame; callers
     pick sink + trigger. Batch equivalence on closed sessions is the
     test oracle (tests/test_streaming.py)."""
-    stream = _open_event_stream(spark, source_path, schema, ts_col)
+    stream = _open_event_stream(
+        spark, source_path, schema, ts_col, max_files_per_trigger
+    )
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
@@ -167,6 +181,7 @@ def streaming_tumbling_counts(
     watermark: str = "30 minutes",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
 ):
     """The online twin of tumbling_window_counts: file-source stream
     with a watermark bounding late data/state (the state store drops
@@ -179,7 +194,9 @@ def streaming_tumbling_counts(
                .queryName("agg").start())
         q.processAllAvailable()
     """
-    stream = _open_event_stream(spark, source_path, schema, ts_col)
+    stream = _open_event_stream(
+        spark, source_path, schema, ts_col, max_files_per_trigger
+    )
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, width).alias("w"), F.col(key_col))

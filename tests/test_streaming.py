@@ -4,6 +4,7 @@ here as the oracle (SURVEY.md §5.2 cross-framework agreement)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -362,3 +363,127 @@ def test_tws_per_source_cap_if_supported(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+@pytest.fixture(scope="module")
+def chunked_events_dir(spark, tmp_path_factory):
+    """sf0.001 events split into 4 CHRONOLOGICAL parquet files (by ts
+    quartile, lexicographic file names) so maxFilesPerTrigger=1
+    drives one real micro-batch per chunk — the watermark then
+    advances between batches exactly as it would in production."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{SF_SMOKE}/events.parquet"
+    table = pq.read_table(src)
+    order = pc.sort_indices(table, sort_keys=[("ts", "ascending")])
+    table = table.take(order)
+    out = tmp_path_factory.mktemp("chunked_events")
+    n = table.num_rows
+    for i in range(4):
+        lo = i * n // 4
+        hi = (i + 1) * n // 4
+        pq.write_table(table.slice(lo, hi - lo), str(out / f"chunk-{i:03d}.parquet"))
+    return str(out)
+
+
+def test_multibatch_tumbling_complete_equals_batch(spark, chunked_events_dir):
+    """Complete-mode tumbling aggregation over FOUR micro-batches
+    (one file each) must still converge to the full batch aggregation
+    — the single-batch value oracle's claim holds across real batch
+    boundaries because chronological arrival keeps every event inside
+    the watermark."""
+    from gexp_ml_dask_spark.sources.readers import load_events
+    from gexp_ml_dask_spark.streaming import (
+        streaming_tumbling_counts,
+        tumbling_window_counts,
+    )
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_window_counts(load_events(spark, SF_SMOKE)).collect()
+    }
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    agg = streaming_tumbling_counts(
+        spark, chunked_events_dir, raw_schema, max_files_per_trigger=1
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_mb_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        online = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total"])
+            for r in spark.table("t_mb_tumbling").collect()
+        }
+    finally:
+        q.stop()
+    assert n_batches >= 4, n_batches
+    assert online == batch
+
+
+def test_multibatch_sessions_match_watermark_predicate(
+    spark, chunked_events_dir
+):
+    """Append-mode session windows over four micro-batches: each
+    session is emitted EXACTLY once, and the final emitted set equals
+    the batch sessions with end <= the final ms-truncated watermark —
+    the same predicate the single-batch driver oracle states."""
+    from gexp_ml_dask_spark.sources.readers import load_events
+    from gexp_ml_dask_spark.streaming import streaming_session_counts
+
+    events = load_events(spark, SF_SMOKE)
+    max_us = events.select(
+        F.max(F.unix_micros(F.col("ts"))).alias("m")
+    ).collect()[0]["m"]
+    wm_us = (max_us // 1000 - 30 * 60 * 1000) * 1000
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total"],
+        )
+        for r in events.groupBy(
+            F.session_window(F.col("ts"), "5 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "total",
+        )
+        .filter(F.col("end_us") <= wm_us)
+        .collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    agg = streaming_session_counts(
+        spark, chunked_events_dir, raw_schema, max_files_per_trigger=1
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_mb_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_mb_sessions").collect()
+    finally:
+        q.stop()
+    keys = [(r["user_id"], r["session_start"], r["session_end"]) for r in rows]
+    assert len(keys) == len(set(keys)), "a session was emitted twice"
+    online = {
+        k: (r["n_events"], r["total"]) for k, r in zip(keys, rows)
+    }
+    assert online == batch
