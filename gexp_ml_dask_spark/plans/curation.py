@@ -181,3 +181,39 @@ def curate_documents_max(
         .select(id_col, source_col, "quality", "avg_logp", "rep_ratio")
     )
     return sample_mixture(gated, weights, source_col, id_col, seed)
+
+
+def ingest_increment(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Incremental corpus ingestion — the continual-crawl admission
+    step a production pipeline runs per arriving batch: admit only
+    the batch documents that are (a) the FIRST copy within the batch
+    (min id per content hash) and (b) UNSEEN in the existing corpus
+    (hash anti-join). Returns (doc_id, source, text_hash) for every
+    admitted document.
+
+    Plan shape at 100 TB: both sides reduce to sha256 content hashes;
+    the batch keep-first groupBy and the corpus anti-join share the
+    text_hash shuffle key, so Catalyst reuses the exchange, and the
+    corpus side collapses to DISTINCT hashes before the join — the
+    smallest possible probe side, with no static broadcast hint (the
+    corpus scales with the data; AQE picks broadcast-hash only while
+    the distinct-hash side actually fits)."""
+    bh = batch.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.sha2(F.col(text_col), 256).alias("text_hash"),
+    )
+    keep = bh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    seen = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("text_hash")
+    ).distinct()
+    admitted = keep.join(seen, "text_hash", "left_anti")
+    return admitted.join(bh, [id_col, "text_hash"]).select(
+        id_col, source_col, "text_hash"
+    )

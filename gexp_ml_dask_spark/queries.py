@@ -4183,6 +4183,39 @@ def op_llm_08_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_08_incremental_ingest",
+    # Continual-crawl admission: corpus = doc_id % 10 < 8, batch =
+    # the rest; admit batch docs that are first-in-batch by content
+    # hash AND unseen in the corpus.
+    "WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 < 8), "
+    "batch AS (SELECT * FROM documents WHERE doc_id % 10 >= 8), "
+    "bh AS (SELECT doc_id, source, sha256(text) AS text_hash FROM batch), "
+    "keep AS (SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id "
+    "FROM bh GROUP BY 1), "
+    "admitted AS (SELECT k.doc_id, k.text_hash FROM keep k "
+    "WHERE NOT EXISTS (SELECT 1 FROM corpus c "
+    "WHERE sha256(c.text) = k.text_hash)) "
+    "SELECT a.doc_id, b.source, a.text_hash "
+    "FROM admitted a JOIN bh b ON a.doc_id = b.doc_id",
+)
+def op_llm_08_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-08 (incremental ingestion): the continual-crawl
+    admission step — dedupe an arriving batch within itself
+    (keep-first by content hash) and against the existing corpus
+    (hash anti-join on the corpus's distinct hashes, exchange reused
+    across both hash-keyed stages). Deterministic corpus/batch split
+    by doc_id % 10 so both engines build identical inputs."""
+    from gexp_ml_dask_spark.plans.curation import ingest_increment
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    return ingest_increment(corpus, batch)
+
+
+@register(
     "op_llm_04_language_id",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
     "s AS (SELECT doc_id, "
@@ -4989,6 +5022,7 @@ _SIBLING_TWINS = {
     "op_llm_07_balanced_shards",   # ID covered by mixture_sample
     "op_llm_02_tf_cosine_prefix",  # strategy twin of tf_cosine
     "op_llm_02_containment_prefix",  # strategy twin of containment
+    "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }

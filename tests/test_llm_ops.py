@@ -908,3 +908,26 @@ def test_prefix_containment_identical_pairs(spark, docs, hot_shingle_docs):
             }
             assert inv == pre, (t, inv ^ pre)
     assert inv  # hot-shingle fixture has planted near-subsets
+
+
+def test_incremental_ingest_admission_rules(spark):
+    """Planted scenario: a batch doc duplicating a corpus doc is
+    rejected; two batch copies admit only the min id; a fresh doc is
+    admitted; corpus rows never appear in the output."""
+    from gexp_ml_dask_spark.plans.curation import ingest_increment
+
+    corpus = spark.createDataFrame(
+        [(1, "web", "already in the corpus"), (2, "web", "old news")],
+        "doc_id long, source string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "web", "already in the corpus"),   # corpus dup -> reject
+            (11, "books", "brand new document"),    # fresh -> admit
+            (12, "books", "brand new document"),    # batch dup -> reject
+            (13, "web", "another fresh one"),       # fresh -> admit
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r["source"] for r in ingest_increment(corpus, batch).collect()}
+    assert out == {11: "books", 13: "web"}
