@@ -3403,6 +3403,46 @@ def op_llm_03_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=10)
 
 
+@register(
+    "op_llm_03_knn_filtered",
+    # Hybrid (metadata-filtered) vector search: candidates are the
+    # embeddings whose DOCUMENT passes a metadata predicate
+    # (lang='en'), queries stay unfiltered — the filter must reach
+    # the candidate set BEFORE scoring, not post-filter the top-k
+    # (post-filtering returns < k or misses closer eligible docs).
+    "WITH c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v "
+    "FROM embeddings e JOIN documents d "
+    "ON d.doc_id = e.vec_id AND d.lang = 'en'), "
+    "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 5), "
+    "s AS (SELECT q.query_id, c.vec_id, "
+    "round(list_cosine_similarity(c.v, q.qv), 6) AS cosine "
+    "FROM c, q WHERE c.vec_id <> q.query_id), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, vec_id ASC) AS rank FROM s) "
+    "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10",
+)
+def op_llm_03_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (hybrid search): metadata-filtered exact kNN — the
+    candidate corpus is semi-joined against the documents table's
+    predicate BEFORE scoring (pre-filtering, the correct hybrid
+    contract: post-filtering a top-k can return fewer than k and
+    misses closer eligible neighbors). The filter side scales with
+    the data, so no static broadcast hint — AQE decides."""
+    from gexp_ml_dask_spark.llm.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    candidates = emb.join(eligible, "vec_id", "left_semi")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce(candidates, queries, k=10)
+
+
 @register("op_llm_03_knn_pandas", _KNN_ORACLE)
 def op_llm_03_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-03/06: Arrow-vectorized exact kNN — numpy matmul per
@@ -5023,6 +5063,8 @@ _SIBLING_TWINS = {
     "op_llm_02_tf_cosine_prefix",  # strategy twin of tf_cosine
     "op_llm_02_containment_prefix",  # strategy twin of containment
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
+    "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
+
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }

@@ -931,3 +931,31 @@ def test_incremental_ingest_admission_rules(spark):
     )
     out = {r["doc_id"]: r["source"] for r in ingest_increment(corpus, batch).collect()}
     assert out == {11: "books", 13: "web"}
+
+
+def test_knn_filtered_pre_filters_candidates(spark):
+    """Every returned neighbor must satisfy the metadata predicate,
+    each query must still get a full k (pre-filter, not post-filter),
+    and an eligible doc ranked outside the UNfiltered top-k must
+    appear when closer ineligible docs are excluded."""
+    from gexp_ml_dask_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["op_llm_03_knn_filtered"](spark, sf).collect()
+    en_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .collect()
+    }
+    assert out and all(r["vec_id"] in en_ids for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, 11)), q
+    unfiltered = QUERIES["op_llm_03_knn_bruteforce"](spark, sf).collect()
+    un_top = {(r["query_id"], r["vec_id"]) for r in unfiltered}
+    assert any((r["query_id"], r["vec_id"]) not in un_top for r in out), (
+        "filtered top-k never surfaced a doc beyond the unfiltered top-k"
+    )
