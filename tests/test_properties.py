@@ -689,6 +689,61 @@ def test_prefix_jaccard_lossless_property(spark, texts, threshold):
     assert inv == pre, (threshold, texts, inv ^ pre)
 
 
+@settings(max_examples=10, deadline=None)
+@given(corpus_strategy(), st.sampled_from([0.5, 0.7, 0.9]))
+def test_prefix_tf_cosine_lossless_property(spark, texts, threshold):
+    """tf_cosine_pairs_prefix must return the IDENTICAL row set (ids
+    and rounded cosine) as the inverted-index join on ANY corpus at
+    ANY threshold — the Cauchy-Schwarz L2-prefix bound is a theorem,
+    so a single counterexample is a bug. The tiny shared vocabulary
+    is the adversarial regime (every posting hot, long prefixes)."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        tf_cosine_pairs,
+        tf_cosine_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    inv = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in tf_cosine_pairs(docs, threshold=threshold).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in tf_cosine_pairs_prefix(docs, threshold=threshold).collect()
+    }
+    assert inv == pre, (threshold, texts, inv ^ pre)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus_strategy(), st.sampled_from([0.5, 0.7, 0.9]))
+def test_prefix_containment_lossless_property(spark, texts, threshold):
+    """containment_pairs_prefix must return the IDENTICAL pair set as
+    the inverted-index join on ANY corpus at ANY threshold — the
+    size-oriented prefix bound (overlap >= t*min forces a match in
+    the smaller doc's own prefix) is a theorem."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    inv = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs(docs, threshold=threshold, n=2).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs_prefix(
+            docs, threshold=threshold, n=2
+        ).collect()
+    }
+    assert inv == pre, (threshold, texts, inv ^ pre)
+
+
 @given(
     keys=st.lists(
         st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
