@@ -4946,6 +4946,35 @@ def op_llm_06_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_06_ppm_decode",
+    # REAL image decode, value-oracled end-to-end: Spark generates a
+    # deterministic P6 PPM per doc (pixel(r,c,k) = (d*31 + 7r + 3c +
+    # 11k) % 256, 16x8), parses it with the pure-numpy PPM decoder,
+    # and emits per-channel means; DuckDB recomputes the expected
+    # means DIRECTLY from the pixel formula — if the parser misreads
+    # the header or plane layout, every mean shifts and the hash
+    # mismatches.
+    "SELECT doc_id AS asset_id, CAST(16 AS BIGINT) AS width, "
+    "CAST(8 AS BIGINT) AS height, "
+    "round(avg((doc_id * 31 + r.r * 7 + c.c * 3) % 256), 6) AS mean_r, "
+    "round(avg((doc_id * 31 + r.r * 7 + c.c * 3 + 11) % 256), 6) AS mean_g, "
+    "round(avg((doc_id * 31 + r.r * 7 + c.c * 3 + 22) % 256), 6) AS mean_b "
+    "FROM documents, range(0, 8) r(r), range(0, 16) c(c) "
+    "GROUP BY doc_id",
+)
+def op_llm_06_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-06 (REAL decode): deterministic P6 PPM images parsed by
+    the pure-numpy decoder (actual netpbm header parsing +
+    frombuffer, no codec lib) inside one mapInPandas pass; the oracle
+    recomputes the expected channel means straight from the pixel
+    formula, so the decode itself is the thing under value-check.
+    Compressed formats (PNG/JPEG) remain honestly stubbed."""
+    from gexp_ml_dask_spark.llm.multimodal import ppm_decode_stats
+
+    return ppm_decode_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "op_phy_03_assemble_vectors",
     f"WITH s AS (SELECT sample_id, gene_id, sum(value) AS v FROM ({G_QTY}) "
     "WHERE sample_id < 1000 GROUP BY sample_id, gene_id) "
@@ -5064,6 +5093,7 @@ _SIBLING_TWINS = {
     "op_llm_02_containment_prefix",  # strategy twin of containment
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
+    "op_llm_06_ppm_decode",          # ID covered by multimodal_features
 
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows

@@ -959,3 +959,33 @@ def test_knn_filtered_pre_filters_candidates(spark):
     assert any((r["query_id"], r["vec_id"]) not in un_top for r in out), (
         "filtered top-k never surfaced a doc beyond the unfiltered top-k"
     )
+
+
+def test_ppm_decode_roundtrip_and_boundaries():
+    """decode_image must really parse P6 (incl. header comments),
+    roundtrip with encode_ppm, nearest-neighbor resize must pick the
+    expected pixels, and compressed formats must still raise the
+    honest NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gexp_ml_dask_spark.llm.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_image,
+    )
+
+    arr = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = encode_ppm(arr)
+    assert (decode_image(payload) == arr).all()
+
+    commented = b"P6\n# a netpbm comment\n4 2\n255\n" + arr.tobytes()
+    assert (decode_image(commented) == arr).all()
+
+    small = decode_image(resize_image(payload, width=2, height=1))
+    # nearest-neighbor with rows = [0], cols = [0, 2]
+    assert small.shape == (1, 2, 3)
+    assert (small == arr[[0]][:, [0, 2]]).all()
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
