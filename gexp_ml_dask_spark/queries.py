@@ -4975,6 +4975,63 @@ def op_llm_06_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_06_wav_decode",
+    # REAL audio decode, value-oracled end-to-end: Spark generates a
+    # deterministic 16-bit mono PCM WAV per doc (sample i of asset d
+    # = (d*17 + i*13) % 4096 - 2048, 256 samples @ 16 kHz), parses it
+    # with the stdlib `wave` RIFF reader, and emits (n, rate, mean,
+    # peak); DuckDB recomputes the stats DIRECTLY from the sample
+    # formula — a header/endianness/width misparse shifts every stat.
+    "SELECT doc_id AS asset_id, CAST(256 AS BIGINT) AS n_samples, "
+    "CAST(16000 AS BIGINT) AS sample_rate, "
+    "round(avg((doc_id * 17 + i.i * 13) % 4096 - 2048), 6) AS mean_amp, "
+    "CAST(max(abs((doc_id * 17 + i.i * 13) % 4096 - 2048)) AS BIGINT) "
+    "AS peak "
+    "FROM documents, range(0, 256) i(i) GROUP BY doc_id",
+)
+def op_llm_06_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-06 (REAL audio decode): deterministic RIFF/WAVE PCM
+    payloads parsed by the stdlib ``wave`` reader (real RIFF chunk
+    parsing + little-endian int16 frombuffer, no audio lib) inside
+    one mapInPandas pass; the oracle recomputes mean amplitude and
+    peak straight from the sample formula. Compressed codecs
+    (mp3/flac/ogg) remain honestly stubbed in
+    llm/multimodal.decode_audio."""
+    from gexp_ml_dask_spark.llm.multimodal import wav_decode_stats
+
+    return wav_decode_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_06_y4m_frames",
+    # REAL video frame sampling, value-oracled end-to-end: Spark
+    # generates a deterministic YUV4MPEG2 stream per doc (byte j of
+    # frame f = (d*7 + f*29 + j*3) % 256; 6 frames of 8x4 C444 = 96
+    # bytes each), walks it with the header-derived-frame-size parser
+    # (NOT delimiter splitting — raw pixels may contain b"FRAME"),
+    # keeps every 2nd frame, and emits the byte mean over kept
+    # frames; DuckDB recomputes the mean from the pixel formula over
+    # frames {0,2,4} — an off-by-one in the frame walk or the stride
+    # shifts the mean.
+    "SELECT doc_id AS asset_id, CAST(3 AS BIGINT) AS n_frames_kept, "
+    "round(avg((doc_id * 7 + f.f * 29 + j.j * 3) % 256), 6) AS mean_byte "
+    "FROM documents, (VALUES (0), (2), (4)) f(f), range(0, 96) j(j) "
+    "GROUP BY doc_id",
+)
+def op_llm_06_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-06 (REAL video frame sampling): deterministic
+    YUV4MPEG2 payloads walked by the real y4m parser (frame size
+    derived from the W/H/C header so pixel bytes can't be mistaken
+    for markers), every 2nd frame kept; the oracle recomputes the
+    kept-frame byte mean from the pixel formula. Compressed
+    containers (mp4/webm) remain honestly stubbed in
+    llm/multimodal.sample_video_frames."""
+    from gexp_ml_dask_spark.llm.multimodal import y4m_sample_stats
+
+    return y4m_sample_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "op_phy_03_assemble_vectors",
     f"WITH s AS (SELECT sample_id, gene_id, sum(value) AS v FROM ({G_QTY}) "
     "WHERE sample_id < 1000 GROUP BY sample_id, gene_id) "
@@ -5094,6 +5151,8 @@ _SIBLING_TWINS = {
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
+    "op_llm_06_wav_decode",          # ID covered by multimodal_features
+    "op_llm_06_y4m_frames",          # ID covered by multimodal_features
 
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows

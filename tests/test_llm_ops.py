@@ -989,3 +989,80 @@ def test_ppm_decode_roundtrip_and_boundaries():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_wav_decode_roundtrip_and_boundaries():
+    """decode_audio must really parse RIFF/WAVE (roundtrip with
+    encode_wav, stereo reshape, 8-bit and compressed payloads raise
+    the honest NotImplementedError)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gexp_ml_dask_spark.llm.multimodal import decode_audio, encode_wav
+
+    samples = ((np.arange(512) * 13) % 4096 - 2048).astype("<i2")
+    got, rate = decode_audio(encode_wav(samples, rate=22_050))
+    assert rate == 22_050
+    assert (got == samples).all()
+
+    # stereo: frames interleave L/R -> (n, 2) reshape
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8_000)
+        wf.writeframes(np.arange(8, dtype="<i2").tobytes())
+    st, st_rate = decode_audio(buf.getvalue())
+    assert st_rate == 8_000 and st.shape == (4, 2)
+    assert (st == np.arange(8).reshape(4, 2)).all()
+
+    # 8-bit PCM and non-WAV formats: honest stubs
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8_000)
+        wf.writeframes(b"\x00\x01\x02\x03")
+    with _pytest.raises(NotImplementedError):
+        decode_audio(buf8.getvalue())
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04\x00....")  # mp3
+
+
+def test_y4m_frame_sampling_not_delimiter_split():
+    """sample_video_frames must walk header-derived frame sizes —
+    pixel bytes containing the literal b'FRAME' must NOT split a
+    frame — and must honour colorspace subsampling sizes."""
+    import pytest as _pytest
+
+    from gexp_ml_dask_spark.llm.multimodal import sample_video_frames
+
+    w, h = 4, 2
+    fsize = 3 * w * h  # C444
+    # frame 1's pixels embed the marker mid-frame
+    f0 = bytes(range(fsize))
+    f1 = b"FRAMEFRAME" + bytes(fsize - 10)
+    f2 = bytes(reversed(range(fsize)))
+    payload = (
+        b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C444\n"
+        + b"FRAME\n" + f0 + b"FRAME\n" + f1 + b"FRAME\n" + f2
+    )
+    frames = sample_video_frames(payload, every_n=1)
+    assert frames == [f0, f1, f2]
+    assert sample_video_frames(payload, every_n=2) == [f0, f2]
+
+    # C420 frame size is w*h*3/2
+    f420 = bytes(w * h * 3 // 2)
+    p420 = b"YUV4MPEG2 W4 H2 C420jpeg\n" + b"FRAME\n" + f420
+    assert sample_video_frames(p420, every_n=1) == [f420]
+
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00 ftypmp42....")  # mp4
+    with _pytest.raises(ValueError):
+        # truncated FRAME marker mid-stream
+        sample_video_frames(
+            b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + f0 + b"JUNK", every_n=1
+        )
