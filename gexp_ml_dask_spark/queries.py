@@ -4968,10 +4968,41 @@ def op_llm_06_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frombuffer, no codec lib) inside one mapInPandas pass; the oracle
     recomputes the expected channel means straight from the pixel
     formula, so the decode itself is the thing under value-check.
-    Compressed formats (PNG/JPEG) remain honestly stubbed."""
+    Lossy formats (JPEG/WebP) remain honestly stubbed; PNG has its
+    own real decoder (op_llm_06_png_decode)."""
     from gexp_ml_dask_spark.llm.multimodal import ppm_decode_stats
 
     return ppm_decode_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "op_llm_06_png_decode",
+    # REAL compressed-image decode, value-oracled end-to-end: Spark
+    # generates a deterministic PNG per doc (pixel(r,c,k) = (d*13 +
+    # 5r + 7c + 9k) % 256, 12x10 RGB, row r written with PNG filter
+    # r % 5 so ALL FIVE unfilters — None/Sub/Up/Average/Paeth — sit
+    # on the decode path), decodes it with the stdlib-zlib + numpy
+    # PNG decoder, and emits per-channel means; DuckDB recomputes
+    # the means DIRECTLY from the pixel formula — a wrong unfilter,
+    # stride, or chunk walk shifts every mean and hash-mismatches.
+    "SELECT doc_id AS asset_id, CAST(10 AS BIGINT) AS width, "
+    "CAST(12 AS BIGINT) AS height, "
+    "round(avg((doc_id * 13 + r.r * 5 + c.c * 7) % 256), 6) AS mean_r, "
+    "round(avg((doc_id * 13 + r.r * 5 + c.c * 7 + 9) % 256), 6) AS mean_g, "
+    "round(avg((doc_id * 13 + r.r * 5 + c.c * 7 + 18) % 256), 6) AS mean_b "
+    "FROM documents, range(0, 12) r(r), range(0, 10) c(c) "
+    "GROUP BY doc_id",
+)
+def op_llm_06_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-06 (REAL compressed decode): deterministic PNGs —
+    zlib-deflated scanlines cycling through all five spec filters —
+    parsed by the pure stdlib+numpy PNG decoder (CRC-checked chunk
+    walk, IDAT inflate, None/Sub/Up/Average/Paeth unfiltering); the
+    oracle recomputes expected channel means straight from the pixel
+    formula. Lossy formats (JPEG/WebP) remain honestly stubbed."""
+    from gexp_ml_dask_spark.llm.multimodal import png_decode_stats
+
+    return png_decode_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -5151,6 +5182,7 @@ _SIBLING_TWINS = {
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
+    "op_llm_06_png_decode",          # ID covered by multimodal_features
     "op_llm_06_wav_decode",          # ID covered by multimodal_features
     "op_llm_06_y4m_frames",          # ID covered by multimodal_features
 
