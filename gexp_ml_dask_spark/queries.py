@@ -2560,6 +2560,31 @@ def op_src_04_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_src_04_jsonl_gzip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def op_src_04_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-04 (COMPRESSED corpus interchange): documents written
+    as gzip JSONL — the format public corpora actually ship in — and
+    read back losslessly through Spark's native codec handling
+    (extension-sniffed on read). Scale posture: gzip is NOT
+    splittable, so each .json.gz part = one read task; the write
+    keeps the upstream partitioning (many moderate files) precisely
+    because that becomes the read parallelism. The oracle is the
+    source select — the roundtrip must be byte-lossless."""
+    from gexp_ml_dask_spark.sources.writers import write_jsonl
+
+    path = "/tmp/gexp_spark_artifacts/sink_jsonl_gz"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_jsonl(docs, path, compression="gzip")
+    return spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(path)
+
+
+@register(
     "op_src_09_orc_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
 )
@@ -5182,6 +5207,7 @@ _SIBLING_TWINS = {
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
+    "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
     "op_llm_06_png_decode",          # ID covered by multimodal_features
     "op_llm_06_wav_decode",          # ID covered by multimodal_features
     "op_llm_06_y4m_frames",          # ID covered by multimodal_features

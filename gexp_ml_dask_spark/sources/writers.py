@@ -111,11 +111,26 @@ def write_orc(
     df.write.mode(mode).option("compression", compression).orc(path)
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
     """JSON-Lines sink — the interchange format most LLM corpus
     tooling consumes. Spark writes one JSON object per line per
-    partition file (read back with multiLine=False)."""
-    df.write.mode(mode).json(path)
+    partition file (read back with multiLine=False).
+
+    ``compression="gzip"`` emits ``.json.gz`` part files (the way
+    public corpora actually ship). Scale note: gzip is NOT splittable
+    — each part file becomes exactly one read task — so compressed
+    corpora must be written as many moderate files (the upstream
+    partitioning IS the read parallelism); prefer parquet+zstd for
+    internal hops and keep gzip for interchange."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def upsert_keep_latest(
