@@ -5001,6 +5001,59 @@ def op_llm_06_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_src_04_corrupt_quarantine",
+    # Real-corpus ingestion always meets malformed records; the scan
+    # must QUARANTINE them (PERMISSIVE + _corrupt_record), not crash
+    # (FAILFAST) or silently drop (DROPMALFORMED). The query plants 4
+    # deterministic broken lines among valid JSONL and oracles the
+    # good/bad split plus a checksum over the good rows' payloads —
+    # if a good row leaks to quarantine (or vice versa) both counts
+    # and the checksum shift.
+    "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_good, "
+    "CAST(4 AS BIGINT) AS n_bad, "
+    "CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS good_chars",
+)
+def op_src_04_corrupt_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-SRC-04 (malformed-record quarantine): documents written as
+    JSONL with 4 planted syntactically-broken lines, read back in
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column;
+    good rows parse fully (their n_chars sum matches the source),
+    bad lines land in quarantine. The aggregate references data
+    columns alongside the corrupt column, so the scan never hits
+    Spark's corrupt-column-only restriction — and stays one pass."""
+    import os
+
+    from gexp_ml_dask_spark.sources.writers import write_jsonl
+
+    path = "/tmp/gexp_spark_artifacts/sink_jsonl_corrupt"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_jsonl(docs, path)
+    with open(os.path.join(path, "part-planted-bad.json"), "w") as f:
+        f.write(
+            '{"doc_id": 1, "text": "truncated\n'
+            "not json at all\n"
+            '["wrong", "shape"\n'
+            '{"doc_id": }\n'
+        )
+    parsed = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.sum(F.when(~bad, F.lit(1)).otherwise(F.lit(0))).alias("n_good"),
+        F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))).alias("n_bad"),
+        F.sum(F.when(~bad, F.col("n_chars"))).alias("good_chars"),
+    )
+
+
+@register(
     "op_llm_06_png_decode",
     # REAL compressed-image decode, value-oracled end-to-end: Spark
     # generates a deterministic PNG per doc (pixel(r,c,k) = (d*13 +
@@ -5208,6 +5261,7 @@ _SIBLING_TWINS = {
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
+    "op_src_04_corrupt_quarantine",  # ID covered by json_mapping + jsonl
     "op_llm_06_png_decode",          # ID covered by multimodal_features
     "op_llm_06_wav_decode",          # ID covered by multimodal_features
     "op_llm_06_y4m_frames",          # ID covered by multimodal_features

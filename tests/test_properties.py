@@ -845,3 +845,28 @@ def test_global_rank_plan_has_no_global_window(spark):
         # Window [exprs], [partition spec], [order spec] — partition
         # spec must be non-empty
         assert m.group(1).strip() != "", plan
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_any_shape_and_filters(h, w, ch, seed):
+    """decode(encode(arr)) == arr for arbitrary small images across
+    gray/RGB/RGBA with a per-row filter pattern derived from the
+    seed — the pure-Python property twin of the spec-conformance
+    test (no Spark session, so examples are cheap)."""
+    import numpy as np
+
+    from gexp_ml_dask_spark.llm.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    filters = [(seed + r * 7) % 5 for r in range(h)]
+    got = decode_png(encode_png(arr, row_filters=filters))
+    assert got.shape == arr.shape
+    assert (got == arr).all()
