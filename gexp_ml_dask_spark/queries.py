@@ -1155,10 +1155,10 @@ def op_agg_17_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-17 `[mandate]` (differential expression): per-gene
     Welch's t-statistic between two phenotype groups — the analysis
     the reference's workload exists to feed. One labeled join (the
-    label table is sample-dimension-sized), one (gene, class) hash
-    agg, then a gene-dim self-join assembling the two groups'
-    moments into the t formula — pure column arithmetic, identical
-    algebra on both engines."""
+    label table is sample-dimension-sized), then ONE gene-keyed hash
+    agg producing both groups' moments as conditional aggregates and
+    the t formula as pure column arithmetic — a single shuffle with
+    map-side partials, identical algebra on both engines."""
     g = gexp(spark, sf_dir)
     lab = (
         load_table(spark, sf_dir, "orders")
@@ -1168,37 +1168,31 @@ def op_agg_17_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("cls"),
         )
     )
+
+    # Both classes' moments come out of ONE gene-keyed hash agg via
+    # conditional aggregates (pivot-by-expression) — no (gene, cls)
+    # pre-agg, no persist, no self-join pairing pass. Same algebra as
+    # the oracle's two-branch formulation, one shuffle instead of two
+    # passes over an intermediate.
+    def moments(cls: str, sfx: str) -> list:
+        val = F.when(F.col("cls") == cls, F.col("value"))
+        return [
+            F.count(val).alias(f"n{sfx}"),
+            F.avg(val).alias(f"m{sfx}"),
+            F.var_samp(val).alias(f"v{sfx}"),
+        ]
+
     st = (
         g.join(lab, "sample_id")
-        .groupBy("gene_id", "cls")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("value").alias("m"),
-            F.var_samp("value").alias("v"),
-        )
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    st = st.persist(StorageLevel.MEMORY_AND_DISK)
-    a = st.filter(F.col("cls") == "O").select(
-        "gene_id",
-        F.col("n").alias("n1"),
-        F.col("m").alias("m1"),
-        F.col("v").alias("v1"),
-    )
-    b = st.filter(F.col("cls") == "F").select(
-        "gene_id",
-        F.col("n").alias("n2"),
-        F.col("m").alias("m2"),
-        F.col("v").alias("v2"),
+        .groupBy("gene_id")
+        .agg(*moments("O", "1"), *moments("F", "2"))
     )
     t = F.try_divide(
         F.col("m1") - F.col("m2"),
         F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
     )
     return (
-        a.join(b, "gene_id")
-        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        st.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
         .select(
             "gene_id",
             F.col("n1").cast("long").alias("n1"),

@@ -499,6 +499,25 @@ def test_sparse_assembly_is_arrow_not_pickle(spark):
     assert "ArrowEvalPython" in p, p
 
 
+def test_welch_t_single_aggregate_no_selfjoin(spark, registry):
+    """OP-AGG-17: both phenotype groups' moments must come out of ONE
+    gene-keyed hash aggregate (conditional aggregates), not a
+    (gene, cls) pre-agg + persist + gene self-join — one shuffle,
+    map-side partials, zero joins above the label join."""
+    # executedPlan string (not formatted explain, which lists every
+    # node twice: once in the tree, once as a detail header)
+    df = registry["op_agg_17_welch_t"](spark, SF_ORACLE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    lab_joins = p.count("BroadcastHashJoin") + p.count("SortMergeJoin")
+    assert lab_joins == 1, p  # the sample->label join, nothing else
+    assert p.count("InMemoryTableScan") == 0, "no persist in this plan"
+    # exactly one aggregation pair (partial+final) keyed by gene_id
+    import re
+
+    aggs = re.findall(r"HashAggregate\(keys=\[gene_id", p)
+    assert len(aggs) == 2, p
+
+
 def _jobs_for(spark, group: str, fn) -> int:
     sc = spark.sparkContext
     sc.setJobGroup(group, group)
