@@ -640,21 +640,18 @@ def ppm_decode_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 PNG_W, PNG_H = 10, 12
 
 
-def png_decode_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """OP-LLM-06 (REAL compressed-image decode): deterministic PNG
-    per document — zlib-compressed scanlines cycling through all
-    five spec filters — decoded by :func:`decode_png` (CRC-checked
-    chunk walk + inflate + unfilter), emitting per-channel means;
-    value-oracled against the pixel formula, so a wrong unfilter,
-    stride, or chunk walk shifts every mean."""
-    schema = (
-        "asset_id long, width long, height long, "
-        "mean_r double, mean_g double, mean_b double"
-    )
+def png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 1 of the PNG round: a real ``binary`` PNG payload
+    column per document (pixel formula above, row filters cycling
+    0..4). Split from the decode so the payload crosses an Arrow
+    batch boundary as an actual binary column — the contract a user
+    decoding STORED media hits — instead of living only inside one
+    closure."""
+    schema = "asset_id long, payload binary"
     batch_rows = DECODE_BATCH_ROWS
     w, h = PNG_W, PNG_H
 
-    def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         r = np.arange(h)[:, None, None]
@@ -664,14 +661,50 @@ def png_decode_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
+                payloads = [
+                    encode_png(
+                        (
+                            (int(d) * 13 + r * 5 + c * 7 + k * 9) % 256
+                        ).astype(np.uint8),
+                        row_filters=filters,
+                    )
+                    for d in chunk["asset_id"]
+                ]
+                yield pd.DataFrame(
+                    {"asset_id": chunk["asset_id"], "payload": payloads}
+                )
+
+    base = docs.select(F.col(id_col).alias("asset_id")).repartition(
+        max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    )
+    return base.mapInPandas(gen, schema)
+
+
+def png_decode_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """OP-LLM-06 (REAL compressed-image decode): deterministic PNGs
+    built as a real binary column (:func:`png_payloads`), then
+    decoded by :func:`decode_png` (CRC-checked chunk walk + zlib
+    inflate + the five unfilters) in a SECOND mapInPandas stage —
+    the payload travels between stages as an Arrow binary column,
+    exactly how stored media reaches a decode at scale. Emits
+    per-channel means; value-oracled against the pixel formula, so
+    a wrong unfilter, stride, or chunk walk shifts every mean."""
+    schema = (
+        "asset_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+    batch_rows = DECODE_BATCH_ROWS
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
                 out = []
-                for d in chunk["asset_id"]:
-                    arr = (
-                        (int(d) * 13 + r * 5 + c * 7 + k * 9) % 256
-                    ).astype(np.uint8)
-                    payload = encode_png(arr, row_filters=filters)
+                for d, payload in zip(
+                    chunk["asset_id"], chunk["payload"]
+                ):
                     # the REAL decode: inflate + unfilter
-                    img = decode_png(payload)
+                    img = decode_png(bytes(payload))
                     out.append(
                         (
                             int(d),
@@ -694,10 +727,7 @@ def png_decode_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     ],
                 )
 
-    base = docs.select(F.col(id_col).alias("asset_id")).repartition(
-        max(2, docs.sparkSession.sparkContext.defaultParallelism)
-    )
-    out = base.mapInPandas(gen_decode, schema)
+    out = png_payloads(docs, id_col).mapInPandas(dec, schema)
     return out.select(
         "asset_id",
         "width",
