@@ -4995,6 +4995,49 @@ def op_llm_06_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_src_05_schema_evolution",
+    # Long-lived 100 TB datasets gain columns over time; readers must
+    # span old and new files in one scan. Two parquet batches — v1
+    # without `quality`, v2 with it — read back via mergeSchema: v1
+    # rows surface NULL quality, v2 rows carry the deterministic
+    # value, counts and the quality sum pin both.
+    "SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(*) AS BIGINT) AS n_with_quality, "
+    "round(sum(n_chars / 1000.0), 6) AS sum_quality "
+    "FROM documents GROUP BY lang",
+)
+def op_src_05_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-SRC-05 (schema evolution): an old-schema parquet batch and
+    a new-schema batch (adds a `quality` double) read together with
+    ``mergeSchema=true`` — old rows surface NULL for the new column,
+    new rows carry it. Scale note: mergeSchema reconciles footers at
+    planning time (cost ∝ file count, not data size); steady-state
+    tables should pin an explicit read schema and keep mergeSchema
+    for migration windows."""
+    path = "/tmp/gexp_spark_artifacts/sink_schema_evo"
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "lang", "n_chars")
+    v2 = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") / F.lit(1000.0)).alias("quality"),
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/batch=1", f"{path}/batch=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("quality").alias("n_with_quality"),
+        r6(F.sum("quality")).alias("sum_quality"),
+    )
+
+
+@register(
     "op_src_04_corrupt_quarantine",
     # Real-corpus ingestion always meets malformed records; the scan
     # must QUARANTINE them (PERMISSIVE + _corrupt_record), not crash
@@ -5256,6 +5299,7 @@ _SIBLING_TWINS = {
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
     "op_src_04_corrupt_quarantine",  # ID covered by json_mapping + jsonl
+    "op_src_05_schema_evolution",    # ID covered by sink + upsert rows
     "op_llm_06_png_decode",          # ID covered by multimodal_features
     "op_llm_06_wav_decode",          # ID covered by multimodal_features
     "op_llm_06_y4m_frames",          # ID covered by multimodal_features
