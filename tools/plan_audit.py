@@ -38,6 +38,9 @@ WHITELIST = {
     "op_llm_03_series_similarity": {"BroadcastNestedLoopJoin"},
     "op_ml_10_confusion": {"BroadcastNestedLoopJoin"},
     "op_llm_03_knn_bruteforce": {"BroadcastNestedLoopJoin"},
+    # same scorer as knn_bruteforce (broadcast query set x candidates)
+    # behind the metadata pre-filter semi-join
+    "op_llm_03_knn_filtered": {"BroadcastNestedLoopJoin"},
     "op_llm_03_knn_ivf": {"BroadcastNestedLoopJoin"},
     "op_llm_02_embedding_neardup": {"BroadcastNestedLoopJoin"},
 }
