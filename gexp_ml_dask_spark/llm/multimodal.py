@@ -191,6 +191,8 @@ def _make_png_codec():
         idat = bytearray()
         while pos + 12 <= len(payload):
             (length,) = struct.unpack_from(">I", payload, pos)
+            if pos + 12 + length > len(payload):
+                raise ValueError("truncated PNG chunk")
             ctype = payload[pos + 4 : pos + 8]
             data = payload[pos + 8 : pos + 8 + length]
             (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -205,7 +207,9 @@ def _make_png_codec():
                     raise NotImplementedError("only 8-bit PNG supported")
                 if color not in channels:
                     raise NotImplementedError(
-                        "palette PNG not supported (gray/RGB/RGBA only)"
+                        f"PNG color type {color} not supported "
+                        "(8-bit gray/RGB/RGBA only; palette (3) and "
+                        "gray+alpha (4) need conversion upstream)"
                     )
                 if interlace:
                     raise NotImplementedError(
@@ -287,15 +291,23 @@ def decode_audio(payload: bytes) -> tuple:
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM supported")
-        rate = wf.getframerate()
-        n = wf.getnframes()
-        raw = wf.readframes(n)
-        samples = np.frombuffer(raw, dtype="<i2")
-        if wf.getnchannels() > 1:
-            samples = samples.reshape(n, wf.getnchannels())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise NotImplementedError("only 16-bit PCM supported")
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+            samples = np.frombuffer(raw, dtype="<i2")
+            if wf.getnchannels() > 1:
+                samples = samples.reshape(n, wf.getnchannels())
+    except wave.Error as e:
+        # non-PCM RIFF/WAVE (mu-law, ADPCM, ...) passes the signature
+        # guard but needs a codec — keep the stub contract uniform so
+        # callers can route every not-decodable-here format one way
+        raise NotImplementedError(
+            f"non-PCM WAV codec not supported without audio libs: {e}"
+        ) from e
     return samples, rate
 
 
@@ -358,18 +370,30 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("corrupt y4m: FRAME marker expected")
         pos = payload.index(b"\n", pos) + 1  # skip frame params
+        if pos + frame_size > len(payload):
+            raise ValueError("corrupt y4m: truncated final frame")
         frames.append(payload[pos : pos + frame_size])
         pos += frame_size
     return frames[::every_n]
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resize for P6 PPM (numpy fancy
-    indexing over the decoded plane, re-encoded as P6). Compressed
-    formats raise via :func:`decode_image`'s boundary."""
+    """REAL nearest-neighbor resize (numpy fancy indexing over the
+    decoded plane, re-encoded as P6) for every input
+    :func:`decode_image` handles: P6 PPM and RGB/gray PNG (gray is
+    promoted to RGB, since P6 is the only encoder here). PNG with an
+    alpha channel raises — compositing alpha needs a background
+    choice this layer must not make silently. Lossy formats raise
+    via :func:`decode_image`'s boundary."""
     import numpy as np
 
     arr = decode_image(payload)
+    if arr.ndim == 2:  # gray PNG -> replicate into RGB planes
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 4:
+        raise NotImplementedError(
+            "RGBA resize needs alpha compositing; strip alpha upstream"
+        )
     h, w = arr.shape[:2]
     rows = np.arange(height) * h // height
     cols = np.arange(width) * w // width
@@ -854,11 +878,13 @@ def y4m_sample_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         .tobytes()
                         for f in range(n_frames)
                     )
-                    # the REAL parse: header-sized frame walk
+                    # the REAL parse: header-sized frame walk (raise,
+                    # not assert — asserts vanish under python -O)
                     nl = payload.index(b"\n")
                     pos, frames = nl + 1, []
                     while pos < len(payload):
-                        assert payload[pos : pos + 5] == b"FRAME"
+                        if payload[pos : pos + 5] != b"FRAME":
+                            raise ValueError("corrupt y4m stream")
                         pos = payload.index(b"\n", pos) + 1
                         frames.append(payload[pos : pos + fsize])
                         pos += fsize

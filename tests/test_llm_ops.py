@@ -1139,3 +1139,53 @@ def test_png_codec_spec_conformance_and_roundtrip():
     )
     with _pytest.raises(NotImplementedError):
         decode_png(bytes(ihdr) + good[33:])
+
+
+def test_decoder_boundary_contracts():
+    """The review-hardened boundaries: non-PCM RIFF routes to the
+    uniform NotImplementedError stub (not raw wave.Error), truncated
+    y4m/PNG raise ValueError (not short data / struct.error), gray
+    PNG resizes via RGB promotion, RGBA resize refuses."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gexp_ml_dask_spark.llm.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_png,
+        encode_png,
+        resize_image,
+        sample_video_frames,
+    )
+
+    # hand-built RIFF/WAVE with format code 7 (mu-law): passes the
+    # signature guard, must surface as the stub, not wave.Error
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    mulaw = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_audio(mulaw)
+
+    # y4m truncated mid-frame: error, never a short final frame
+    with _pytest.raises(ValueError, match="truncated"):
+        sample_video_frames(
+            b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + bytes(10), every_n=1
+        )
+
+    good = encode_png(np.arange(60, dtype=np.uint8).reshape(4, 5, 3))
+    with _pytest.raises(ValueError):  # truncated inside a chunk
+        decode_png(good[:45])
+
+    gray = (np.arange(12, dtype=np.uint8) * 20).reshape(3, 4)
+    small = decode_image(resize_image(encode_png(gray), 2, 2))
+    assert small.shape == (2, 2, 3)
+    assert (small[:, :, 0] == small[:, :, 1]).all()  # promoted planes
+
+    rgba = np.zeros((3, 4, 4), dtype=np.uint8)
+    with _pytest.raises(NotImplementedError, match="alpha"):
+        resize_image(encode_png(rgba), 2, 2)
