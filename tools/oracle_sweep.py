@@ -23,6 +23,7 @@ boundary (documented in llm/dedup.py). Exit code 1 on any FAIL/ERR.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -82,9 +83,12 @@ def main() -> int:
     sf_dir = f"{args.data_root}/{args.sf}"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata = single files; tools/make_scaled_sf.py
+        # output = Spark directory-of-parts — glob the latter
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     import __spark_entry__ as entry
 
