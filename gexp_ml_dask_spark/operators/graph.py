@@ -226,3 +226,66 @@ def triangle_count(
         (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected edge list (edges
+    given once as src < dst; both directions are materialized here).
+    Returns (node, pr) with ``pr`` the rank after ``n_iter`` rounds
+    from a uniform start — the centrality signal that picks the
+    CANONICAL document of a near-dup cluster (keep the most central
+    copy, not the smallest id), and the density complement to
+    :func:`triangle_count`.
+
+    Per round: one edge-sized hash join on ``src`` (contributions =
+    rank/outdeg), one ``groupBy(dst)`` shuffle with map-side partial
+    sums, and one node-sized left join that re-attaches isolated
+    receivers at the (1-d)/N floor — the exact GraphX/Pregel dataflow
+    expressed relationally. The node count enters the plan as a
+    broadcast 1-row aggregate (no eager ``count()`` action: plan
+    construction stays lazy, per the ADVICE contract on strategy
+    gates). Iterations are UNROLLED into one lazy plan: at the
+    default n_iter=3 the lineage is shallow; a long-horizon variant
+    (n_iter >> 5) should persist + ``localCheckpoint`` each round
+    exactly like :func:`connected_components` — documented rather
+    than done because fixed-k unrolling is what the SQL oracle can
+    replay verbatim (queries.py op_llm_02_pagerank unrolls the same
+    three rounds as DuckDB CTEs).
+
+    No dangling-mass redistribution: on a symmetrized edge list every
+    node has out-degree >= 1, so the leaked-mass term is identically
+    zero and both engines compute the same closed form.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    nodes = nodes.crossJoin(F.broadcast(n_df))
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    ed = e.join(deg, "src")
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("c"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            F.col("node"),
+            (
+                F.lit((1.0 - damping)) / F.col("n_nodes")
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(F.col("node"), F.col("r").alias("pr"))

@@ -1241,6 +1241,53 @@ def op_agg_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_agg_12_hll_merge",
+    # Same error-band contract as op_agg_12_approx_distinct, but the
+    # Spark-side estimate comes from MERGED per-day DataSketches HLL
+    # sketches (hll_union_agg over hll_sketch_agg partials) — the
+    # incremental-distinct pattern a 100 TB store actually uses.
+    # Each engine's own estimate must land within 5% of its own
+    # exact count; the exact count itself is engine-independent.
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "
+    "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) "
+    "<= 0.05 * count(DISTINCT user_id) AS within_5pct "
+    "FROM events GROUP BY event_type",
+)
+def op_agg_12_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-12 (mergeable-sketch twin): distinct users per event
+    type answered from MERGED per-(event_type, day) HLL sketches —
+    daily partitions persist O(2^lg_k) sketch bytes each, and any
+    date range is a sketch union, never a fact rescan. lg_k=14
+    (rsd ~0.8%) keeps the merged estimate well inside the 5% band
+    the oracle pins. Library ops: operators/aggregates.py
+    hll_sketches_by / hll_union_estimate."""
+    from gexp_ml_dask_spark.operators.aggregates import (
+        hll_sketches_by,
+        hll_union_estimate,
+    )
+
+    ev = load_events(spark, sf_dir)
+    daily = hll_sketches_by(
+        ev.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "user_id",
+        lg_k=14,
+    )
+    merged = hll_union_estimate(daily, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        F.col("event_type"),
+        F.col("n_exact"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 [mandate] analytic window functions (the reference has none)
 # ---------------------------------------------------------------------------
@@ -3143,6 +3190,59 @@ def op_llm_02_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_docs(spark, sf_dir), threshold=0.4, n=3
     )
     return triangle_count(pairs)
+
+
+@register(
+    "op_llm_02_pagerank",
+    # PageRank over the same near-dup pair graph as op_llm_02_triangles
+    # (identical pair CTE), 3 power-iteration rounds UNROLLED as CTEs —
+    # the oracle replays the exact closed form the relational plan
+    # computes (symmetric edges => no dangling mass on either engine).
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e0 AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sh), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, "
+    "b.nsh AS nb, count(*) AS ni FROM e0 a JOIN e0 b ON a.sh = b.sh "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), "
+    "p0 AS (SELECT id_a AS u, id_b AS v FROM p "
+    "WHERE round(ni / (na + nb - ni), 6) >= 0.4), "
+    "e AS (SELECT u AS src, v AS dst FROM p0 "
+    "UNION ALL SELECT v, u FROM p0), "
+    "nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS c FROM e), "
+    "d AS (SELECT src, count(*) AS od FROM e GROUP BY src), "
+    "r0 AS (SELECT src AS node, 1.0 / (SELECT c FROM nn) AS r FROM d), "
+    "r1 AS (SELECT e.dst AS node, 0.15 / (SELECT c FROM nn) + 0.85 * "
+    "sum(r0.r / d.od) AS r FROM e JOIN r0 ON e.src = r0.node "
+    "JOIN d ON e.src = d.src GROUP BY e.dst), "
+    "r2 AS (SELECT e.dst AS node, 0.15 / (SELECT c FROM nn) + 0.85 * "
+    "sum(r1.r / d.od) AS r FROM e JOIN r1 ON e.src = r1.node "
+    "JOIN d ON e.src = d.src GROUP BY e.dst), "
+    "r3 AS (SELECT e.dst AS node, 0.15 / (SELECT c FROM nn) + 0.85 * "
+    "sum(r2.r / d.od) AS r FROM e JOIN r2 ON e.src = r2.node "
+    "JOIN d ON e.src = d.src GROUP BY e.dst) "
+    "SELECT CAST(node AS BIGINT) AS doc_id, round(r, 6) AS pr FROM r3",
+)
+def op_llm_02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (graph analytics): PageRank centrality over the
+    near-dup pair graph — ranks each duplicate-cluster member so the
+    keep-decision can prefer the most CENTRAL copy (the one most
+    other near-dups point at) over the arbitrary smallest id. Three
+    unrolled power-iteration rounds; per round one edge shuffle +
+    one node-sized left join (operators/graph.py pagerank). The
+    oracle replays the identical closed form as unrolled CTEs."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs_auto
+    from gexp_ml_dask_spark.operators.graph import pagerank
+
+    pairs = ngram_jaccard_pairs_auto(
+        load_docs(spark, sf_dir), threshold=0.4, n=3
+    )
+    pr = pagerank(pairs, damping=0.85, n_iter=3)
+    return pr.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.round(F.col("pr"), 6).alias("pr"),
+    )
 
 
 @register("op_llm_02_minhash_lsh")

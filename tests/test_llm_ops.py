@@ -473,6 +473,36 @@ def test_connected_components_chain_star_singpair(spark, driver_threshold):
     assert got == want
 
 
+def test_pagerank_star_plus_pair_closed_form(spark):
+    """PageRank on a symmetrized star + isolated pair: mass is
+    conserved (no dangling nodes on a symmetric graph), the hub
+    ranks highest, and every rank matches the NumPy power-iteration
+    closed form to float precision."""
+    import numpy as np
+
+    from gexp_ml_dask_spark.operators.graph import pagerank
+
+    star = [(50, x) for x in (51, 52, 53, 54)]
+    pair = [(7, 3)]
+    edges = spark.createDataFrame(star + pair, "id_a long, id_b long")
+    got = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=3).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[50] == max(got.values())
+
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in star + pair:
+        A[idx[b], idx[a]] = 1.0
+        A[idx[a], idx[b]] = 1.0
+    P = A / A.sum(axis=0)
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        r = 0.15 / len(nodes) + 0.85 * (P @ r)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12
+
+
 def test_connected_components_random_vs_union_find(spark):
     """Randomized cross-check against a driver-side union-find."""
     import random
