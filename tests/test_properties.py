@@ -870,3 +870,47 @@ def test_png_roundtrip_any_shape_and_filters(h, w, ch, seed):
     got = decode_png(encode_png(arr, row_filters=filters))
     assert got.shape == arr.shape
     assert (got == arr).all()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(1, 4),
+)
+def test_pagerank_matches_numpy_on_random_graphs(spark, raw_edges, n_iter):
+    """pagerank == the NumPy power-iteration closed form on arbitrary
+    small graphs (after symmetrize + dedup), for any iteration count:
+    the relational dataflow (edge join -> partial sum -> node left
+    join) must be EXACTLY the textbook recurrence, and total mass
+    must stay 1 (symmetric graphs have no dangling leak)."""
+    import numpy as np
+
+    from gexp_ml_dask_spark.operators.graph import pagerank
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, n_iter=n_iter).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        A[idx[b], idx[a]] = 1.0
+        A[idx[a], idx[b]] = 1.0
+    P = A / A.sum(axis=0)
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(n_iter):
+        r = 0.15 / len(nodes) + 0.85 * (P @ r)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12
