@@ -555,3 +555,22 @@ def test_tmm_uq_fit_job_budget(spark):
     )
     assert n_uq <= 12, n_uq  # measured 12
     spark.catalog.clearCache()
+
+
+def test_pagerank_no_cartesian_no_python(spark):
+    """pagerank's unrolled plan: contribution joins are real keyed
+    joins, never CartesianProduct; the only nested-loop joins are the
+    1-row broadcast n_nodes attaches; nothing drops to Python."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "id_a long, id_b long"
+    )
+    p = plan(pagerank(edges, n_iter=3))
+    tree = p.split("(1) ")[0]
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
+    # the 1-row count attach broadcasts (nodes + one reuse per round)
+    assert tree.count("BroadcastNestedLoopJoin") <= 4
