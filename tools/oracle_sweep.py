@@ -62,6 +62,13 @@ def main() -> int:
     ap.add_argument("--data-root", default="/root/testdata")
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--no-aqe", action="store_true")
+    ap.add_argument(
+        "--driver-memory",
+        default=None,
+        help="JVM heap for the local session (default: Spark's 1g — "
+        "the vanilla driver gate; size it for >= sf1 runs, the "
+        "documented local-heap cliff in SCALING.md §4)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--only", default=None, help="comma-separated names")
     args = ap.parse_args()
@@ -71,6 +78,8 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     b = SparkSession.builder.master(f"local[{args.threads}]")
+    if args.driver_memory:
+        b = b.config("spark.driver.memory", args.driver_memory)
     if args.no_aqe:
         b = b.config("spark.sql.adaptive.enabled", "false")
     if args.shuffle_partitions:
