@@ -83,6 +83,61 @@ def upsample_mixture(
     )
 
 
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights from the corpus itself —
+    the standard multi-source LM sampling rule (GPT-3 / PaLM / mT5
+    style): source i is drawn with probability
+
+        w_i = n_i^alpha / sum_j n_j^alpha
+
+    where n_i is the source's token count. ``alpha=1`` reproduces
+    natural (token-share) sampling, ``alpha=0`` is uniform over
+    sources, and the usual 0 < alpha < 1 upweights small sources
+    without letting any single giant source dominate.
+
+    Returns one row per source: (source, n_docs, n_tokens,
+    token_share, weight, epochs_per_pass) — ``epochs_per_pass`` is
+    the expected number of passes over source i when drawing one
+    full corpus-size token budget from the mixture
+    (w_i * total_tokens / n_i); values > 1 flag sources that will
+    repeat (feed them to :func:`upsample_mixture`), values < 1 are
+    subsampled (feed :func:`sample_mixture`).
+
+    Scale shape: ONE partial-aggregating hash agg on the source key
+    reduces the corpus to a source-dim table (sources are a
+    dimension — bounded, not data-sized), so the whole-table window
+    that normalizes the weights runs over dim-sized input; the fact
+    table is scanned exactly once and never shuffled wider than the
+    (source) key."""
+    from pyspark.sql import Window
+
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    tot_pw = F.sum(pw).over(w)
+    tot_tok = F.sum("n_tokens").over(w).cast("double")
+    weight = pw / tot_pw
+    return per.select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.col("n_tokens"),
+        F.round(F.col("n_tokens") / tot_tok, 6).alias("token_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * tot_tok / F.col("n_tokens"), 6).alias(
+            "epochs_per_pass"
+        ),
+    )
+
+
 def epoch_shuffle(
     docs: DataFrame,
     seed: int = 42,

@@ -4171,6 +4171,41 @@ def op_llm_07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_shards(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "op_llm_07_temperature_weights",
+    # Temperature-scaled mixture weights (GPT-3/PaLM sampling rule):
+    # w_i = n_tokens_i^alpha / sum_j n_tokens_j^alpha at alpha=0.5.
+    # Both engines state the identical double algebra over the
+    # source-dim aggregate; round(,6) on O(1)-magnitude ratios sits
+    # far outside double ULP.
+    "WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+    "FROM documents GROUP BY source) "
+    "SELECT source, n_docs, n_tokens, "
+    "round(CAST(n_tokens AS DOUBLE) / "
+    "CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share, "
+    "round(pow(CAST(n_tokens AS DOUBLE), 0.5) / "
+    "sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6) AS weight, "
+    "round(pow(CAST(n_tokens AS DOUBLE), 0.5) / "
+    "sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () * "
+    "CAST(sum(n_tokens) OVER () AS DOUBLE) / "
+    "CAST(n_tokens AS DOUBLE), 6) AS epochs_per_pass "
+    "FROM t",
+)
+def op_llm_07_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-07 (temperature mixture weights): per-source sampling
+    probabilities w_i proportional to n_tokens_i^0.5 with the implied
+    epochs-per-pass diagnostic — the data-driven front end whose
+    output dict feeds sample_mixture / upsample_mixture. One hash agg
+    on the source key; the normalizing window runs over the
+    source-dim table only."""
+    from gexp_ml_dask_spark.llm.mixture import temperature_weights
+
+    return temperature_weights(load_table(spark, sf_dir, "documents"))
+
+
 def _curation_oracle() -> str:
     values = ", ".join(
         f"('{s}', {int(round(w * 100000))})"
@@ -5392,6 +5427,7 @@ _SIBLING_TWINS = {
     "op_llm_07_mixture_upsample",  # ID covered by mixture_sample
     "op_llm_07_epoch_shuffle",     # ID covered by mixture_sample
     "op_llm_07_balanced_shards",   # ID covered by mixture_sample
+    "op_llm_07_temperature_weights",  # ID covered by mixture_sample
     "op_llm_02_tf_cosine_prefix",  # strategy twin of tf_cosine
     "op_llm_02_containment_prefix",  # strategy twin of containment
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows

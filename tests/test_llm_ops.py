@@ -396,6 +396,46 @@ def test_sample_mixture_deterministic_and_weighted(spark, docs):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_temperature_weights_limits_and_algebra(spark, docs):
+    """alpha=1 reproduces natural token-share sampling, alpha=0 is
+    uniform over sources, and the default alpha=0.5 upweights small
+    sources relative to their natural share (weights always sum to
+    1, epochs_per_pass = weight * total / n_tokens)."""
+    import math
+
+    from gexp_ml_dask_spark.llm.mixture import temperature_weights
+
+    base = docs.filter(F.col("doc_id") < 100000)
+    nat = {
+        r["source"]: (r["token_share"], r["weight"], r["epochs_per_pass"])
+        for r in temperature_weights(base, alpha=1.0).collect()
+    }
+    for share, weight, _ in nat.values():
+        assert abs(share - weight) < 2e-6  # alpha=1 == natural
+    uni = {
+        r["source"]: r["weight"]
+        for r in temperature_weights(base, alpha=0.0).collect()
+    }
+    assert all(abs(w - 1.0 / len(uni)) < 2e-6 for w in uni.values())
+
+    rows = temperature_weights(base, alpha=0.5).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in rows)
+    sq = sum(math.sqrt(r["n_tokens"]) for r in rows)
+    for r in rows:
+        want = math.sqrt(r["n_tokens"]) / sq
+        assert abs(r["weight"] - want) < 2e-6
+        assert (
+            abs(r["epochs_per_pass"] - want * total / r["n_tokens"]) < 2e-6
+        )
+        # 0<alpha<1 compresses the spread: small sources move UP
+        # toward uniform, large sources move DOWN
+        if r["token_share"] < 1.0 / len(rows):
+            assert r["weight"] >= r["token_share"] - 2e-6
+        else:
+            assert r["weight"] <= r["token_share"] + 2e-6
+
+
 def test_upsample_mixture_copy_semantics(spark, docs):
     from gexp_ml_dask_spark.llm.mixture import upsample_mixture
 
