@@ -6,8 +6,8 @@ tests/test_plans.py pins the shape of the headline queries; this
 sweeps the WHOLE registry so a new registration can't quietly ship a
 nested-loop join.
 
-Known-benign whitelist (audited 2026-08-14, flagged 8/158, all by
-inspection legitimate):
+Known-benign whitelist (last full audit 2026-08-14, flagged 10/175,
+all by inspection legitimate):
 
 * scalar broadcasts (1-row side, the standard scalar-join shape):
   op_ml_02_tmm (global ref_total), op_fil_02_stat_threshold_genes
@@ -37,6 +37,11 @@ WHITELIST = {
     "op_llm_04_bm25": {"BroadcastNestedLoopJoin"},
     "op_llm_03_series_similarity": {"BroadcastNestedLoopJoin"},
     "op_ml_10_confusion": {"BroadcastNestedLoopJoin"},
+    # 1-row n_nodes aggregate crossJoined onto the node table (the
+    # lazy replacement for an eager count() action) — scalar shape,
+    # never data-sized; the edge/contribution joins are hash joins
+    # (pinned in tests/test_plans.py::test_pagerank_no_cartesian_no_python)
+    "op_llm_02_pagerank": {"BroadcastNestedLoopJoin"},
     "op_llm_03_knn_bruteforce": {"BroadcastNestedLoopJoin"},
     # same scorer as knn_bruteforce (broadcast query set x candidates)
     # behind the metadata pre-filter semi-join
