@@ -438,6 +438,119 @@ def bigram_lm_scores(
     return scored
 
 
+def nb_quality_scores(
+    docs: DataFrame,
+    pos_sources: list[str],
+    neg_sources: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """OP-LLM-04 (model-based quality score, [mandate]) — the
+    classifier-filter stage of corpus curation (the fastText/CCNet
+    quality model of LLaMA-style pipelines, Wenzek et al. 2020),
+    expressed entirely in-engine: a multinomial Naive Bayes
+    log-likelihood-ratio scorer trained by weak supervision (docs
+    from ``pos_sources`` are "curated", ``neg_sources`` are "raw")
+    and applied to EVERY document. Because NB training is nothing
+    but counting, the whole model — Laplace(+1) per-class token
+    likelihoods, class priors, the unseen-token penalty — is plain
+    aggregates, so unlike an LBFGS-fit classifier the scores are
+    engine-reproducible and value-oracled row-for-row.
+
+    score(d) = ln(N_pos/N_neg)
+             + sum over tokens t of d (with multiplicity) of
+               [ ln((c_pos(t)+1)/(T_pos+V)) - ln((c_neg(t)+1)/(T_neg+V)) ]
+
+    with c_cls(t) the class's labeled token count, T_cls its total,
+    V the labeled vocabulary size; tokens outside the labeled vocab
+    take the count-0 Laplace term. Positive score → the document
+    looks like the curated class.
+
+    Returns (doc_id, n_tokens, nb_score, is_quality) for every doc;
+    ``is_quality`` compares the ROUNDED score to 0 so both engines
+    make the identical boundary call.
+
+    Plan shape: the labeled slice reduces to a vocab-keyed count
+    table (one hash agg with map-side partials); the two model
+    scalars (totals+vocab, doc-count priors) are 1-row aggregates
+    attached by broadcast crossJoin — the lazy scalar shape, no
+    eager action. Scoring explodes docs once to (doc, token), joins
+    the vocab table on the token key WITHOUT a forced broadcast
+    (the model scales with the labeled corpus — AQE broadcasts it
+    only while it is actually small), and folds per doc in one
+    final hash agg. Nulls from the left join ARE the unseen-token
+    signal: sum(llr) skips them natively and the count difference
+    prices them, so no per-token conditional is evaluated."""
+    if not pos_sources or not neg_sources:
+        raise ValueError("need at least one positive and one negative source")
+
+    toks = tokens(text_col)
+    labeled = docs.filter(
+        F.col(source_col).isin(list(pos_sources) + list(neg_sources))
+    ).withColumn("_is_pos", F.col(source_col).isin(list(pos_sources)))
+
+    tok_l = labeled.select(
+        F.col("_is_pos"), F.explode(toks).alias("term")
+    )
+    counts = tok_l.groupBy("term").agg(
+        F.sum(F.when(F.col("_is_pos"), 1).otherwise(0)).alias("_cp"),
+        F.sum(F.when(F.col("_is_pos"), 0).otherwise(1)).alias("_cn"),
+    )
+    tot = counts.agg(
+        F.sum("_cp").cast("double").alias("_tp"),
+        F.sum("_cn").cast("double").alias("_tn"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    llr_tbl = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.log((F.col("_cp") + 1) / (F.col("_tp") + F.col("_v")))
+            - F.log((F.col("_cn") + 1) / (F.col("_tn") + F.col("_v")))
+        ).alias("_llr"),
+    )
+    scalars = (
+        labeled.agg(
+            F.log(
+                F.sum(F.when(F.col("_is_pos"), 1).otherwise(0)).cast("double")
+            ).alias("_lnp"),
+            F.log(
+                F.sum(F.when(F.col("_is_pos"), 0).otherwise(1)).cast("double")
+            ).alias("_lnn"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("_lnp") - F.col("_lnn")).alias("_prior"),
+            (
+                F.log(F.col("_tn") + F.col("_v"))
+                - F.log(F.col("_tp") + F.col("_v"))
+            ).alias("_unseen"),
+        )
+    )
+
+    alltok = docs.select(F.col(id_col), F.explode(toks).alias("term"))
+    per_doc = (
+        alltok.join(llr_tbl, "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("_llr"), F.lit(0.0)).alias("_s"),
+            (F.count(F.lit(1)) - F.count("_llr")).alias("_nu"),
+        )
+    )
+    score = F.col("_prior") + F.col("_s") + F.col("_nu") * F.col("_unseen")
+    return (
+        per_doc.crossJoin(F.broadcast(scalars))
+        .withColumn("nb_score", F.round(score, 6))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("nb_score"),
+            (F.col("nb_score") > 0).alias("is_quality"),
+        )
+    )
+
+
 def self_repetition(
     docs: DataFrame,
     n: int = 3,

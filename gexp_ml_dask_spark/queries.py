@@ -4171,6 +4171,62 @@ def op_llm_07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_shards(load_table(spark, sf_dir, "documents"))
 
 
+_NB_POS = "'src0','src1','src2','src3','src4'"
+_NB_NEG = "'src15','src16','src17','src18','src19'"
+
+
+@register(
+    "op_llm_04_nb_quality",
+    # Multinomial-NB quality LLR, trained by weak supervision (the
+    # curated/raw source lists) — pure counting, so both engines
+    # replay the identical Laplace algebra; round(,6) on the per-doc
+    # log-prob sum absorbs libm/sum-order ULP (same contract as
+    # op_llm_04_bigram_lm).
+    "WITH lab AS (SELECT doc_id, "
+    f"source IN ({_NB_POS}) AS is_pos, "
+    "string_split(text, ' ') AS toks FROM documents "
+    f"WHERE source IN ({_NB_POS}, {_NB_NEG})), "
+    "tokl AS (SELECT is_pos, unnest(toks) AS term FROM lab), "
+    "counts AS (SELECT term, "
+    "sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS cp, "
+    "sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS cn "
+    "FROM tokl GROUP BY term), "
+    "tot AS (SELECT CAST(sum(cp) AS DOUBLE) AS tp, "
+    "CAST(sum(cn) AS DOUBLE) AS tn, CAST(count(*) AS DOUBLE) AS v "
+    "FROM counts), "
+    "llr AS (SELECT term, "
+    "ln((CAST(cp AS DOUBLE) + 1) / (tp + v)) - "
+    "ln((CAST(cn AS DOUBLE) + 1) / (tn + v)) AS llr FROM counts, tot), "
+    "pri AS (SELECT "
+    "ln(CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)) - "
+    "ln(CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS DOUBLE)) AS prior "
+    "FROM lab), "
+    "sc AS (SELECT prior, ln(tn + v) - ln(tp + v) AS unseen FROM pri, tot), "
+    "alltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "agg AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "coalesce(sum(l.llr), 0.0) AS s, count(*) - count(l.llr) AS nu "
+    "FROM alltok a LEFT JOIN llr l USING (term) GROUP BY a.doc_id) "
+    "SELECT doc_id, n_tokens, "
+    "round(prior + s + nu * unseen, 6) AS nb_score, "
+    "round(prior + s + nu * unseen, 6) > 0 AS is_quality FROM agg, sc",
+)
+def op_llm_04_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (model-based quality filter): in-engine multinomial
+    Naive Bayes LLR scorer — weak labels from curated vs raw source
+    lists, Laplace(+1) token likelihoods from one vocab-keyed hash
+    agg, every document scored in one explode + token join + per-doc
+    fold. The classifier-filter stage of CCNet/LLaMA-style curation,
+    value-oracled row-for-row because NB training is pure counting."""
+    from gexp_ml_dask_spark.llm.text import nb_quality_scores
+
+    return nb_quality_scores(
+        load_table(spark, sf_dir, "documents"),
+        pos_sources=[f"src{i}" for i in range(5)],
+        neg_sources=[f"src{i}" for i in range(15, 20)],
+    )
+
+
 @register(
     "op_llm_07_temperature_weights",
     # Temperature-scaled mixture weights (GPT-3/PaLM sampling rule):
@@ -5441,6 +5497,7 @@ _SIBLING_TWINS = {
     "op_llm_06_y4m_frames",          # ID covered by multimodal_features
 
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
+    "op_llm_04_nb_quality",        # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }
 

@@ -396,6 +396,42 @@ def test_sample_mixture_deterministic_and_weighted(spark, docs):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_nb_quality_separates_and_matches_closed_form(spark):
+    """The NB scorer (a) reproduces the hand-computed Laplace LLR on
+    a tiny corpus, including the unseen-token penalty, and (b)
+    separates held-out docs written in the curated vs raw
+    vocabulary."""
+    import math
+
+    from gexp_ml_dask_spark.llm.text import nb_quality_scores
+
+    rows = [
+        (1, "good fine", "pos_src"),
+        (2, "bad ugly", "neg_src"),
+        (3, "good good", "heldout"),   # curated vocab -> positive
+        (4, "ugly novel", "heldout"),  # raw vocab + unseen token
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality_scores(
+            docs, pos_sources=["pos_src"], neg_sources=["neg_src"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # model: V=4, T_pos=T_neg=2, priors ln(1/1)=0
+    # llr(good) = ln(2/6) - ln(1/6) = ln 2; llr(ugly) = -ln 2
+    # unseen = ln(6) - ln(6) = 0
+    ln2 = math.log(2.0)
+    assert abs(out[3]["nb_score"] - 2 * ln2) < 2e-6
+    assert abs(out[4]["nb_score"] - (-ln2 + 0.0)) < 2e-6
+    assert out[1]["is_quality"] and out[3]["is_quality"]
+    assert not out[2]["is_quality"] and not out[4]["is_quality"]
+    assert out[3]["n_tokens"] == 2 and out[4]["n_tokens"] == 2
+
+
 def test_temperature_weights_limits_and_algebra(spark, docs):
     """alpha=1 reproduces natural token-share sampling, alpha=0 is
     uniform over sources, and the default alpha=0.5 upweights small

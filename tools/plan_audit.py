@@ -42,6 +42,10 @@ WHITELIST = {
     # never data-sized; the edge/contribution joins are hash joins
     # (pinned in tests/test_plans.py::test_pagerank_no_cartesian_no_python)
     "op_llm_02_pagerank": {"BroadcastNestedLoopJoin"},
+    # NB quality model scalars (token totals + vocab size, doc-count
+    # priors) are 1-row aggregates crossJoined on — the same lazy
+    # scalar shape; the token-scoring join is a keyed hash join
+    "op_llm_04_nb_quality": {"BroadcastNestedLoopJoin"},
     "op_llm_03_knn_bruteforce": {"BroadcastNestedLoopJoin"},
     # same scorer as knn_bruteforce (broadcast query set x candidates)
     # behind the metadata pre-filter semi-join
