@@ -52,6 +52,8 @@ HEADLINE = [
     "op_agg_14_coexpression",       # gene-gene correlation (pair agg over co-keyed join)
     "op_agg_17_welch_t",            # Welch's t between groups (2 partial aggs)
     "op_join_07_fuzzy",             # blocked Levenshtein entity-resolution join
+    "op_llm_04_nb_quality",         # NB quality LLR scorer (vocab agg + keyed scoring join)
+    "op_llm_07_temperature_weights",  # temperature mixture weights (source-key agg)
 ]
 
 
