@@ -427,6 +427,86 @@ def test_multibatch_tumbling_complete_equals_batch(spark, chunked_events_dir):
     assert online == batch
 
 
+def test_restart_from_checkpoint_exactly_once(
+    spark, chunked_events_dir, tmp_path
+):
+    """Stop a watermarked append-mode aggregation mid-stream and
+    restart it from its checkpoint with the remaining files present:
+    the resumed query picks up at the recorded offsets — every input
+    row is consumed exactly once across the restart, no window is
+    double-emitted or lost, and the final parquet sink equals the
+    batch aggregation under the watermark-eviction predicate. This is
+    the exactly-once contract (checkpointed offsets + replayable file
+    source + transactional file sink) a production pipeline restarts
+    rely on."""
+    import shutil
+    from pathlib import Path
+
+    from gexp_ml_dask_spark.streaming import (
+        streaming_tumbling_counts,
+        tumbling_window_counts,
+    )
+
+    chunks = sorted(Path(chunked_events_dir).glob("chunk-*.parquet"))
+    assert len(chunks) == 4
+    src = tmp_path / "src"
+    src.mkdir()
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    raw_schema = spark.read.parquet(str(chunks[0])).schema
+
+    def run_until_drained() -> int:
+        agg = streaming_tumbling_counts(
+            spark, str(src), raw_schema, max_files_per_trigger=1
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return sum(p["numInputRows"] for p in q.recentProgress)
+        finally:
+            q.stop()
+
+    for c in chunks[:2]:
+        shutil.copy(c, src / c.name)
+    rows_phase1 = run_until_drained()
+    for c in chunks[2:]:
+        shutil.copy(c, src / c.name)
+    rows_phase2 = run_until_drained()
+
+    from gexp_ml_dask_spark.sources.readers import load_events
+
+    all_events = load_events(spark, SF_SMOKE)  # chunks 0..3 == events
+    n_events = all_events.count()
+    # exactly-once consumption across the restart: the resumed query
+    # must NOT re-read phase-1 files
+    assert rows_phase1 + rows_phase2 == n_events
+    assert rows_phase1 > 0 and rows_phase2 > 0
+
+    max_us = all_events.select(
+        F.max(F.unix_micros(F.col("ts"))).alias("m")
+    ).collect()[0]["m"]
+    wm_us = (max_us // 1000 - 30 * 60 * 1000) * 1000
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_window_counts(all_events)
+        .filter((F.col("window_start") + 600) * 1000000 <= wm_us)
+        .collect()
+    }
+    emitted = spark.read.parquet(out).collect()
+    keys = [(r["window_start"], r["event_type"]) for r in emitted]
+    assert len(keys) == len(set(keys))  # no double emission
+    online = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in emitted
+    }
+    assert online == batch
+
+
 def test_multibatch_sessions_match_watermark_predicate(
     spark, chunked_events_dir
 ):
