@@ -438,6 +438,104 @@ def bigram_lm_scores(
     return scored
 
 
+def bpe_merges(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (BPE tokenizer training, [mandate]) — learn the
+    first ``k`` byte-pair-encoding merges from the corpus itself
+    (Sennrich et al. 2016): per round, count adjacent symbol pairs
+    over the word-frequency table, merge the most frequent pair
+    (ties broken lexicographically), re-encode, repeat. Returns the
+    learned merge table (merge_rank, left_sym, right_sym,
+    pair_count) — integer counts only, so the oracle is EXACT (no
+    float rounding contract at all).
+
+    Representation: each word is encoded as ``|s1||s2||...||sn|``.
+    Plain (non-regex) string ``replace`` of ``|a||b|`` with
+    ``|ab|`` is then EXACTLY BPE's greedy leftmost non-overlapping
+    merge — adjacent occurrences own disjoint delimiter spans, so
+    ``a b a b`` merges twice and ``a a a`` merges once, in both
+    engines, with no lookaround regex (DuckDB's RE2 has none).
+    Words containing the delimiter character are excluded by
+    contract (filtered identically in both engines).
+
+    Scale shape — the reason BPE training is cheap at 100 TB: ONE
+    corpus-sized shuffle builds the (word, count) vocabulary table;
+    every merge round after that operates on the VOCAB dimension
+    (pair counting is a vocab-keyed hash agg; the argmax is a 1-row
+    aggregate attached by broadcast crossJoin — the lazy scalar
+    shape, no eager action; re-encoding is a row-local replace).
+    Rounds unroll lazily into one plan like the PageRank power
+    iteration; a long-horizon variant (k >> 10) should persist each
+    round's encoding."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # "abc" -> "|a||b||c|": insert "||" after every char, trim the
+    # trailing pair, wrap in single delimiters.
+    spread = F.regexp_replace(F.col("w"), "(.)", "$1||")
+    enc0 = F.concat(
+        F.lit("|"),
+        spread.substr(F.lit(1), F.length(spread) - 2),
+        F.lit("|"),
+    )
+    enc = words.select("wc", enc0.alias("enc"))
+
+    merges = None
+    for r in range(1, k + 1):
+        syms = F.split(
+            F.col("enc").substr(F.lit(2), F.length("enc") - 2), "\\|\\|"
+        )
+        pairs = (
+            enc.select("wc", syms.alias("s"))
+            .filter(F.size("s") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        F.slice("s", 1, F.size("s") - 1),
+                        F.slice("s", 2, F.size("s") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("pa"), b.alias("pb")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("wc").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("pa"), F.asc("pb")
+        ).limit(1)
+        row = best.select(
+            F.lit(r).cast("long").alias("merge_rank"),
+            F.col("pa").alias("left_sym"),
+            F.col("pb").alias("right_sym"),
+            F.col("pair_count"),
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        if r < k:
+            enc = enc.crossJoin(F.broadcast(best)).select(
+                "wc",
+                F.replace(
+                    F.col("enc"),
+                    F.concat(
+                        F.lit("|"), F.col("pa"), F.lit("||"),
+                        F.col("pb"), F.lit("|"),
+                    ),
+                    F.concat(
+                        F.lit("|"), F.col("pa"), F.col("pb"), F.lit("|")
+                    ),
+                ).alias("enc"),
+            )
+    return merges
+
+
 def nb_quality_scores(
     docs: DataFrame,
     pos_sources: list[str],

@@ -4171,6 +4171,58 @@ def op_llm_07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_shards(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_oracle(k: int = 5) -> str:
+    """DuckDB twin of llm.text.bpe_merges — the k merge rounds
+    unrolled as CTEs (the same fixed-k unrolling the Spark plan
+    does; integer counts only, so the compare is exact). The
+    |s1||s2| delimiter encoding makes plain replace() the greedy
+    leftmost BPE merge in both engines."""
+    sql = (
+        "WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w), "
+        "e1 AS (SELECT wc, '|' || substr(sp, 1, CAST(length(sp) AS INT) - 2) "
+        "|| '|' AS enc FROM (SELECT wc, "
+        "regexp_replace(w, '(.)', '\\1||', 'g') AS sp FROM words)), "
+    )
+    for r in range(1, k + 1):
+        sql += (
+            f"p{r} AS (SELECT s[i] AS pa, s[i+1] AS pb, "
+            "CAST(sum(wc) AS BIGINT) AS pair_count FROM "
+            "(SELECT wc, s, unnest(range(1, len(s))) AS i FROM "
+            "(SELECT wc, string_split(substr(enc, 2, "
+            f"CAST(length(enc) AS INT) - 2), '||') AS s FROM e{r})) "
+            "GROUP BY pa, pb), "
+            f"b{r} AS (SELECT pa, pb, pair_count FROM p{r} "
+            "ORDER BY pair_count DESC, pa, pb LIMIT 1), "
+        )
+        if r < k:
+            sql += (
+                f"e{r + 1} AS (SELECT wc, replace(enc, "
+                "'|' || pa || '||' || pb || '|', "
+                f"'|' || pa || pb || '|') AS enc FROM e{r}, b{r}), "
+            )
+    sql = sql.rstrip(", ")
+    sql += " " + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pa AS left_sym, "
+        f"pb AS right_sym, pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return sql
+
+
+@register("op_llm_04_bpe_merges", _bpe_oracle(5))
+def op_llm_04_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (BPE tokenizer training): learn the corpus's first
+    5 byte-pair merges — one corpus shuffle builds the word-frequency
+    table, then every round is vocab-dimension work (pair-count hash
+    agg, 1-row argmax broadcast, row-local re-encode). Integer-exact
+    value oracle; greedy-merge semantics pinned on planted fixtures."""
+    from gexp_ml_dask_spark.llm.text import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), k=5)
+
+
 _NB_POS = "'src0','src1','src2','src3','src4'"
 _NB_NEG = "'src15','src16','src17','src18','src19'"
 
@@ -5498,6 +5550,7 @@ _SIBLING_TWINS = {
 
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_nb_quality",        # OP-LLM-04 has 12+ sibling rows
+    "op_llm_04_bpe_merges",        # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }
 

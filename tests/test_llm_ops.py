@@ -396,6 +396,77 @@ def test_sample_mixture_deterministic_and_weighted(spark, docs):
     assert again == {r["doc_id"] for r in rows}
 
 
+def _reference_bpe(word_counts: dict[str, int], k: int):
+    """Plain-Python BPE trainer (Sennrich et al. 2016 pseudocode):
+    greedy leftmost merge of the most frequent adjacent pair, ties
+    broken lexicographically."""
+    enc = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple, int] = {}
+        for syms, c in enc.items():
+            for i in range(len(syms) - 1):
+                counts[syms[i], syms[i + 1]] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((rank, best[0], best[1], counts[best]))
+        new_enc: dict[tuple, int] = {}
+        for syms, c in enc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_enc[tuple(out)] = new_enc.get(tuple(out), 0) + c
+        enc = new_enc
+    return merges
+
+
+def test_bpe_merges_match_reference_trainer(spark):
+    """The delimiter-encoded replace() merge equals the classic
+    pseudocode trainer — including greedy leftmost semantics on
+    repeated symbols ('aaaa' merges (a,a) twice, not three times)
+    and cross-round merged-symbol growth."""
+    from gexp_ml_dask_spark.llm.text import bpe_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest",
+        "widest widest aaaa aaaa banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want = _reference_bpe(wc, 6)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, k=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want, (got, want)
+    # sanity: pair COUNTING is positional (3 per 'aaaa'), while the
+    # MERGE application is greedy non-overlapping (aaaa -> aa aa) —
+    # the standard BPE asymmetry both implementations must share
+    r1 = {(p[1], p[2]): p[3] for p in want if p[0] == 1}
+    if ("a", "a") in r1:
+        assert r1[("a", "a")] == 6  # 3 positions x 2 'aaaa' words
+
+
 def test_nb_quality_separates_and_matches_closed_form(spark):
     """The NB scorer (a) reproduces the hand-computed Laplace LLR on
     a tiny corpus, including the unseen-token penalty, and (b)
