@@ -470,6 +470,21 @@ def bpe_merges(
     Rounds unroll lazily into one plan like the PageRank power
     iteration; a long-horizon variant (k >> 10) should persist each
     round's encoding."""
+    merges, _ = _bpe_train(docs, k, text_col)
+    return merges
+
+
+def _bpe_symbols(enc_col) -> "F.Column":
+    """Decode the |s1||s2|...|sn| word encoding back to its symbol
+    array (the inverse of the delimiter wrap)."""
+    return F.split(enc_col.substr(F.lit(2), F.length(enc_col) - 2), "\\|\\|")
+
+
+def _bpe_train(docs: DataFrame, k: int, text_col: str):
+    """Shared BPE training loop: returns (merges_df, enc_final_df)
+    where enc_final carries (w, wc, enc) with ALL k merges applied —
+    the learned tokenizer's per-word segmentation, consumed by
+    :func:`bpe_token_counts`."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter((F.col("w") != "") & (~F.col("w").contains("|")))
@@ -484,13 +499,11 @@ def bpe_merges(
         spread.substr(F.lit(1), F.length(spread) - 2),
         F.lit("|"),
     )
-    enc = words.select("wc", enc0.alias("enc"))
+    enc = words.select("w", "wc", enc0.alias("enc"))
 
     merges = None
     for r in range(1, k + 1):
-        syms = F.split(
-            F.col("enc").substr(F.lit(2), F.length("enc") - 2), "\\|\\|"
-        )
+        syms = _bpe_symbols(F.col("enc"))
         pairs = (
             enc.select("wc", syms.alias("s"))
             .filter(F.size("s") >= 2)
@@ -519,21 +532,72 @@ def bpe_merges(
             F.col("pair_count"),
         )
         merges = row if merges is None else merges.unionByName(row)
-        if r < k:
-            enc = enc.crossJoin(F.broadcast(best)).select(
-                "wc",
-                F.replace(
-                    F.col("enc"),
-                    F.concat(
-                        F.lit("|"), F.col("pa"), F.lit("||"),
-                        F.col("pb"), F.lit("|"),
-                    ),
-                    F.concat(
-                        F.lit("|"), F.col("pa"), F.col("pb"), F.lit("|")
-                    ),
-                ).alias("enc"),
-            )
-    return merges
+        enc = enc.crossJoin(F.broadcast(best)).select(
+            "w",
+            "wc",
+            F.replace(
+                F.col("enc"),
+                F.concat(
+                    F.lit("|"), F.col("pa"), F.lit("||"),
+                    F.col("pb"), F.lit("|"),
+                ),
+                F.concat(
+                    F.lit("|"), F.col("pa"), F.col("pb"), F.lit("|")
+                ),
+            ).alias("enc"),
+        )
+    return merges, enc
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """OP-LLM-04 (BPE tokenization / token-budget estimation) — APPLY
+    the :func:`bpe_merges` tokenizer learned from the corpus back to
+    every document: per doc, the word count and the token count under
+    the learned segmentation (the number a training pipeline needs to
+    size shards, packing bins, and epoch budgets for a REAL subword
+    tokenizer rather than the whitespace proxy).
+
+    Tokenization is per-WORD, so the heavy work stays on the
+    vocabulary dimension: the trained encoding table already carries
+    each word's segmentation; per-word token counts are a row-local
+    array size; the only corpus-sized step is one explode + join on
+    the word key + per-doc sum. Empty words and words containing the
+    delimiter are outside the tokenizer's contract and excluded from
+    both counts (identically in the SQL twin).
+
+    Returns (doc_id, n_words, n_bpe_tokens), zero-filled for
+    documents with no countable words."""
+    _, enc_final = _bpe_train(docs, k, text_col)
+    per_word = enc_final.select(
+        "w", F.size(_bpe_symbols(F.col("enc"))).cast("long").alias("_nt")
+    )
+    doc_words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
+    agg = (
+        doc_words.join(per_word, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_nt").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
 
 
 def nb_quality_scores(

@@ -4171,18 +4171,21 @@ def op_llm_07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_shards(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle(k: int = 5) -> str:
-    """DuckDB twin of llm.text.bpe_merges — the k merge rounds
-    unrolled as CTEs (the same fixed-k unrolling the Spark plan
-    does; integer counts only, so the compare is exact). The
-    |s1||s2| delimiter encoding makes plain replace() the greedy
-    leftmost BPE merge in both engines."""
+def _bpe_ctes(k: int = 5) -> str:
+    """Shared CTE prefix for the BPE oracles — the k merge rounds
+    unrolled (the same fixed-k unrolling the Spark plan does;
+    integer counts only, so the compares are exact). The |s1||s2|
+    delimiter encoding makes plain replace() the greedy leftmost
+    BPE merge in both engines. Defines words, e1..e{k+1} (encodings;
+    e{k+1} has all k merges applied), p1..pk (pair counts),
+    b1..bk (per-round argmax)."""
     sql = (
         "WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM "
         "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
         "WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w), "
-        "e1 AS (SELECT wc, '|' || substr(sp, 1, CAST(length(sp) AS INT) - 2) "
-        "|| '|' AS enc FROM (SELECT wc, "
+        "e1 AS (SELECT w, wc, "
+        "'|' || substr(sp, 1, CAST(length(sp) AS INT) - 2) "
+        "|| '|' AS enc FROM (SELECT w, wc, "
         "regexp_replace(w, '(.)', '\\1||', 'g') AS sp FROM words)), "
     )
     for r in range(1, k + 1):
@@ -4195,20 +4198,57 @@ def _bpe_oracle(k: int = 5) -> str:
             "GROUP BY pa, pb), "
             f"b{r} AS (SELECT pa, pb, pair_count FROM p{r} "
             "ORDER BY pair_count DESC, pa, pb LIMIT 1), "
+            f"e{r + 1} AS (SELECT w, wc, replace(enc, "
+            "'|' || pa || '||' || pb || '|', "
+            f"'|' || pa || pb || '|') AS enc FROM e{r}, b{r}), "
         )
-        if r < k:
-            sql += (
-                f"e{r + 1} AS (SELECT wc, replace(enc, "
-                "'|' || pa || '||' || pb || '|', "
-                f"'|' || pa || pb || '|') AS enc FROM e{r}, b{r}), "
-            )
-    sql = sql.rstrip(", ")
-    sql += " " + " UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pa AS left_sym, "
-        f"pb AS right_sym, pair_count FROM b{r}"
-        for r in range(1, k + 1)
+    return sql.rstrip(", ")
+
+
+def _bpe_oracle(k: int = 5) -> str:
+    """DuckDB twin of llm.text.bpe_merges: the learned merge table."""
+    return (
+        _bpe_ctes(k)
+        + " "
+        + " UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, pa AS left_sym, "
+            f"pb AS right_sym, pair_count FROM b{r}"
+            for r in range(1, k + 1)
+        )
     )
-    return sql
+
+
+def _bpe_tokenize_oracle(k: int = 5) -> str:
+    """DuckDB twin of llm.text.bpe_token_counts: apply the final
+    encoding (e{k+1}) back to every document via the word key."""
+    return (
+        _bpe_ctes(k) + ", "
+        "perword AS (SELECT w, CAST(len(string_split(substr(enc, 2, "
+        f"CAST(length(enc) AS INT) - 2), '||')) AS BIGINT) AS nt "
+        f"FROM e{k + 1}), "
+        "doc_words AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' AND w NOT LIKE '%|%'), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(nt) AS BIGINT) AS n_bpe_tokens "
+        "FROM doc_words JOIN perword USING (w) GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, "
+        "coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+@register("op_llm_04_bpe_tokenize", _bpe_tokenize_oracle(5))
+def op_llm_04_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (BPE tokenization): per-document token counts under
+    the tokenizer just learned from the corpus — the real-subword
+    token budget that sizes shards/packing/epochs. Tokenization is
+    per-word, so everything heavy stays vocab-dim; one explode +
+    word-key join + per-doc sum touches the corpus. Integer-exact
+    value oracle."""
+    from gexp_ml_dask_spark.llm.text import bpe_token_counts
+
+    return bpe_token_counts(load_table(spark, sf_dir, "documents"), k=5)
 
 
 @register("op_llm_04_bpe_merges", _bpe_oracle(5))
@@ -5551,6 +5591,7 @@ _SIBLING_TWINS = {
     "op_llm_04_chunk_documents",   # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_nb_quality",        # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_bpe_merges",        # OP-LLM-04 has 12+ sibling rows
+    "op_llm_04_bpe_tokenize",      # OP-LLM-04 has 12+ sibling rows
     "op_llm_04_lexicon_sentiment",  # OP-LLM-04 has 12+ sibling rows
 }
 

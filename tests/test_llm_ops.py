@@ -428,7 +428,7 @@ def _reference_bpe(word_counts: dict[str, int], k: int):
                     i += 1
             new_enc[tuple(out)] = new_enc.get(tuple(out), 0) + c
         enc = new_enc
-    return merges
+    return merges, enc
 
 
 def test_bpe_merges_match_reference_trainer(spark):
@@ -451,7 +451,7 @@ def test_bpe_merges_match_reference_trainer(spark):
     for t in texts:
         for w in t.split(" "):
             wc[w] = wc.get(w, 0) + 1
-    want = _reference_bpe(wc, 6)
+    want, ref_enc = _reference_bpe(wc, 6)
     got = [
         (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
         for r in bpe_merges(docs, k=6)
@@ -459,6 +459,24 @@ def test_bpe_merges_match_reference_trainer(spark):
         .collect()
     ]
     assert got == want, (got, want)
+
+    # tokenize path: per-doc counts under the k=6 tokenizer match
+    # the reference final encoding applied word by word
+    from gexp_ml_dask_spark.llm.text import bpe_token_counts
+
+    ref_len = {"".join(syms): len(syms) for syms in ref_enc}
+    expected = {
+        i: (
+            len(t.split(" ")),
+            sum(ref_len[w] for w in t.split(" ")),
+        )
+        for i, t in enumerate(texts)
+    }
+    got_tok = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, k=6).collect()
+    }
+    assert got_tok == expected, (got_tok, expected)
     # sanity: pair COUNTING is positional (3 per 'aaaa'), while the
     # MERGE application is greedy non-overlapping (aaaa -> aa aa) —
     # the standard BPE asymmetry both implementations must share

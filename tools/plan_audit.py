@@ -50,6 +50,7 @@ WHITELIST = {
     # crossJoin (lazy scalar shape); pair counting itself is a
     # vocab-keyed hash agg
     "op_llm_04_bpe_merges": {"BroadcastNestedLoopJoin"},
+    "op_llm_04_bpe_tokenize": {"BroadcastNestedLoopJoin"},
     "op_llm_03_knn_bruteforce": {"BroadcastNestedLoopJoin"},
     # same scorer as knn_bruteforce (broadcast query set x candidates)
     # behind the metadata pre-filter semi-join
