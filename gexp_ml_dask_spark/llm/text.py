@@ -532,18 +532,26 @@ def _bpe_train(docs: DataFrame, k: int, text_col: str):
             F.col("pair_count"),
         )
         merges = row if merges is None else merges.unionByName(row)
-        enc = enc.crossJoin(F.broadcast(best)).select(
+        # LEFT join on TRUE, not a crossJoin: a round with no pairs
+        # left (fully merged / single-char vocabulary) has an EMPTY
+        # argmax, and the encoding must pass through unchanged —
+        # replace() of a null pattern is null, coalesced back
+        # (hypothesis counterexample: corpus ['a'])
+        enc = enc.join(F.broadcast(best), F.lit(True), "left").select(
             "w",
             "wc",
-            F.replace(
+            F.coalesce(
+                F.replace(
+                    F.col("enc"),
+                    F.concat(
+                        F.lit("|"), F.col("pa"), F.lit("||"),
+                        F.col("pb"), F.lit("|"),
+                    ),
+                    F.concat(
+                        F.lit("|"), F.col("pa"), F.col("pb"), F.lit("|")
+                    ),
+                ),
                 F.col("enc"),
-                F.concat(
-                    F.lit("|"), F.col("pa"), F.lit("||"),
-                    F.col("pb"), F.lit("|"),
-                ),
-                F.concat(
-                    F.lit("|"), F.col("pa"), F.col("pb"), F.lit("|")
-                ),
             ).alias("enc"),
         )
     return merges, enc

@@ -4198,9 +4198,13 @@ def _bpe_ctes(k: int = 5) -> str:
             "GROUP BY pa, pb), "
             f"b{r} AS (SELECT pa, pb, pair_count FROM p{r} "
             "ORDER BY pair_count DESC, pa, pb LIMIT 1), "
-            f"e{r + 1} AS (SELECT w, wc, replace(enc, "
+            # LEFT JOIN ON TRUE so an empty argmax (no pairs left)
+            # passes the encoding through unchanged, mirroring the
+            # Spark loop's coalesce
+            f"e{r + 1} AS (SELECT w, wc, coalesce(replace(enc, "
             "'|' || pa || '||' || pb || '|', "
-            f"'|' || pa || pb || '|') AS enc FROM e{r}, b{r}), "
+            "'|' || pa || pb || '|'), enc) AS enc "
+            f"FROM e{r} LEFT JOIN b{r} ON TRUE), "
         )
     return sql.rstrip(", ")
 

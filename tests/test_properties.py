@@ -914,3 +914,55 @@ def test_pagerank_matches_numpy_on_random_graphs(spark, raw_edges, n_iter):
         r = 0.15 / len(nodes) + 0.85 * (P @ r)
     for n in nodes:
         assert abs(got[n] - r[idx[n]]) < 1e-12
+
+
+def bpe_corpus_strategy(max_docs=5):
+    """Corpora over a 2-letter alphabet so repeated symbols and
+    tied pair counts are COMMON — the adversarial regime for greedy
+    leftmost merge semantics and the deterministic tie-break."""
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    text = st.lists(word, min_size=1, max_size=6).map(" ".join)
+    return st.lists(text, min_size=1, max_size=max_docs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(bpe_corpus_strategy(), st.sampled_from([1, 3]))
+def test_bpe_matches_reference_on_random_corpora(spark, texts, k):
+    """bpe_merges and bpe_token_counts equal the plain-Python
+    Sennrich trainer on ANY corpus — including all-repeat words
+    ('aaaaaa'), tie-heavy pair tables, and merged symbols that chain
+    across rounds. The delimiter-replace merge is a semantics claim,
+    so one counterexample is a bug."""
+    from gexp_ml_dask_spark.llm.text import bpe_merges, bpe_token_counts
+    from tests.test_llm_ops import _reference_bpe
+
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    if not wc:
+        return
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want, ref_enc = _reference_bpe(wc, k)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, k=k).orderBy("merge_rank").collect()
+    ]
+    assert got == want, (got, want)
+
+    ref_len = {"".join(syms): len(syms) for syms in ref_enc}
+    expected = {
+        i: (
+            sum(1 for w in t.split(" ") if w),
+            sum(ref_len[w] for w in t.split(" ") if w),
+        )
+        for i, t in enumerate(texts)
+    }
+    got_tok = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, k=k).collect()
+    }
+    assert got_tok == expected, (got_tok, expected)
