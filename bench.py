@@ -54,6 +54,7 @@ HEADLINE = [
     "op_join_07_fuzzy",             # blocked Levenshtein entity-resolution join
     "op_llm_04_nb_quality",         # NB quality LLR scorer (vocab agg + keyed scoring join)
     "op_llm_07_temperature_weights",  # temperature mixture weights (source-key agg)
+    "op_llm_04_bpe_tokenize",       # BPE train (5 merges) + apply: vocab-dim rounds + word-key join
 ]
 
 
