@@ -183,6 +183,130 @@ def curate_documents_max(
     return sample_mixture(gated, weights, source_col, id_col, seed)
 
 
+def curation_funnel(
+    docs: DataFrame,
+    weights: dict[str, float],
+    min_quality: float = 0.5,
+    min_fluency: float = -3.43,
+    max_repetition: float = 0.2,
+    decontam_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Retention funnel for :func:`curate_documents_max` — the
+    observability report every production curation run ships with:
+    attribute EVERY document to its first eliminating stage, in
+    pipeline order, and count per stage. Stage ranks:
+
+      1 eval_holdout     doc_id % 20 == 0 (the decontamination set)
+      2 exact_dup        not the keep-first of its sha256 group
+      3 repetition       rep_ratio > max_repetition
+      4 quality          quality < min_quality
+      5 fluency          no bigrams, or avg_logp < min_fluency (the
+                         max plan's inner score join drops both)
+      6 decontaminated   shares an n-gram with the eval split
+      7 mixture_drop     source unweighted, or hash-bucket >= rate
+      8 kept             survives everything
+
+    The per-stage counts sum to the corpus size, and stage-8 count
+    equals ``curate_documents_max``'s output row count (pinned in
+    tests). Same cost shape as the max plan — the dedup window and
+    the LM passes are the fact shuffles; stage attribution is one
+    projection over flags the plan already computes.
+    """
+    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import Window
+
+    from gexp_ml_dask_spark.llm.dedup import decontaminate
+    from gexp_ml_dask_spark.llm.mixture import RESOLUTION
+    from gexp_ml_dask_spark.llm.text import PII_RULES, bigram_lm_scores
+    from gexp_ml_dask_spark.ml.pipeline import hash_bucket
+
+    clean = F.col(text_col)
+    for _, pat, repl in PII_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    scrubbed = docs.withColumn(text_col, clean)
+    eval_docs = scrubbed.filter(F.col(id_col) % 20 == 0)
+    train = scrubbed.filter(F.col(id_col) % 20 != 0)
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    flagged = train.withColumn("_rn", F.row_number().over(w))
+    deduped = flagged.filter(F.col("_rn") == 1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    scores = bigram_lm_scores(deduped, id_col, text_col).select(
+        id_col, "avg_logp"
+    )
+    contaminated = (
+        decontaminate(deduped, eval_docs, decontam_n, id_col, text_col)
+        .filter(F.col("is_contaminated"))
+        .select(F.col(id_col), F.lit(True).alias("_cont"))
+    )
+
+    toks = F.split(F.col(text_col), " ")
+    nt = F.size(toks)
+    grams3 = F.when(
+        nt >= 3,
+        F.transform(
+            F.sequence(F.lit(1), nt - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = F.coalesce(
+        F.try_divide(
+            (F.size(grams3) - F.size(F.array_distinct(grams3))).cast("double"),
+            F.size(grams3).cast("double"),
+        ),
+        F.lit(0.0),
+    )
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(round(x * RESOLUTION))) for s, x in sorted(weights.items())],
+        f"{source_col} string, _cut long",
+    )
+    staged = (
+        flagged.withColumn("_q", F.round(quality_expr(text_col), 6))
+        .withColumn("_rep", F.round(rep, 6))
+        .join(scores, id_col, "left")
+        .join(F.broadcast(contaminated), id_col, "left")
+        .join(F.broadcast(wdf), source_col, "left")
+        .withColumn(
+            "_mix_keep", hash_bucket(id_col, seed, RESOLUTION) < F.col("_cut")
+        )
+    )
+    rank_col = (
+        F.when(F.col("_rn") != 1, 2)
+        .when(F.col("_rep") > max_repetition, 3)
+        .when(F.col("_q") < min_quality, 4)
+        .when(
+            F.col("avg_logp").isNull() | (F.col("avg_logp") < min_fluency), 5
+        )
+        .when(F.col("_cont"), 6)
+        .when(F.col("_cut").isNull() | ~F.col("_mix_keep"), 7)
+        .otherwise(8)
+    )
+    ranks = eval_docs.select(
+        F.lit(1).cast("long").alias("stage_rank")
+    ).unionByName(staged.select(rank_col.cast("long").alias("stage_rank")))
+    names = [
+        (1, "eval_holdout"), (2, "exact_dup"), (3, "repetition"),
+        (4, "quality"), (5, "fluency"), (6, "decontaminated"),
+        (7, "mixture_drop"), (8, "kept"),
+    ]
+    name_map = F.create_map(
+        *[F.lit(v) for pair in names for v in pair]
+    )
+    return (
+        ranks.groupBy("stage_rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("stage", name_map[F.col("stage_rank")])
+        .select("stage_rank", "stage", "n_docs")
+    )
+
+
 def ingest_increment(
     corpus: DataFrame,
     batch: DataFrame,

@@ -4504,6 +4504,102 @@ def _curation_max_oracle() -> str:
     )
 
 
+def _curation_funnel_oracle() -> str:
+    """DuckDB twin of plans.curation.curation_funnel: the same CTE
+    pipeline as the max-curation oracle, but quality/repetition are
+    computed for EVERY train doc and the gates become a first-failure
+    CASE attribution; integer counts, exact compare."""
+    values = ", ".join(
+        f"('{s}', {int(round(w * 100000))})"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    hb = _HB.format(key="t.doc_id", n=100000)
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(text, "
+        "'https?://\\S+', '<URL>', 'g'), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+        "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, source, {scrub} AS text FROM documents), "
+        "ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM s "
+        "WHERE doc_id % 20 = 0), "
+        "evg AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS gram "
+        "FROM ev, unnest(range(1, greatest(len(toks) - 1, 1))) AS gi(i)), "
+        "tr AS (SELECT * FROM s WHERE doc_id % 20 <> 0), "
+        "keep AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY sha256(text)), "
+        "d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM tr "
+        "WHERE doc_id IN (SELECT doc_id FROM keep)), "
+        "cont AS (SELECT DISTINCT dg.doc_id FROM "
+        "(SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM d, "
+        "unnest(range(1, greatest(len(toks) - 1, 1))) AS gi(i)) dg "
+        "JOIN evg USING (gram)), "
+        # quality + repetition over EVERY train doc (the funnel
+        # attributes dups too, even though their flags are unread)
+        "q AS (SELECT doc_id, "
+        "round(CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END + "
+        "CASE WHEN len(list_filter(toks, "
+        "x -> list_contains(['the','a','of','and','to'], x))) * 1.0 "
+        "/ nullif(len(toks), 0) BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END, 6) "
+        "AS quality, "
+        "round(coalesce((len(g3) - len(list_distinct(g3))) / "
+        "nullif(CAST(len(g3) AS DOUBLE), 0), 0), 6) AS rep_ratio "
+        "FROM (SELECT doc_id, toks, "
+        "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
+        "i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3 "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM tr)) t), "
+        "db AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d "
+        "WHERE len(toks) >= 2), "
+        "m AS (SELECT bigram, count(*) AS c12 FROM db GROUP BY 1), "
+        "p AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1 "
+        "FROM m GROUP BY 1), "
+        "f AS (SELECT d2.doc_id, round(avg(ln(m.c12 / p.c1)), 6) AS avg_logp "
+        "FROM db d2 JOIN m ON d2.bigram = m.bigram "
+        "JOIN p ON split_part(d2.bigram, ' ', 1) = p.w1 GROUP BY 1), "
+        f"w(source, cut) AS (VALUES {values}), "
+        "ranks AS ("
+        "SELECT 1 AS stage_rank FROM s WHERE doc_id % 20 = 0 "
+        "UNION ALL "
+        "SELECT CASE "
+        "WHEN t.doc_id NOT IN (SELECT doc_id FROM keep) THEN 2 "
+        "WHEN q.rep_ratio > 0.2 THEN 3 "
+        "WHEN q.quality < 0.5 THEN 4 "
+        "WHEN f.avg_logp IS NULL OR f.avg_logp < -3.43 THEN 5 "
+        "WHEN t.doc_id IN (SELECT doc_id FROM cont) THEN 6 "
+        f"WHEN w.cut IS NULL OR NOT ({hb} < w.cut) THEN 7 "
+        "ELSE 8 END FROM tr t "
+        "JOIN q ON t.doc_id = q.doc_id "
+        "LEFT JOIN f ON t.doc_id = f.doc_id "
+        "LEFT JOIN w ON t.source = w.source), "
+        "names(stage_rank, stage) AS (VALUES (1, 'eval_holdout'), "
+        "(2, 'exact_dup'), (3, 'repetition'), (4, 'quality'), "
+        "(5, 'fluency'), (6, 'decontaminated'), (7, 'mixture_drop'), "
+        "(8, 'kept')) "
+        "SELECT CAST(r.stage_rank AS BIGINT) AS stage_rank, n.stage, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM ranks r JOIN names n USING (stage_rank) GROUP BY 1, 2"
+    )
+
+
+@register("op_llm_08_curation_funnel", _curation_funnel_oracle())
+def op_llm_08_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-08 (retention funnel): attribute every document to its
+    first eliminating stage of the maximal curation chain and count
+    per stage — the observability report a production curation run
+    ships next to its output corpus. Integer-exact value oracle;
+    stage-8 count == curation_max's output cardinality (pinned in
+    tests)."""
+    from gexp_ml_dask_spark.plans.curation import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_funnel(docs, _MIX_WEIGHTS, min_quality=0.5)
+
+
 @register("op_llm_08_curation_max", _curation_max_oracle())
 def op_llm_08_curation_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-08 (maximal curation): scrub -> eval/train split ->
@@ -5583,6 +5679,7 @@ _SIBLING_TWINS = {
     "op_llm_02_tf_cosine_prefix",  # strategy twin of tf_cosine
     "op_llm_02_containment_prefix",  # strategy twin of containment
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
+    "op_llm_08_curation_funnel",     # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl

@@ -485,6 +485,25 @@ def test_bpe_merges_match_reference_trainer(spark):
         assert r1[("a", "a")] == 6  # 3 positions x 2 'aaaa' words
 
 
+def test_curation_funnel_partitions_the_corpus(spark):
+    """The funnel is a PARTITION of the corpus: per-stage counts sum
+    to the total document count, and the 'kept' stage equals
+    curate_documents_max's output cardinality on the same inputs."""
+    from gexp_ml_dask_spark.plans.curation import (
+        curate_documents_max,
+        curation_funnel,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    weights = {f"src{i}": (1.0 if i < 10 else 0.25) for i in range(20)}
+    rows = {r["stage"]: r["n_docs"] for r in curation_funnel(docs, weights).collect()}
+    assert sum(rows.values()) == docs.count()
+    kept = rows.get("kept", 0)
+    assert kept == curate_documents_max(docs, weights).count()
+    assert rows.get("eval_holdout", 0) == docs.filter("doc_id % 20 = 0").count()
+    spark.catalog.clearCache()
+
+
 def test_nb_quality_separates_and_matches_closed_form(spark):
     """The NB scorer (a) reproduces the hand-computed Laplace LLR on
     a tiny corpus, including the unseen-token penalty, and (b)
