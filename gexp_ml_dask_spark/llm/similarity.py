@@ -349,6 +349,93 @@ def knn_lsh(
     )
 
 
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OP-LLM-03 (exact-contract k-means) — fixed-``n_iter`` Lloyd
+    iterations as pure relational ops, with a QUANTIZED-DETERMINISM
+    contract that makes the whole clustering engine-reproducible
+    (the checkable twin of MLlib's KMeans, and the IVF cell builder
+    with an exact oracle):
+
+    * init: the ``k`` lowest-id vectors are centroids 0..k-1 —
+      deterministic, no RNG;
+    * assign: squared L2 distances are ROUNDED to 6dp before the
+      argmin (ties then break on cluster id), so a float-ULP
+      difference between engines can never flip an assignment;
+    * update: per-(cluster, dim) means are rounded to 6dp, so both
+      engines enter the next round with bit-identical centroids.
+
+    Everything is long-form relational — vectors and centroids
+    explode to (id, pos, x) rows, distance is one (vec, cluster)
+    hash agg over the pos join, the argmin is a per-vector window —
+    so nothing depends on array-fold evaluation order. A cluster
+    that loses all members drops out (standard Lloyd degeneracy),
+    identically in both engines.
+
+    Returns final assignments: (vec_id, cluster, dist) with dist
+    the rounded squared L2 to the winning centroid.
+
+    Scale posture: each round shuffles the n*k*dim distance rows —
+    right for the oracle contract and for cell-building over
+    representative SAMPLES (how IVF training actually runs); a
+    100 TB full-corpus fit belongs to MLlib KMeans / the Arrow kNN
+    scorer, which trade the exact replayability away."""
+    from pyspark.sql import Window
+
+    dims = embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    dims = dims.persist(StorageLevel.MEMORY_AND_DISK)
+
+    init_ids = (
+        embeddings.select(F.col(id_col))
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col),
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+    cent = dims.join(init_ids, id_col).select(
+        "cluster", "pos", F.col("x").alias("c")
+    )
+
+    assign = None
+    for _ in range(n_iter):
+        dist = (
+            dims.join(cent, "pos")
+            .groupBy(id_col, "cluster")
+            .agg(
+                F.round(
+                    F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                    6,
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cluster")
+        assign = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cluster", "dist")
+        )
+        cent = (
+            dims.join(assign.select(id_col, "cluster"), id_col)
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+    return assign
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

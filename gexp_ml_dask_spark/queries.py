@@ -4504,6 +4504,58 @@ def _curation_max_oracle() -> str:
     )
 
 
+def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
+    """DuckDB twin of llm.similarity.kmeans_lloyd — the fixed-k
+    Lloyd rounds unrolled as CTEs. The quantized-determinism
+    contract (distances AND centroid means rounded to 6dp before
+    every comparison) is what lets two float engines replay the
+    identical clustering."""
+    sql = (
+        "WITH dims AS (SELECT vec_id, i AS pos, "
+        "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, "
+        "unnest(range(1, len(embedding) + 1)) AS t(i)), "
+        "init AS (SELECT vec_id, "
+        "CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})), "
+        "c0 AS (SELECT i.cluster, d.pos, d.x AS c "
+        "FROM dims d JOIN init i USING (vec_id)), "
+    )
+    for r in range(1, n_iter + 1):
+        sql += (
+            f"d{r} AS (SELECT d.vec_id, c.cluster, "
+            "round(sum((d.x - c.c) * (d.x - c.c)), 6) AS dist "
+            f"FROM dims d JOIN c{r - 1} c USING (pos) "
+            "GROUP BY d.vec_id, c.cluster), "
+            f"a{r} AS (SELECT vec_id, cluster, dist FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cluster) AS rn FROM d{r}) WHERE rn = 1), "
+        )
+        if r < n_iter:
+            sql += (
+                f"c{r} AS (SELECT a.cluster, d.pos, round(avg(d.x), 6) AS c "
+                f"FROM dims d JOIN a{r} a USING (vec_id) "
+                "GROUP BY a.cluster, d.pos), "
+            )
+    sql = sql.rstrip(", ")
+    sql += f" SELECT vec_id, cluster, dist FROM a{n_iter}"
+    return sql
+
+
+@register("op_llm_03_kmeans", _kmeans_oracle(8, 3))
+def op_llm_03_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (exact-contract k-means): 3 Lloyd rounds, k=8,
+    lowest-id init, distances and centroid means rounded to 6dp
+    before every comparison so the clustering is engine-reproducible
+    — the IVF cell builder with a checkable oracle. Long-form
+    relational throughout (pos-join distance agg, per-vector argmin
+    window)."""
+    from gexp_ml_dask_spark.llm.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3
+    )
+
+
 def _curation_funnel_oracle() -> str:
     """DuckDB twin of plans.curation.curation_funnel: the same CTE
     pipeline as the max-curation oracle, but quality/repetition are
@@ -5681,6 +5733,7 @@ _SIBLING_TWINS = {
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
     "op_llm_08_curation_funnel",     # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
+    "op_llm_03_kmeans",              # ID covered by knn_bruteforce
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
     "op_src_04_corrupt_quarantine",  # ID covered by json_mapping + jsonl

@@ -485,6 +485,54 @@ def test_bpe_merges_match_reference_trainer(spark):
         assert r1[("a", "a")] == 6  # 3 positions x 2 'aaaa' words
 
 
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    """kmeans_lloyd equals a plain-NumPy Lloyd loop under the same
+    quantized-determinism contract (round-6 distances and centroid
+    means, lowest-id init, cluster-id tie-break) on a fixture with
+    well-separated blobs — and every vector lands with its blob."""
+    import numpy as np
+
+    from gexp_ml_dask_spark.llm.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]])
+    vecs = np.vstack(
+        [c + 0.1 * rng.randn(10, 3) for c in centers]
+    )  # ids 0..9 blob0, 10..19 blob1, 20..29 blob2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_lloyd(df, k=3, n_iter=3).collect()
+    }
+
+    cent = vecs[:3].copy()
+    assign = None
+    for _ in range(3):
+        d = np.round(
+            ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 6
+        )
+        assign = d.argmin(axis=1)  # ties -> lowest cluster id, as argmin
+        cent = np.array(
+            [
+                np.round(vecs[assign == c].mean(axis=0), 6)
+                for c in range(3)
+                if (assign == c).any()
+            ]
+        )
+    for i in range(30):
+        want_c = int(assign[i])
+        want_d = float(d[i, want_c])
+        assert got[i][0] == want_c, (i, got[i], want_c)
+        assert abs(got[i][1] - want_d) < 1e-9
+    # blob purity: all members of a blob share one cluster
+    for blob in range(3):
+        ids = range(blob * 10, blob * 10 + 10)
+        assert len({got[i][0] for i in ids}) == 1
+
+
 def test_curation_funnel_partitions_the_corpus(spark):
     """The funnel is a PARTITION of the corpus: per-stage counts sum
     to the total document count, and the 'kept' stage equals
