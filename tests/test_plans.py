@@ -574,3 +574,31 @@ def test_pagerank_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in tree
     # the 1-row count attach broadcasts (nodes + one reuse per round)
     assert tree.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_new_training_ops_stay_jvm_side(spark, registry):
+    """Round-3 training-pipeline additions: no CartesianProduct, no
+    Python evaluation anywhere; the only nested-loop joins are the
+    documented 1-row scalar attaches (NB model scalars, BPE per-round
+    argmax). The NB scoring join and the k-means pos/assign joins are
+    keyed hash joins."""
+    for name, max_bnlj in [
+        ("op_llm_04_nb_quality", 3),  # llr x tot, priors x tot, docs x scalars
+        # the unrolled BPE plan replays each round's 1-row argmax
+        # subtree in every later round's lineage (no persist at
+        # fixed k — docstring states the k>>10 contract), so the
+        # TREE holds O(k^2) scalar-attach occurrences: measured 26
+        # and 31 at k=5, all 1-row builds
+        ("op_llm_04_bpe_merges", 26),
+        ("op_llm_04_bpe_tokenize", 31),
+        ("op_llm_03_kmeans", 0),
+        ("op_llm_07_temperature_weights", 0),
+        ("op_llm_08_curation_funnel", 0),
+    ]:
+        p = plan(registry[name](spark, SF_ORACLE))
+        tree = p.split("(1) ")[0]
+        assert "CartesianProduct" not in tree, name
+        assert "BatchEvalPython" not in tree, name
+        n = tree.count("BroadcastNestedLoopJoin")
+        assert n <= max_bnlj, (name, n)
+    spark.catalog.clearCache()
