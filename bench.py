@@ -55,6 +55,7 @@ HEADLINE = [
     "op_llm_04_nb_quality",         # NB quality LLR scorer (vocab agg + keyed scoring join)
     "op_llm_07_temperature_weights",  # temperature mixture weights (source-key agg)
     "op_llm_04_bpe_tokenize",       # BPE train (5 merges) + apply: vocab-dim rounds + word-key join
+    "op_llm_03_kmeans",             # exact-contract Lloyd k-means (3 rounds, pos-join distances)
 ]
 
 
