@@ -436,6 +436,85 @@ def kmeans_lloyd(
     return assign
 
 
+def pca_power_top_component(
+    embeddings: DataFrame,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OP-LLM-03 (exact-contract PCA) — the top principal component
+    of the embedding cloud by power iteration over the covariance
+    matrix, under the same QUANTIZED-DETERMINISM contract as
+    :func:`kmeans_lloyd` (every intermediate rounded to 6dp before
+    it is consumed), so the loadings value-oracle exactly. The
+    embedding-analytics primitive behind whitening, anisotropy
+    checks, and 1-D ordering of a vector corpus.
+
+    Dataflow — everything after the Gram pass is DIMENSION-bounded:
+
+    1. center: per-dim means (one (pos) hash agg), subtract;
+    2. Gram/covariance: C[i,j] = sum over vectors of x_i * x_j —
+       ONE self-join of the exploded dims on the vector key + one
+       (i,j) hash agg; C is dim x dim (64 x 64 here) and every later
+       step touches only C and v;
+    3. power rounds: w = C @ v (join on j, sum over j), each w, the
+       norm, and the normalized v rounded to 6dp — deterministic
+       start v0 = e_0.
+
+    Sign is pinned by the deterministic init (flip follows v0, same
+    in both engines). Returns (pos, loading) — the unit top
+    component, 6dp.
+
+    Scale posture: the self-join ships n * dim^2 product rows into a
+    partial-aggregating shuffle — fine for dim <= a few hundred
+    (Gram matrices are how distributed PCA actually starts); the
+    power rounds are O(dim^2) total, engine-trivial."""
+    from pyspark.storagelevel import StorageLevel
+
+    dims = embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    means = dims.groupBy("pos").agg(F.avg("x").alias("_m"))
+    centered = (
+        dims.join(means, "pos")
+        .select(id_col, "pos", (F.col("x") - F.col("_m")).alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = centered.select(F.col(id_col), F.col("pos").alias("i"), F.col("x").alias("xi"))
+    b = centered.select(F.col(id_col), F.col("pos").alias("j"), F.col("x").alias("xj"))
+    cov = (
+        a.join(b, id_col)
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("xi") * F.col("xj")), 6).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = cov.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.when(F.col("pos") == 0, 1.0).otherwise(0.0).alias("v")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(n_iter):
+        w = (
+            cov.join(v.select(F.col("pos").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("c") * F.col("v")), 6).alias("w"))
+        )
+        # dim-sized table (64 rows) — the empty-partition window is
+        # bounded by the dimension, never the corpus
+        nrm = F.round(
+            F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy())), 6
+        )
+        v = w.select(
+            F.col("i").alias("pos"),
+            F.round(F.try_divide(F.col("w"), nrm), 6).alias("v"),
+        )
+    return v.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("v").alias("loading"),
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

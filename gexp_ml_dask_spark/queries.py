@@ -4541,6 +4541,51 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
     return sql
 
 
+def _pca_oracle(n_iter: int = 4) -> str:
+    """DuckDB twin of llm.similarity.pca_power_top_component — the
+    centered Gram pass + n_iter quantized power rounds unrolled."""
+    sql = (
+        # pos is 0-based to match Spark's posexplode (it appears in
+        # the OUTPUT schema here, unlike the kmeans oracle)
+        "WITH dims AS (SELECT vec_id, i - 1 AS pos, "
+        "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, "
+        "unnest(range(1, len(embedding) + 1)) AS t(i)), "
+        "ctr AS (SELECT d.vec_id, d.pos, d.x - m._m AS x FROM dims d "
+        "JOIN (SELECT pos, avg(x) AS _m FROM dims GROUP BY pos) m "
+        "USING (pos)), "
+        "cov AS (SELECT a.pos AS i, b.pos AS j, "
+        "round(sum(a.x * b.x), 6) AS c FROM ctr a JOIN ctr b "
+        "USING (vec_id) GROUP BY a.pos, b.pos), "
+        "v0 AS (SELECT DISTINCT i AS pos, "
+        "CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v FROM cov), "
+    )
+    for r in range(1, n_iter + 1):
+        sql += (
+            f"w{r} AS (SELECT c.i, round(sum(c.c * v.v), 6) AS w "
+            f"FROM cov c JOIN v{r - 1} v ON c.j = v.pos GROUP BY c.i), "
+            f"v{r} AS (SELECT i AS pos, round(w / nullif("
+            "round(sqrt(sum(w * w) OVER ()), 6), 0), 6) AS v "
+            f"FROM w{r}), "
+        )
+    sql = sql.rstrip(", ")
+    sql += f" SELECT pos, v AS loading FROM v{n_iter}"
+    return sql
+
+
+@register("op_llm_03_pca_power", _pca_oracle(4))
+def op_llm_03_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-03 (exact-contract PCA): top principal component of the
+    embedding cloud by 4 quantized power rounds over the dim x dim
+    covariance — one vector-key self-join Gram pass, then purely
+    dimension-bounded work; every intermediate rounded to 6dp so the
+    loadings value-oracle exactly."""
+    from gexp_ml_dask_spark.llm.similarity import pca_power_top_component
+
+    return pca_power_top_component(
+        load_table(spark, sf_dir, "embeddings"), n_iter=4
+    )
+
+
 @register("op_llm_03_kmeans", _kmeans_oracle(8, 3))
 def op_llm_03_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-03 (exact-contract k-means): 3 Lloyd rounds, k=8,
@@ -5734,6 +5779,7 @@ _SIBLING_TWINS = {
     "op_llm_08_curation_funnel",     # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
     "op_llm_03_kmeans",              # ID covered by knn_bruteforce
+    "op_llm_03_pca_power",           # ID covered by knn_bruteforce
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
     "op_src_04_corrupt_quarantine",  # ID covered by json_mapping + jsonl

@@ -533,6 +533,40 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
         assert len({got[i][0] for i in ids}) == 1
 
 
+def test_pca_power_matches_numpy_reference(spark):
+    """pca_power_top_component equals a NumPy power loop under the
+    identical quantization contract, and on an anisotropic cloud the
+    learned loading aligns with the true dominant axis."""
+    import numpy as np
+
+    from gexp_ml_dask_spark.llm.similarity import pca_power_top_component
+
+    rng = np.random.RandomState(3)
+    # dominant variance along a fixed direction u
+    u = np.array([0.6, 0.8, 0.0, 0.0])
+    vecs = 5.0 * rng.randn(40, 1) * u + 0.2 * rng.randn(40, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["pos"]: r["loading"]
+        for r in pca_power_top_component(df, n_iter=4).collect()
+    }
+
+    X = vecs - vecs.mean(axis=0)
+    C = np.round(X.T @ X, 6)
+    v = np.array([1.0, 0.0, 0.0, 0.0])
+    for _ in range(4):
+        w = np.round(C @ v, 6)
+        v = np.round(w / np.round(np.sqrt((w * w).sum()), 6), 6)
+    for p in range(4):
+        assert abs(got[p] - v[p]) < 1e-9, (p, got[p], v[p])
+    # alignment with the planted axis (up to sign)
+    dot = abs(got[0] * u[0] + got[1] * u[1])
+    assert dot > 0.99, got
+
+
 def test_curation_funnel_partitions_the_corpus(spark):
     """The funnel is a PARTITION of the corpus: per-stage counts sum
     to the total document count, and the 'kept' stage equals
