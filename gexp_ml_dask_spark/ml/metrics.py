@@ -56,3 +56,66 @@ def mae_df(pred: DataFrame, label_col: str = "label", pred_col: str = "predictio
     """Mean absolute error as a one-row DataFrame."""
     err = F.abs(F.col(label_col) - F.col(pred_col))
     return pred.agg(F.round(F.avg(err), 6).alias("mae"))
+
+
+def isotonic_calibrate(
+    scored: DataFrame,
+    group_col: str = "model",
+    score_col: str = "score",
+    label_col: str = "y",
+    id_col: str = "sample_id",
+) -> DataFrame:
+    """OP-ML-10 (isotonic calibration) — per-group pool-adjacent-
+    violators regression of binary labels on scores: the standard
+    probability-calibration step after model scoring (the monotone
+    big sibling of the binned calibration query). PAVA is inherently
+    SEQUENTIAL per group — the textbook case for
+    ``groupBy().applyInPandas`` (a whole group in one pandas frame),
+    the one Pandas-UDF surface nothing else in the engine needed.
+
+    Determinism contract: rows are ordered by (score, id); block
+    POOLING decisions compare integer cross-products
+    (s1*c2 > s2*c1), never floats, so the block structure is exact;
+    only the final fitted value rounds (6dp). The DuckDB oracle
+    computes the identical fit by a DIFFERENT algorithm entirely —
+    the minimax characterization fit(i) = max_{j<=i} min_{k>=i}
+    avg(y[j..k]) as two window passes over the pair table — so the
+    value-oracle match is an algebraic-theorem check, not an
+    implementation echo.
+
+    Scale: state is one group per pandas frame (Arrow-batched);
+    groups are model-sized. A single astronomically large group
+    would need the O(n) streaming PAVA over mapInPandas with carry —
+    not needed while calibration sets fit a task (they do: they are
+    eval-set-sized)."""
+    schema = (
+        f"{id_col} long, {group_col} long, {score_col} double, "
+        f"{label_col} long, calibrated double"
+    )
+
+    def fit(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values([score_col, id_col]).reset_index(drop=True)
+        ys = pdf[label_col].to_numpy()
+        sums: list[int] = []
+        cnts: list[int] = []
+        for v in ys:
+            s, c = int(v), 1
+            # pool while the previous block mean exceeds the new
+            # one — integer cross-product compare, exact
+            while sums and sums[-1] * c > s * cnts[-1]:
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        if cnts:
+            fitv = np.concatenate(
+                [np.full(c, round(s / c, 6)) for s, c in zip(sums, cnts)]
+            )
+        else:
+            fitv = np.array([], dtype=float)
+        pdf["calibrated"] = fitv
+        return pdf[[id_col, group_col, score_col, label_col, "calibrated"]]
+
+    return scored.groupBy(group_col).applyInPandas(fit, schema)

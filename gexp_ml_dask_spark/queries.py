@@ -4541,6 +4541,72 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
     return sql
 
 
+@register(
+    "op_ml_10_isotonic",
+    # Isotonic (PAVA) calibration, oracled through the MINIMAX
+    # characterization: fit(i) = max_{j<=i} min_{k>=i} avg(y[j..k])
+    # over the (score, id) order — a different algorithm entirely
+    # from the engine's pool-adjacent-violators, equal by theorem.
+    f"WITH g AS ({G_QTY}), "
+    "tot AS (SELECT sample_id, round(sum(value), 6) AS score "
+    "FROM g GROUP BY 1), "
+    "lab AS (SELECT o_orderkey AS sample_id, "
+    "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS y FROM orders "
+    "WHERE o_orderstatus IN ('O', 'F')), "
+    "base AS (SELECT t.sample_id, t.sample_id % 4 AS model, t.score, "
+    "CAST(l.y AS BIGINT) AS y FROM tot t JOIN lab l USING (sample_id) "
+    "WHERE t.sample_id % 97 = 0), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY model "
+    "ORDER BY score, sample_id) AS i FROM base), "
+    "ps AS (SELECT *, sum(y) OVER (PARTITION BY model ORDER BY i) AS s "
+    "FROM r), "
+    "pairs AS (SELECT j.model, j.i AS j, k.i AS k, "
+    "(k.s - j.s + j.y) * 1.0 / (k.i - j.i + 1) AS a "
+    "FROM ps j JOIN ps k ON j.model = k.model AND j.i <= k.i), "
+    "sm AS (SELECT model, j, k AS i, min(a) OVER "
+    "(PARTITION BY model, j ORDER BY k DESC) AS mn FROM pairs), "
+    "fit AS (SELECT model, i, max(mn) AS f FROM sm GROUP BY model, i) "
+    "SELECT r.sample_id, r.model, r.score, r.y, "
+    "round(fit.f, 6) AS calibrated "
+    "FROM r JOIN fit ON r.model = fit.model AND r.i = fit.i",
+)
+def op_ml_10_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10 (isotonic calibration): per-model PAVA over scored
+    samples via groupBy().applyInPandas — the one inherently
+    sequential per-group algorithm in the metrics family, with exact
+    integer-compare pooling so the block structure is deterministic.
+    Value-oracled against the minimax characterization (an
+    algebraic-theorem check, not an implementation echo)."""
+    from gexp_ml_dask_spark.ml.metrics import isotonic_calibrate
+
+    g = gexp(spark, sf_dir)
+    tot = g.groupBy("sample_id").agg(
+        F.round(F.sum("value"), 6).alias("score")
+    )
+    lab = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderkey").alias("sample_id"),
+            F.when(F.col("o_orderstatus") == "O", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    base = (
+        tot.join(lab, "sample_id")
+        .filter(F.col("sample_id") % 97 == 0)
+        .select(
+            "sample_id",
+            (F.col("sample_id") % 4).alias("model"),
+            "score",
+            "y",
+        )
+    )
+    return isotonic_calibrate(base)
+
+
 def _pca_oracle(n_iter: int = 4) -> str:
     """DuckDB twin of llm.similarity.pca_power_top_component — the
     centered Gram pass + n_iter quantized power rounds unrolled."""
@@ -5780,6 +5846,7 @@ _SIBLING_TWINS = {
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce
     "op_llm_03_kmeans",              # ID covered by knn_bruteforce
     "op_llm_03_pca_power",           # ID covered by knn_bruteforce
+    "op_ml_10_isotonic",             # OP-ML-10 has 7 sibling rows
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
     "op_src_04_corrupt_quarantine",  # ID covered by json_mapping + jsonl

@@ -533,6 +533,31 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
         assert len({got[i][0] for i in ids}) == 1
 
 
+def test_isotonic_pava_monotone_and_hand_case(spark):
+    """PAVA output is non-decreasing in score order, preserves the
+    group mean, and matches the hand-pooled blocks on the textbook
+    violator sequence."""
+    from gexp_ml_dask_spark.ml.metrics import isotonic_calibrate
+
+    # y = [1,0,0,1,0,1,1] -> blocks: [1,0,0] -> 1/3 pooled with
+    # leading 1? PAVA: 1;0 -> pool(1/2);0 -> pool(1/3); 1;0 ->
+    # pool(1/2); 1; 1 -> fit [1/3,1/3,1/3,1/2,1/2,1,1]
+    rows = [(i, 0, float(i), y) for i, y in enumerate([1, 0, 0, 1, 0, 1, 1])]
+    df = spark.createDataFrame(
+        rows, "sample_id long, model long, score double, y long"
+    )
+    got = {
+        r["sample_id"]: r["calibrated"]
+        for r in isotonic_calibrate(df).collect()
+    }
+    want = [1 / 3, 1 / 3, 1 / 3, 0.5, 0.5, 1.0, 1.0]
+    for i in range(7):
+        assert abs(got[i] - round(want[i], 6)) < 1e-9, (i, got[i])
+    vals = [got[i] for i in range(7)]
+    assert vals == sorted(vals)  # monotone
+    assert abs(sum(vals) - sum(y for *_, y in rows)) < 1e-4  # mean-preserving
+
+
 def test_pca_power_matches_numpy_reference(spark):
     """pca_power_top_component equals a NumPy power loop under the
     identical quantization contract, and on an anisotropic cloud the
