@@ -472,3 +472,52 @@ def hll_union_estimate(
             F.hll_union_agg(F.col(sketch_col))
         ).alias("approx_distinct")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OP-AGG-18 (cohort retention, [mandate]) — the classic product-
+    analytics rollup: users grouped by first-activity week (their
+    cohort), then for each week offset k the share of the cohort
+    still active. Returns (cohort_week, week_offset, n_users,
+    retention) with retention = n_users / cohort_size, 6dp.
+
+    Plan shape: two fact-side hash aggs — min-week per user (the
+    cohort assignment) and distinct (user, week) activity — joined on
+    the user key, then a (cohort, offset) count-distinct; cohort
+    sizes are a cohort-dim table broadcast back. Week arithmetic is
+    ISO date_trunc in both engines, offsets exact integer division of
+    Monday-aligned dates."""
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    first = events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    act = events.select(F.col(user_col), wk.alias("act_week")).distinct()
+    per = (
+        act.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("_cs")
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            # plain ISO string: engines disagree on DATE column
+            # physical types (date object vs datetime64) but not on
+            # the ISO rendering
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("n_users") / F.col("_cs"), 6).alias("retention"),
+        )
+    )

@@ -1132,6 +1132,39 @@ def op_agg_14_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_18_cohort_retention",
+    # Cohort retention: users grouped by first-activity ISO week;
+    # retention(k) = share of the cohort active k weeks later.
+    # Monday-aligned dates make the offset an exact integer division.
+    "WITH f AS (SELECT user_id, "
+    "min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week "
+    "FROM events GROUP BY 1), "
+    "a AS (SELECT DISTINCT user_id, "
+    "CAST(date_trunc('week', ts) AS DATE) AS act_week FROM events), "
+    "p AS (SELECT f.cohort_week, "
+    "CAST((a.act_week - f.cohort_week) // 7 AS BIGINT) AS week_offset, "
+    "CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users "
+    "FROM a JOIN f USING (user_id) GROUP BY 1, 2), "
+    "s AS (SELECT cohort_week, count(*) AS cs FROM f GROUP BY 1) "
+    "SELECT strftime(p.cohort_week, '%Y-%m-%d') AS cohort_week, "
+    "p.week_offset, p.n_users, "
+    "round(p.n_users * 1.0 / s.cs, 6) AS retention "
+    "FROM p JOIN s USING (cohort_week)",
+)
+def op_agg_18_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-AGG-18 (cohort retention): the product-analytics rollup —
+    first-activity-week cohorts, per-offset active share. Two
+    fact-side hash aggs + a user-key join + a cohort-dim broadcast;
+    week math is ISO date_trunc, offsets exact integer division."""
+    from gexp_ml_dask_spark.operators.aggregates import cohort_retention
+    from gexp_ml_dask_spark.sources.readers import load_events
+
+    return cohort_retention(load_events(spark, sf_dir))
+
+
+@register(
     "op_agg_17_welch_t",
     # Differential expression: Welch's t per gene between the 'O'
     # and 'F' order-status phenotype groups — the canonical DE scan.
@@ -5847,6 +5880,10 @@ _SIBLING_TWINS = {
     "op_llm_03_kmeans",              # ID covered by knn_bruteforce
     "op_llm_03_pca_power",           # ID covered by knn_bruteforce
     "op_ml_10_isotonic",             # OP-ML-10 has 7 sibling rows
+    # not a twin, but a round-3 late addition deferred so the
+    # r2-verdict-flagged cluster family keeps its ~50-slot window
+    # positions this round; rotates in next round like any twin
+    "op_agg_18_cohort_retention",
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
     "op_src_04_corrupt_quarantine",  # ID covered by json_mapping + jsonl
