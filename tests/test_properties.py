@@ -966,3 +966,40 @@ def test_bpe_matches_reference_on_random_corpora(spark, texts, k):
         for r in bpe_token_counts(docs, k=k).collect()
     }
     assert got_tok == expected, (got_tok, expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 1), min_size=1, max_size=12),
+    st.lists(st.integers(0, 1), min_size=1, max_size=12),
+)
+def test_isotonic_pava_equals_minimax_property(spark, ys_a, ys_b):
+    """PAVA (the engine's applyInPandas path) equals the minimax
+    characterization fit(i) = max_{j<=i} min_{k>=i} avg(y[j..k]) —
+    the theorem the DuckDB oracle relies on — for arbitrary binary
+    label sequences across two groups."""
+    from gexp_ml_dask_spark.ml.metrics import isotonic_calibrate
+
+    rows = [
+        (i, g, float(i), y)
+        for g, ys in enumerate([ys_a, ys_b])
+        for i, y in enumerate(ys)
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, model long, score double, y long"
+    )
+    got = {
+        (r["model"], r["sample_id"]): r["calibrated"]
+        for r in isotonic_calibrate(df).collect()
+    }
+    for g, ys in enumerate([ys_a, ys_b]):
+        n = len(ys)
+        for i in range(n):
+            fit = max(
+                min(
+                    sum(ys[j : kk + 1]) / (kk - j + 1)
+                    for kk in range(i, n)
+                )
+                for j in range(i + 1)
+            )
+            assert abs(got[(g, i)] - round(fit, 6)) < 1e-9, (g, i)
