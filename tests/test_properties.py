@@ -1003,3 +1003,57 @@ def test_isotonic_pava_equals_minimax_property(spark, ys_a, ys_b):
                 for j in range(i + 1)
             )
             assert abs(got[(g, i)] - round(fit, 6)) < 1e-9, (g, i)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-8, 8), st.integers(-8, 8)
+        ),
+        min_size=3,
+        max_size=14,
+        unique=True,
+    ),
+    st.sampled_from([2, 3]),
+)
+def test_kmeans_matches_reference_on_random_clouds(spark, pts, k):
+    """kmeans_lloyd equals the id-tracking NumPy Lloyd loop under the
+    identical quantization contract on arbitrary integer point sets —
+    including tie-heavy distances (integer grids make exact distance
+    ties COMMON, exercising the cluster-id tie-break) and
+    empty-cluster dropout."""
+    import numpy as np
+
+    from gexp_ml_dask_spark.llm.similarity import kmeans_lloyd
+
+    if len(pts) < k:
+        return
+    vecs = np.array(pts, dtype=float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_lloyd(df, k=k, n_iter=2).collect()
+    }
+
+    cent = {c: vecs[c].copy() for c in range(k)}  # ids 0..k-1 init
+    assign = {}
+    for _ in range(2):
+        assign = {}
+        for i, v in enumerate(vecs):
+            best = min(
+                (round(float(((v - cv) ** 2).sum()), 6), c)
+                for c, cv in cent.items()
+            )
+            assign[i] = best  # (dist, cluster) with id tie-break
+        new_cent = {}
+        for c in set(c for _, c in assign.values()):
+            members = [vecs[i] for i, (_, ci) in assign.items() if ci == c]
+            new_cent[c] = np.round(np.mean(members, axis=0), 6)
+        cent = new_cent
+    for i in range(len(vecs)):
+        d, c = assign[i]
+        assert got[i] == (c, d), (i, got[i], (c, d))
