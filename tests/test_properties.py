@@ -1057,3 +1057,49 @@ def test_kmeans_matches_reference_on_random_clouds(spark, pts, k):
     for i in range(len(vecs)):
         d, c = assign[i]
         assert got[i] == (c, d), (i, got[i], (c, d))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-9, 9), st.integers(-9, 9), st.integers(-9, 9)),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_pca_power_matches_reference_on_random_clouds(spark, pts):
+    """pca_power_top_component equals the NumPy power loop under the
+    identical quantization contract on arbitrary integer clouds —
+    degenerate shapes included (collinear points, zero-variance
+    dims)."""
+    import numpy as np
+
+    from gexp_ml_dask_spark.llm.similarity import pca_power_top_component
+
+    vecs = np.array(pts, dtype=float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["pos"]: r["loading"]
+        for r in pca_power_top_component(df, n_iter=3).collect()
+    }
+    X = vecs - vecs.mean(axis=0)
+    C = np.round(X.T @ X, 6)
+    v = np.array([1.0, 0.0, 0.0])
+    for _ in range(3):
+        w = np.round(C @ v, 6)
+        nrm = round(float(np.sqrt((w * w).sum())), 6)
+        if nrm == 0:
+            v = np.full(3, np.nan)
+            break
+        v = np.round(w / nrm, 6)
+    for p in range(3):
+        if np.isnan(v[p]):
+            assert got[p] is None or np.isnan(got[p]), (p, got[p])
+        else:
+            assert got[p] is not None and abs(got[p] - v[p]) < 1e-9, (
+                p, got[p], v[p],
+            )
