@@ -119,3 +119,73 @@ def isotonic_calibrate(
         return pdf[[id_col, group_col, score_col, label_col, "calibrated"]]
 
     return scored.groupBy(group_col).applyInPandas(fit, schema)
+
+
+def isotonic_fit_apply(
+    train: DataFrame,
+    serve: DataFrame,
+    group_col: str = "model",
+    score_col: str = "score",
+    label_col: str = "y",
+    id_col: str = "sample_id",
+) -> DataFrame:
+    """OP-ML-10 (isotonic TRAIN/SERVE split) — fit the PAVA
+    calibrator on a labeled train split and apply it as a step
+    function to an unlabeled serve split, per group, in ONE
+    cogrouped pass: ``train.groupBy(g).cogroup(serve.groupBy(g))
+    .applyInPandas`` (both sides of a key arrive in the same pandas
+    call — the API surface for fit-here/apply-there patterns that
+    plain applyInPandas can't express without a join-and-carry).
+
+    Step-function contract (deterministic, engine-replayable):
+    the fitted value at serve score x is the fit of the LAST train
+    row (in (score, id) order) with score <= x; scores below the
+    train minimum clamp to the leftmost fit; groups with no train
+    rows yield NULL. The DuckDB oracle replays this with a
+    completely different mechanism — the minimax-characterization
+    fit reduced to one step row per distinct score, then an ASOF
+    JOIN — so the match is again a theorem-plus-contract check.
+
+    Returns (id, group, score, calibrated)."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = [id_col, group_col, score_col, "calibrated"]
+    schema = (
+        f"{id_col} long, {group_col} long, {score_col} double, "
+        "calibrated double"
+    )
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if rpdf.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        out = rpdf[[id_col, group_col, score_col]].copy()
+        if lpdf.empty:
+            out["calibrated"] = np.nan
+            return out[out_cols]
+        l = lpdf.sort_values([score_col, id_col]).reset_index(drop=True)
+        ys = l[label_col].to_numpy()
+        sums: list[int] = []
+        cnts: list[int] = []
+        for v in ys:
+            s, c = int(v), 1
+            while sums and sums[-1] * c > s * cnts[-1]:
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        l["fit"] = np.concatenate(
+            [np.full(c, round(s / c, 6)) for s, c in zip(sums, cnts)]
+        )
+        step = l.groupby(score_col, as_index=False).last()
+        ts = step[score_col].to_numpy()
+        tf = step["fit"].to_numpy()
+        idx = np.searchsorted(ts, out[score_col].to_numpy(), side="right") - 1
+        out["calibrated"] = np.where(idx >= 0, tf[np.clip(idx, 0, None)], tf[0])
+        return out[out_cols]
+
+    return (
+        train.groupBy(group_col)
+        .cogroup(serve.groupBy(group_col))
+        .applyInPandas(fn, schema)
+    )

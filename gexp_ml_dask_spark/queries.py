@@ -4640,6 +4640,92 @@ def op_ml_10_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibrate(base)
 
 
+@register(
+    "op_ml_10_isotonic_apply",
+    # Fit-on-train / apply-to-serve isotonic calibration. Oracle:
+    # minimax fit on the train split, reduced to one step row per
+    # distinct score (last (score,id) row), then an ASOF JOIN onto
+    # the serve scores with below-minimum clamping to the leftmost
+    # fit — the same step-function contract the cogrouped PAVA
+    # implements with np.searchsorted.
+    f"WITH g AS ({G_QTY}), "
+    "tot AS (SELECT sample_id, round(sum(value), 6) AS score "
+    "FROM g GROUP BY 1), "
+    "lab AS (SELECT o_orderkey AS sample_id, "
+    "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS y FROM orders "
+    "WHERE o_orderstatus IN ('O', 'F')), "
+    "base AS (SELECT t.sample_id, t.sample_id % 4 AS model, t.score, "
+    "CAST(l.y AS BIGINT) AS y FROM tot t JOIN lab l USING (sample_id) "
+    "WHERE t.sample_id % 97 = 0), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY model "
+    "ORDER BY score, sample_id) AS i FROM base), "
+    "ps AS (SELECT *, sum(y) OVER (PARTITION BY model ORDER BY i) AS s "
+    "FROM r), "
+    "pairs AS (SELECT j.model, j.i AS j, k.i AS k, "
+    "(k.s - j.s + j.y) * 1.0 / (k.i - j.i + 1) AS a "
+    "FROM ps j JOIN ps k ON j.model = k.model AND j.i <= k.i), "
+    "sm AS (SELECT model, j, k AS i, min(a) OVER "
+    "(PARTITION BY model, j ORDER BY k DESC) AS mn FROM pairs), "
+    "fit AS (SELECT model, i, max(mn) AS f FROM sm GROUP BY model, i), "
+    "fitted AS (SELECT r.sample_id, r.model, r.score, "
+    "round(fit.f, 6) AS fit FROM r JOIN fit "
+    "ON r.model = fit.model AND r.i = fit.i), "
+    "step AS (SELECT model, score, fit FROM (SELECT *, row_number() "
+    "OVER (PARTITION BY model, score ORDER BY sample_id DESC) AS rn "
+    "FROM fitted) WHERE rn = 1), "
+    "ff AS (SELECT model, fit AS f0 FROM (SELECT *, row_number() "
+    "OVER (PARTITION BY model ORDER BY score, sample_id) AS rn "
+    "FROM fitted) WHERE rn = 1), "
+    "serve AS (SELECT sample_id, sample_id % 4 AS model, score "
+    "FROM tot WHERE sample_id % 89 = 0) "
+    "SELECT s.sample_id, s.model, s.score, "
+    "coalesce(t.fit, ff.f0) AS calibrated "
+    "FROM serve s ASOF LEFT JOIN step t "
+    "ON s.model = t.model AND s.score >= t.score "
+    "LEFT JOIN ff ON s.model = ff.model",
+)
+def op_ml_10_isotonic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-10 (isotonic train/serve): fit PAVA on the labeled train
+    split, apply the step function to an unlabeled serve split, per
+    model, in one COGROUPED applyInPandas pass — the fit-here/
+    apply-there Pandas surface. Oracled by minimax fit + ASOF JOIN
+    (different algorithm both halves)."""
+    from gexp_ml_dask_spark.ml.metrics import isotonic_fit_apply
+
+    g = gexp(spark, sf_dir)
+    tot = g.groupBy("sample_id").agg(
+        F.round(F.sum("value"), 6).alias("score")
+    )
+    lab = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderkey").alias("sample_id"),
+            F.when(F.col("o_orderstatus") == "O", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    train = (
+        tot.join(lab, "sample_id")
+        .filter(F.col("sample_id") % 97 == 0)
+        .select(
+            "sample_id", (F.col("sample_id") % 4).alias("model"), "score", "y"
+        )
+    )
+    # fresh scan for the serve side: cogroup is a self-join when both
+    # sides share one plan, and Spark's ambiguous-self-join analysis
+    # (rightly) rejects the shared attribute ids
+    tot2 = gexp(spark, sf_dir).groupBy("sample_id").agg(
+        F.round(F.sum("value"), 6).alias("score")
+    )
+    serve = tot2.filter(F.col("sample_id") % 89 == 0).select(
+        "sample_id", (F.col("sample_id") % 4).alias("model"), "score"
+    )
+    return isotonic_fit_apply(train, serve)
+
+
 def _pca_oracle(n_iter: int = 4) -> str:
     """DuckDB twin of llm.similarity.pca_power_top_component — the
     centered Gram pass + n_iter quantized power rounds unrolled."""
@@ -5880,6 +5966,7 @@ _SIBLING_TWINS = {
     "op_llm_03_kmeans",              # ID covered by knn_bruteforce
     "op_llm_03_pca_power",           # ID covered by knn_bruteforce
     "op_ml_10_isotonic",             # OP-ML-10 has 7 sibling rows
+    "op_ml_10_isotonic_apply",       # OP-ML-10 has 7 sibling rows
     # not a twin, but a round-3 late addition deferred so the
     # r2-verdict-flagged cluster family keeps its ~50-slot window
     # positions this round; rotates in next round like any twin

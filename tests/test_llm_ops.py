@@ -558,6 +558,36 @@ def test_isotonic_pava_monotone_and_hand_case(spark):
     assert abs(sum(vals) - sum(y for *_, y in rows)) < 1e-4  # mean-preserving
 
 
+def test_isotonic_fit_apply_step_semantics(spark):
+    """Cogrouped fit/apply: serve scores between train scores take
+    the fit of the last train row <= x, below-minimum clamps to the
+    leftmost fit, and groups with no train rows yield NULL."""
+    import math
+
+    from gexp_ml_dask_spark.ml.metrics import isotonic_fit_apply
+
+    train = spark.createDataFrame(
+        [(0, 0, 1.0, 0), (1, 0, 2.0, 1), (2, 0, 3.0, 1)],
+        "sample_id long, model long, score double, y long",
+    )
+    serve = spark.createDataFrame(
+        [
+            (10, 0, 0.5),   # below min -> clamp to fit(1.0)
+            (11, 0, 2.5),   # between 2.0 and 3.0 -> fit(2.0)
+            (12, 0, 9.0),   # above max -> fit(3.0)
+            (13, 7, 1.0),   # model with no train rows -> NULL
+        ],
+        "sample_id long, model long, score double",
+    )
+    got = {
+        r["sample_id"]: r["calibrated"]
+        for r in isotonic_fit_apply(train, serve).collect()
+    }
+    # PAVA on y=[0,1,1] is already monotone: fits [0, 1, 1]
+    assert got[10] == 0.0 and got[11] == 1.0 and got[12] == 1.0
+    assert got[13] is None or math.isnan(got[13])
+
+
 def test_pca_power_matches_numpy_reference(spark):
     """pca_power_top_component equals a NumPy power loop under the
     identical quantization contract, and on an anisotropic cloud the
