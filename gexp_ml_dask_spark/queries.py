@@ -764,6 +764,69 @@ _Q1_SQL = (
 )
 
 
+# Shared-text SQL family: each string below runs VERBATIM through
+# spark.sql AND as the DuckDB oracle — checking the SQL front door
+# across the dialect intersection (windows, ROLLUP, correlated
+# subqueries), not just aggregation. row_number/count are cast in
+# the text itself so both engines agree on integer widths.
+_SQL_WINDOW = (
+    "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+    "CAST(row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk, "
+    "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
+    "AS running_spend FROM orders) "
+    "SELECT o_custkey, o_orderkey, o_totalprice, rk, running_spend "
+    "FROM r WHERE rk <= 3"
+)
+
+_SQL_ROLLUP = (
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, "
+    "round(sum(l_quantity), 6) AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+)
+
+_SQL_EXISTS = (
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers "
+    "FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000) "
+    "GROUP BY c_mktsegment"
+)
+
+
+@register("op_sql_01_top_orders_window", _SQL_WINDOW)
+def op_sql_01_top_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, window surface: per-customer top-3 orders by
+    price plus an ordered running-spend frame — the identical string
+    is the DuckDB oracle. Deterministic tie orders make the window
+    results engine-exact."""
+    from gexp_ml_dask_spark.sql import sql
+
+    return sql(spark, sf_dir, _SQL_WINDOW)
+
+
+@register("op_sql_01_rollup", _SQL_ROLLUP)
+def op_sql_01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, grouping-sets surface: GROUP BY ROLLUP run as
+    literal shared SQL — Spark expands the lattice inside one hash
+    aggregate; DuckDB replays the same text."""
+    from gexp_ml_dask_spark.sql import sql
+
+    return sql(spark, sf_dir, _SQL_ROLLUP)
+
+
+@register("op_sql_01_exists_subquery", _SQL_EXISTS)
+def op_sql_01_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, correlated-subquery surface: EXISTS decorrelates
+    to a left-semi hash join in Catalyst; the identical text is the
+    oracle."""
+    from gexp_ml_dask_spark.sql import sql
+
+    return sql(spark, sf_dir, _SQL_EXISTS)
+
+
 @register("op_sql_01_pricing_summary", _Q1_SQL)
 def op_sql_01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL entry surface (gexp_ml_dask_spark.sql): the TPC-H-Q1-shaped
@@ -5967,10 +6030,13 @@ _SIBLING_TWINS = {
     "op_llm_03_pca_power",           # ID covered by knn_bruteforce
     "op_ml_10_isotonic",             # OP-ML-10 has 7 sibling rows
     "op_ml_10_isotonic_apply",       # OP-ML-10 has 7 sibling rows
-    # not a twin, but a round-3 late addition deferred so the
+    # not twins, but round-3 late additions deferred so the
     # r2-verdict-flagged cluster family keeps its ~50-slot window
-    # positions this round; rotates in next round like any twin
+    # positions this round; they rotate in next round like any twin
     "op_agg_18_cohort_retention",
+    "op_sql_01_top_orders_window",   # OP-SQL-01 driver-green via pricing_summary
+    "op_sql_01_rollup",              # OP-SQL-01 driver-green via pricing_summary
+    "op_sql_01_exists_subquery",     # OP-SQL-01 driver-green via pricing_summary
     "op_llm_06_ppm_decode",          # ID covered by multimodal_features
     "op_src_04_jsonl_gzip",          # ID covered by json_mapping + jsonl
     "op_src_04_corrupt_quarantine",  # ID covered by json_mapping + jsonl
