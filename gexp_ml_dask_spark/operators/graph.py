@@ -289,3 +289,50 @@ def pagerank(
             ).alias("r"),
         )
     return ranks.select(F.col("node"), F.col("r").alias("pr"))
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list, deterministic by construction: labels init
+    to the node id; each round EVERY node takes the most frequent
+    label among its neighbors' PREVIOUS-round labels, ties broken by
+    the smaller label. Fixed ``n_iter`` rounds unroll lazily (same
+    posture as :func:`pagerank`); synchronous updates + the total
+    tie order make the trajectory engine-replayable, so the query
+    twin carries an integer-exact oracle. (Synchronous LPA can
+    oscillate on bipartite structures — a defined, reproducible
+    behavior here, not a convergence claim; asynchronous variants
+    trade determinism away.)
+
+    Per round: one edge-sized hash join + one (node, label) count
+    agg + one per-node argmax window — all keyed on well-spread
+    ids. Returns (node, community) after the last round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(n_iter):
+        cand = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.desc("_c"), F.asc("label")
+        )
+        labels = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -3289,6 +3289,59 @@ def op_llm_02_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_llm_02_communities",
+    # Synchronous label propagation over the same near-dup pair graph
+    # as pagerank/triangles (identical pair CTEs), 3 rounds unrolled —
+    # integer counts and a total tie order make the trajectory exact.
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 3, 0) + 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+    "e0 AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sh), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, "
+    "b.nsh AS nb, count(*) AS ni FROM e0 a JOIN e0 b ON a.sh = b.sh "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), "
+    "p0 AS (SELECT id_a AS u, id_b AS v FROM p "
+    "WHERE round(ni / (na + nb - ni), 6) >= 0.4), "
+    "e AS (SELECT u AS src, v AS dst FROM p0 "
+    "UNION ALL SELECT v, u FROM p0), "
+    "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), "
+    "c1 AS (SELECT e.dst AS node, l0.label, count(*) AS c FROM e "
+    "JOIN l0 ON e.src = l0.node GROUP BY 1, 2), "
+    "l1 AS (SELECT node, label FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY node ORDER BY c DESC, label) AS rn FROM c1) "
+    "WHERE rn = 1), "
+    "c2 AS (SELECT e.dst AS node, l1.label, count(*) AS c FROM e "
+    "JOIN l1 ON e.src = l1.node GROUP BY 1, 2), "
+    "l2 AS (SELECT node, label FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY node ORDER BY c DESC, label) AS rn FROM c2) "
+    "WHERE rn = 1), "
+    "c3 AS (SELECT e.dst AS node, l2.label, count(*) AS c FROM e "
+    "JOIN l2 ON e.src = l2.node GROUP BY 1, 2), "
+    "l3 AS (SELECT node, label FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY node ORDER BY c DESC, label) AS rn FROM c3) "
+    "WHERE rn = 1) "
+    "SELECT CAST(node AS BIGINT) AS node, "
+    "CAST(label AS BIGINT) AS community FROM l3",
+)
+def op_llm_02_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-02 (graph analytics): synchronous label-propagation
+    communities over the near-dup pair graph — the soft-clustering
+    complement to connected components (CC merges everything
+    touching; LPA splits weakly-bridged groups). Three unrolled
+    rounds, integer-exact oracle, deterministic tie order."""
+    from gexp_ml_dask_spark.llm.dedup import ngram_jaccard_pairs_auto
+    from gexp_ml_dask_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    pairs = ngram_jaccard_pairs_auto(
+        load_docs(spark, sf_dir), threshold=0.4, n=3
+    )
+    return label_propagation_communities(pairs, n_iter=3)
+
+
+@register(
     "op_llm_02_pagerank",
     # PageRank over the same near-dup pair graph as op_llm_02_triangles
     # (identical pair CTE), 3 power-iteration rounds UNROLLED as CTEs —
@@ -6023,6 +6076,7 @@ _SIBLING_TWINS = {
     "op_llm_07_temperature_weights",  # ID covered by mixture_sample
     "op_llm_02_tf_cosine_prefix",  # strategy twin of tf_cosine
     "op_llm_02_containment_prefix",  # strategy twin of containment
+    "op_llm_02_communities",         # graph family covered by pagerank/triangles
     "op_llm_08_incremental_ingest",  # ID covered by 3 curation rows
     "op_llm_08_curation_funnel",     # ID covered by 3 curation rows
     "op_llm_03_knn_filtered",        # ID covered by knn_bruteforce

@@ -1103,3 +1103,46 @@ def test_pca_power_matches_reference_on_random_clouds(spark, pts):
             assert got[p] is not None and abs(got[p] - v[p]) < 1e-9, (
                 p, got[p], v[p],
             )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.sampled_from([1, 3]),
+)
+def test_lpa_matches_reference_on_random_graphs(spark, raw_edges, n_iter):
+    """Synchronous LPA equals the plain-Python round-by-round loop
+    (majority neighbor label from the PREVIOUS round, ties to the
+    smaller label) on arbitrary small graphs — including oscillating
+    bipartite shapes, which both must replay identically."""
+    from gexp_ml_dask_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation_communities(df, n_iter=n_iter).collect()
+    }
+
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for m in ns:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            new[n] = min(counts, key=lambda c: (-counts[c], c))
+        lab = new
+    assert got == lab, (got, lab)
