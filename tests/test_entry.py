@@ -76,3 +76,19 @@ def test_driver_order_is_permutation():
     assert order[-len(checked):] == checked
     # everything ahead of it has no green driver row yet
     assert not (set(order[: len(order) - len(checked)]) & set(checked))
+
+
+def test_tiering_lists_name_real_queries():
+    """The deferral/tiering lists are maintained by hand — a renamed
+    query would silently fall out of its tier. Every name they carry
+    must be a live registry key."""
+    from gexp_ml_dask_spark.queries import (
+        _FLAGSHIPS,
+        _HEAVY_NAMES,
+        _SIBLING_TWINS,
+        QUERIES,
+    )
+
+    for group in (_FLAGSHIPS, _HEAVY_NAMES, _SIBLING_TWINS):
+        missing = [n for n in group if n not in QUERIES]
+        assert not missing, missing
