@@ -1,0 +1,140 @@
+"""Declarative data-quality constraints (SURVEY.md §2.4 family,
+[mandate]) — the Deequ/Great-Expectations-shaped validation gate a
+production pipeline runs before training: assert schema-level facts
+(nullability, ranges, accepted values, key uniqueness, referential
+integrity) and get back one small report row per check.
+
+Scale shape: every check reduces to either a conditional aggregate
+over one scan (null/range/set checks share a single pass via one
+combined aggregate), a keyed count for uniqueness, or a left-anti
+probe for referential integrity — no check ever materializes
+violating ROWS (counts only), so the report is constant-sized
+however large the fact table. Violation samples are a separate
+explicit call in real deployments; here the count contract is what
+the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _report_row(name: str, viol: Column) -> list[Column]:
+    return [
+        F.lit(name).alias("check"),
+        viol.cast("long").alias("n_violations"),
+        (viol == 0).alias("passed"),
+    ]
+
+
+def constraint_report(
+    df: DataFrame,
+    not_null: list[str] = (),
+    non_negative: list[str] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+    accepted: dict[str, list[str]] | None = None,
+    unique: list[list[str]] | None = None,
+    foreign_keys: list[tuple[list[str], DataFrame, list[str]]] | None = None,
+) -> DataFrame:
+    """Run the declared constraints and return one row per check:
+    (check, n_violations, passed).
+
+    * ``not_null`` / ``non_negative`` / ``ranges`` / ``accepted``:
+      row-level predicates — ALL of them fold into ONE conditional
+      aggregate over ONE scan of ``df``.
+    * ``unique``: per key-tuple, rows beyond the first are
+      violations (duplicate mass, counted via one keyed agg).
+    * ``foreign_keys``: (child_cols, parent_df, parent_cols) —
+      child rows with no parent, one left-anti hash join each.
+      Null child keys are orphans by this definition (the anti-join
+      never matches them); the SQL twin states that explicitly —
+      bare NOT IN would silently skip them via three-valued logic.
+
+    The report unions constant-sized 1-row aggregates; Catalyst runs
+    the row-level block as a single pass with map-side partials.
+    """
+    ranges = ranges or {}
+    accepted = accepted or {}
+    unique = unique or []
+    foreign_keys = foreign_keys or []
+
+    agg_cols = []
+    names = []
+    for c in not_null:
+        names.append(f"not_null({c})")
+        agg_cols.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
+    for c in non_negative:
+        names.append(f"non_negative({c})")
+        agg_cols.append(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)))
+    for c, (lo, hi) in sorted(ranges.items()):
+        names.append(f"range({c},[{lo},{hi}])")
+        agg_cols.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNull()
+                    | (F.col(c) < lo)
+                    | (F.col(c) > hi),
+                    1,
+                ).otherwise(0)
+            )
+        )
+    for c, vals in sorted(accepted.items()):
+        names.append(f"accepted_values({c})")
+        agg_cols.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNull() | ~F.col(c).isin(list(vals)), 1
+                ).otherwise(0)
+            )
+        )
+
+    report = None
+    if agg_cols:
+        one_pass = df.agg(
+            *[a.alias(f"_v{i}") for i, a in enumerate(agg_cols)]
+        )
+        for i, name in enumerate(names):
+            row = one_pass.select(
+                *_report_row(name, F.coalesce(F.col(f"_v{i}"), F.lit(0)))
+            )
+            report = row if report is None else report.unionByName(row)
+
+    for cols in unique:
+        dup_mass = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_n") - 1), F.lit(0)
+                ).alias("_v")
+            )
+        )
+        row = dup_mass.select(
+            *_report_row("unique(" + ",".join(cols) + ")", F.col("_v"))
+        )
+        report = row if report is None else report.unionByName(row)
+
+    for child_cols, parent, parent_cols in foreign_keys:
+        orphans = (
+            df.select(*child_cols)
+            .join(
+                parent.select(
+                    *[
+                        F.col(p).alias(c)
+                        for c, p in zip(child_cols, parent_cols)
+                    ]
+                ).distinct(),
+                list(child_cols),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("_v"))
+        )
+        row = orphans.select(
+            *_report_row(
+                "foreign_key(" + ",".join(child_cols) + ")", F.col("_v")
+            )
+        )
+        report = row if report is None else report.unionByName(row)
+
+    return report

@@ -1195,6 +1195,64 @@ def op_agg_14_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_19_constraints",
+    # Deequ-shaped data-quality report: every check is a COUNT, so
+    # the oracle is integer-exact. Row-level checks in one pass;
+    # uniqueness = duplicate mass; FK = NOT-IN orphan count.
+    "SELECT 'not_null(l_orderkey)' AS check, "
+    "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_violations, "
+    "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed "
+    "FROM lineitem "
+    "UNION ALL SELECT 'non_negative(l_extendedprice)', "
+    "CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT), "
+    "sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) = 0 "
+    "FROM lineitem "
+    "UNION ALL SELECT 'range(l_discount,[0.0,1.0])', "
+    "CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 "
+    "OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT), "
+    "sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 "
+    "OR l_discount > 1.0 THEN 1 ELSE 0 END) = 0 FROM lineitem "
+    "UNION ALL SELECT 'accepted_values(l_returnflag)', "
+    "CAST(sum(CASE WHEN l_returnflag IS NULL "
+    "OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT), "
+    "sum(CASE WHEN l_returnflag IS NULL "
+    "OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) = 0 "
+    "FROM lineitem "
+    "UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', "
+    "CAST(coalesce(sum(n - 1), 0) AS BIGINT), "
+    "coalesce(sum(n - 1), 0) = 0 FROM "
+    "(SELECT count(*) AS n FROM lineitem "
+    "GROUP BY l_orderkey, l_linenumber) "
+    # null child keys count as orphans (the anti-join's semantics;
+    # bare NOT IN would skip them via three-valued logic)
+    "UNION ALL SELECT 'foreign_key(l_orderkey)', "
+    "CAST(count(*) AS BIGINT), count(*) = 0 FROM lineitem "
+    "WHERE l_orderkey IS NULL "
+    "OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)",
+)
+def op_agg_19_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-19 (data-quality constraints): the Deequ-shaped
+    validation gate — nullability, sign, range, accepted values,
+    key uniqueness, referential integrity — each check reduced to a
+    COUNT (no violating rows ever materialize), row-level checks
+    fused into one scan. Integer-exact value oracle."""
+    from gexp_ml_dask_spark.operators.validate import constraint_report
+
+    return constraint_report(
+        load_table(spark, sf_dir, "lineitem"),
+        not_null=["l_orderkey"],
+        non_negative=["l_extendedprice"],
+        ranges={"l_discount": (0.0, 1.0)},
+        accepted={"l_returnflag": ["A", "N", "R"]},
+        unique=[["l_orderkey", "l_linenumber"]],
+        foreign_keys=[
+            (["l_orderkey"], load_table(spark, sf_dir, "orders"), ["o_orderkey"])
+        ],
+    )
+
+
+@register(
     "op_agg_18_cohort_retention",
     # Cohort retention: users grouped by first-activity ISO week;
     # retention(k) = share of the cohort active k weeks later.
@@ -6088,6 +6146,7 @@ _SIBLING_TWINS = {
     # r2-verdict-flagged cluster family keeps its ~50-slot window
     # positions this round; they rotate in next round like any twin
     "op_agg_18_cohort_retention",
+    "op_agg_19_constraints",
     "op_sql_01_top_orders_window",   # OP-SQL-01 driver-green via pricing_summary
     "op_sql_01_rollup",              # OP-SQL-01 driver-green via pricing_summary
     "op_sql_01_exists_subquery",     # OP-SQL-01 driver-green via pricing_summary

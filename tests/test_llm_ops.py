@@ -533,6 +533,48 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
         assert len({got[i][0] for i in ids}) == 1
 
 
+def test_constraint_report_counts_planted_violations(spark):
+    """Every constraint kind counts its planted violations exactly:
+    nulls, negatives, out-of-range, off-list values, duplicate keys,
+    and FK orphans — and passes flip accordingly."""
+    from gexp_ml_dask_spark.operators.validate import constraint_report
+
+    rows = [
+        (1, 1, 10.0, 0.1, "A"),
+        (1, 1, -5.0, 0.2, "N"),    # dup key + negative price
+        (2, 1, 7.0, 1.5, "R"),     # discount out of range
+        (None, 1, 3.0, 0.0, "X"),  # null key + bad flag
+        (9, 1, 2.0, 0.3, "A"),     # orphan order 9
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_extendedprice double, "
+        "l_discount double, l_returnflag string",
+    )
+    parents = spark.createDataFrame(
+        [(1,), (2,)], "o_orderkey long"
+    )
+    got = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in constraint_report(
+            df,
+            not_null=["l_orderkey"],
+            non_negative=["l_extendedprice"],
+            ranges={"l_discount": (0.0, 1.0)},
+            accepted={"l_returnflag": ["A", "N", "R"]},
+            unique=[["l_orderkey", "l_linenumber"]],
+            foreign_keys=[(["l_orderkey"], parents, ["o_orderkey"])],
+        ).collect()
+    }
+    assert got["not_null(l_orderkey)"] == (1, False)
+    assert got["non_negative(l_extendedprice)"] == (1, False)
+    assert got["range(l_discount,[0.0,1.0])"] == (1, False)
+    assert got["accepted_values(l_returnflag)"] == (1, False)
+    assert got["unique(l_orderkey,l_linenumber)"] == (1, False)
+    # orphans: order 9 AND the null key row (NOT IN semantics)
+    assert got["foreign_key(l_orderkey)"] == (2, False)
+
+
 def test_isotonic_pava_monotone_and_hand_case(spark):
     """PAVA output is non-decreasing in score order, preserves the
     group mean, and matches the hand-pooled blocks on the textbook
