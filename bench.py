@@ -56,6 +56,8 @@ HEADLINE = [
     "op_llm_07_temperature_weights",  # temperature mixture weights (source-key agg)
     "op_llm_04_bpe_tokenize",       # BPE train (5 merges) + apply: vocab-dim rounds + word-key join
     "op_llm_03_kmeans",             # exact-contract Lloyd k-means (3 rounds, pos-join distances)
+    "op_agg_18_cohort_retention",   # cohort retention (2 fact aggs + user-key join)
+    "op_agg_19_constraints",        # data-quality gate (1 fused scan + keyed agg + FK anti-join)
 ]
 
 
