@@ -1146,3 +1146,68 @@ def test_lpa_matches_reference_on_random_graphs(spark, raw_edges, n_iter):
             new[n] = min(counts, key=lambda c: (-counts[c], c))
         lab = new
     assert got == lab, (got, lab)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(1, 5)),   # l_orderkey
+            st.integers(1, 3),                          # l_linenumber
+            st.floats(-10, 10, allow_nan=False),        # price
+            st.one_of(st.none(), st.floats(-1, 2, allow_nan=False)),  # disc
+            st.sampled_from(["A", "N", "R", "X"]),      # flag
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_constraint_report_matches_pandas_counts(spark, rows):
+    """constraint_report equals plain-pandas violation counting on
+    arbitrary dirty tables — nulls, duplicates, orphans, off-range
+    and off-list values in every combination."""
+    import pandas as pd
+
+    from gexp_ml_dask_spark.operators.validate import constraint_report
+
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_extendedprice double, "
+        "l_discount double, l_returnflag string",
+    )
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "o_orderkey long")
+    got = {
+        r["check"]: r["n_violations"]
+        for r in constraint_report(
+            df,
+            not_null=["l_orderkey"],
+            non_negative=["l_extendedprice"],
+            ranges={"l_discount": (0.0, 1.0)},
+            accepted={"l_returnflag": ["A", "N", "R"]},
+            unique=[["l_orderkey", "l_linenumber"]],
+            foreign_keys=[(["l_orderkey"], parents, ["o_orderkey"])],
+        ).collect()
+    }
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_discount", "l_returnflag",
+        ],
+    )
+    assert got["not_null(l_orderkey)"] == int(pdf.l_orderkey.isna().sum())
+    assert got["non_negative(l_extendedprice)"] == int(
+        (pdf.l_extendedprice < 0).sum()
+    )
+    assert got["range(l_discount,[0.0,1.0])"] == int(
+        (pdf.l_discount.isna() | (pdf.l_discount < 0) | (pdf.l_discount > 1)).sum()
+    )
+    assert got["accepted_values(l_returnflag)"] == int(
+        (~pdf.l_returnflag.isin(["A", "N", "R"])).sum()
+    )
+    dup = pdf.groupby(
+        ["l_orderkey", "l_linenumber"], dropna=False
+    ).size()
+    assert got["unique(l_orderkey,l_linenumber)"] == int((dup - 1).sum())
+    orphan = pdf.l_orderkey.isna() | ~pdf.l_orderkey.isin([1, 2, 3])
+    assert got["foreign_key(l_orderkey)"] == int(orphan.sum())
