@@ -137,3 +137,34 @@ def ewma_in_key(
         num = contrib if num is None else num + contrib
         den = present if den is None else den + present
     return events.withColumn(out_col, F.round(F.try_divide(num, den), 6))
+
+
+def rolling_percentile(
+    events: DataFrame,
+    q: float = 0.95,
+    frame_rows: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """OP-WIN-05 [mandate] — trailing exact percentile over a bounded
+    ROWS frame per key: the monitoring primitive behind rolling-p95
+    latency/score tracking. An exact `percentile` aggregate evaluated
+    as a window function over at most ``frame_rows`` values is cheap
+    (the frame is constant-sized; this is NOT the global-percentile
+    single-reducer cliff — operators/aggregates.py owns that case),
+    and linear interpolation matches ANSI percentile_cont /
+    DuckDB quantile_cont exactly, so the result value-oracles after
+    the standard round(,6)."""
+    w = (
+        _ordered_window(key_col, ts_col, id_col)
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.round(F.percentile(F.col(value_col), F.lit(q)).over(w), 6).alias(
+            "rolling_p"
+        ),
+    )

@@ -1464,6 +1464,27 @@ def op_win_01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_win_05_rolling_p95",
+    # trailing exact p95 over a 5-row frame — percentile_cont's
+    # linear interpolation == Spark's percentile == DuckDB's
+    # quantile_cont on the identical constant-sized value set
+    "SELECT event_id, user_id, round(quantile_cont(value, 0.95) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_p "
+    "FROM events",
+)
+def op_win_05_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-05 `[mandate]`: trailing exact p95 per user over a
+    bounded 5-row frame — the rolling-latency/score monitoring
+    primitive. Constant-sized frames make the exact percentile cheap
+    (no relation to the global-percentile single-reducer cliff);
+    linear interpolation matches both engines exactly."""
+    from gexp_ml_dask_spark.operators.windows import rolling_percentile
+
+    return rolling_percentile(load_events(spark, sf_dir), q=0.95, frame_rows=5)
+
+
+@register(
     "op_win_02_lag_delta",
     "SELECT event_id, user_id, round(epoch(ts) - lag(epoch(ts)) OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_seconds "
@@ -6147,6 +6168,7 @@ _SIBLING_TWINS = {
     # positions this round; they rotate in next round like any twin
     "op_agg_18_cohort_retention",
     "op_agg_19_constraints",
+    "op_win_05_rolling_p95",
     "op_sql_01_top_orders_window",   # OP-SQL-01 driver-green via pricing_summary
     "op_sql_01_rollup",              # OP-SQL-01 driver-green via pricing_summary
     "op_sql_01_exists_subquery",     # OP-SQL-01 driver-green via pricing_summary
