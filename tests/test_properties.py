@@ -1211,3 +1211,53 @@ def test_constraint_report_matches_pandas_counts(spark, rows):
     assert got["unique(l_orderkey,l_linenumber)"] == int((dup - 1).sum())
     orphan = pdf.l_orderkey.isna() | ~pdf.l_orderkey.isin([1, 2, 3])
     assert got["foreign_key(l_orderkey)"] == int(orphan.sum())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 27)),  # (user, day)
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_cohort_retention_matches_pandas(spark, visits):
+    """cohort_retention equals a plain-pandas cohort rollup on
+    arbitrary (user, day) activity sets — offset-0 retention is
+    always 1.0, counts partition each user's active weeks."""
+    import datetime as dt
+
+    from gexp_ml_dask_spark.operators.aggregates import cohort_retention
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (i, u, base + dt.timedelta(days=d, hours=1))
+        for i, (u, d) in enumerate(visits)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+
+    weeks: dict[int, set[int]] = {}
+    for u, d in visits:
+        weeks.setdefault(u, set()).add(d // 7)
+    cohort = {u: min(ws) for u, ws in weeks.items()}
+    sizes: dict[int, int] = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want: dict[tuple, set] = {}
+    for u, ws in weeks.items():
+        for w in ws:
+            want.setdefault((cohort[u], w - cohort[u]), set()).add(u)
+    for (c, k), users in want.items():
+        cw = (base + dt.timedelta(weeks=c)).strftime("%Y-%m-%d")
+        n, rate = got[(cw, k)]
+        assert n == len(users), ((c, k), n, len(users))
+        assert abs(rate - round(len(users) / sizes[c], 6)) < 1e-9
+        if k == 0:
+            assert rate == 1.0
+    assert len(got) == len(want)
