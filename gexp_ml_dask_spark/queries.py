@@ -1195,6 +1195,80 @@ def op_agg_14_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_20_ab_test",
+    # Two-proportion z-test over a deterministic hash split of users
+    # (arm = md5-bucket parity). Conversion = the user's FIRST
+    # purchase (deterministic (ts, event_id) order) exceeds the
+    # threshold — ONE draw per user, so the conversion probability is
+    # scale-invariant (a max-over-events definition drifts to 1.0 as
+    # per-user event counts grow with SF, collapsing the pooled
+    # variance to 0). Pooled-variance z, identical double algebra.
+    "WITH p AS (SELECT user_id, value, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events "
+    "WHERE event_type = 'purchase'), "
+    "u AS (SELECT user_id, "
+    "CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), "
+    "':42')), 1, 8)) AS BIGINT) % 2 AS arm, "
+    "max(CASE WHEN rn = 1 AND value > 30 THEN 1 ELSE 0 END) AS conv "
+    "FROM p GROUP BY 1, 2), "
+    "s AS (SELECT "
+    "sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0, "
+    "sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1, "
+    "sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c0, "
+    "sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c1 FROM u) "
+    "SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat, "
+    "round(c0 * 1.0 / n0, 6) AS rate_control, "
+    "round(c1 * 1.0 / n1, 6) AS rate_treat, "
+    "round((c1 * 1.0 / n1 - c0 * 1.0 / n0) / "
+    "sqrt(((c0 + c1) * 1.0 / (n0 + n1)) * "
+    "(1 - (c0 + c1) * 1.0 / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)), 6) "
+    "AS z_score FROM s",
+)
+def op_agg_20_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-20 (A/B test analysis): two-proportion z-test between
+    deterministically hash-assigned arms — conversion is the user's
+    FIRST purchase value over a threshold (one draw per user, so the
+    rate is scale-invariant), one window + one conditional aggregate,
+    closed-form pooled-variance z. The binary-outcome complement to
+    OP-AGG-17's Welch t; arm assignment uses the same md5 key-hash
+    contract as every split in the engine."""
+    from gexp_ml_dask_spark.ml.pipeline import hash_bucket
+    from gexp_ml_dask_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    u = p.groupBy(
+        "user_id", (hash_bucket("user_id", 42, 2)).alias("arm")
+    ).agg(
+        F.max(
+            F.when((F.col("_rn") == 1) & (F.col("value") > 30), 1)
+            .otherwise(0)
+        ).alias("conv")
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return s.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treat"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
     "op_agg_19_constraints",
     # Deequ-shaped data-quality report: every check is a COUNT, so
     # the oracle is integer-exact. Row-level checks in one pass;
@@ -6169,6 +6243,7 @@ _SIBLING_TWINS = {
     "op_agg_18_cohort_retention",
     "op_agg_19_constraints",
     "op_win_05_rolling_p95",
+    "op_agg_20_ab_test",
     "op_sql_01_top_orders_window",   # OP-SQL-01 driver-green via pricing_summary
     "op_sql_01_rollup",              # OP-SQL-01 driver-green via pricing_summary
     "op_sql_01_exists_subquery",     # OP-SQL-01 driver-green via pricing_summary
