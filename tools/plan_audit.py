@@ -6,7 +6,7 @@ tests/test_plans.py pins the shape of the headline queries; this
 sweeps the WHOLE registry so a new registration can't quietly ship a
 nested-loop join.
 
-Known-benign whitelist (last full audit 2026-08-15, flagged 12/190,
+Known-benign whitelist (last full audit 2026-08-15, flagged 12/191,
 all by inspection legitimate):
 
 * scalar broadcasts (1-row side, the standard scalar-join shape):
