@@ -58,6 +58,10 @@ def constraint_report(
     accepted = accepted or {}
     unique = unique or []
     foreign_keys = foreign_keys or []
+    if not any(
+        [not_null, non_negative, ranges, accepted, unique, foreign_keys]
+    ):
+        raise ValueError("constraint_report: no checks declared")
 
     agg_cols = []
     names = []
