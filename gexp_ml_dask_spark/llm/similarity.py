@@ -380,13 +380,26 @@ def kmeans_lloyd(
     Returns final assignments: (vec_id, cluster, dist) with dist
     the rounded squared L2 to the winning centroid.
 
-    Scale posture: each round shuffles the n*k*dim distance rows —
+    Lineage control: the per-round centroid table is k*dim rows
+    (512 here) and ALREADY rounded to 6dp, so it is collected to the
+    driver between rounds and re-planted as a literal DataFrame —
+    the MLlib-KMeans pattern (centroids live on the driver between
+    Lloyd rounds). This truncates the otherwise O(rounds x lineage)
+    unrolled plan to O(1) stages per round, turns every pos-join
+    into a broadcast, and lets ``dims`` be unpersisted before
+    return (no cache entries leak into long-lived sessions; the
+    final returned plan re-derives the one narrow scan+explode).
+    Values are bit-identical to the fully-lazy form: collection
+    moves rounded doubles, it computes nothing.
+
+    Scale posture: each round shuffles the n*k distance rows —
     right for the oracle contract and for cell-building over
     representative SAMPLES (how IVF training actually runs); a
     100 TB full-corpus fit belongs to MLlib KMeans / the Arrow kNN
     scorer, which trade the exact replayability away."""
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     dims = embeddings.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
@@ -406,12 +419,26 @@ def kmeans_lloyd(
             .alias("cluster"),
         )
     )
-    cent = dims.join(init_ids, id_col).select(
-        "cluster", "pos", F.col("x").alias("c")
+
+    def _replant(cent_df: DataFrame) -> DataFrame:
+        # k*dim rounded rows -> driver -> literal DataFrame: lineage
+        # truncation, NOT computation (everything is pre-rounded)
+        rows = [
+            (int(r["cluster"]), int(r["pos"]), float(r["c"]))
+            for r in cent_df.collect()
+        ]
+        return F.broadcast(
+            spark.createDataFrame(rows, "cluster long, pos int, c double")
+        )
+
+    cent = _replant(
+        dims.join(init_ids, id_col).select(
+            "cluster", "pos", F.col("x").alias("c")
+        )
     )
 
     assign = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         dist = (
             dims.join(cent, "pos")
             .groupBy(id_col, "cluster")
@@ -428,11 +455,13 @@ def kmeans_lloyd(
             .filter(F.col("_rn") == 1)
             .select(id_col, "cluster", "dist")
         )
-        cent = (
-            dims.join(assign.select(id_col, "cluster"), id_col)
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-        )
+        if it < n_iter - 1:
+            cent = _replant(
+                dims.join(assign.select(id_col, "cluster"), id_col)
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+            )
+    dims.unpersist()
     return assign
 
 
@@ -494,6 +523,15 @@ def pca_power_top_component(
     )
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
+
+    def _replant(v_df: DataFrame) -> DataFrame:
+        # dim rows of pre-rounded doubles -> driver -> literal:
+        # truncates the per-round lineage (see kmeans_lloyd)
+        rows = [(int(r["pos"]), float(r["v"])) for r in v_df.collect()]
+        return F.broadcast(spark.createDataFrame(rows, "pos int, v double"))
+
+    v = _replant(v)
     for _ in range(n_iter):
         w = (
             cov.join(v.select(F.col("pos").alias("j"), "v"), "j")
@@ -505,14 +543,21 @@ def pca_power_top_component(
         nrm = F.round(
             F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy())), 6
         )
-        v = w.select(
-            F.col("i").alias("pos"),
-            F.round(F.try_divide(F.col("w"), nrm), 6).alias("v"),
+        v = _replant(
+            w.select(
+                F.col("i").alias("pos"),
+                F.round(F.try_divide(F.col("w"), nrm), 6).alias("v"),
+            )
         )
-    return v.select(
+    out = v.select(
         F.col("pos").cast("long").alias("pos"),
         F.col("v").alias("loading"),
     )
+    # the rounds above were eagerly materialized by _replant and the
+    # returned plan is a pure literal — safe to drop both caches now
+    centered.unpersist()
+    cov.unpersist()
+    return out
 
 
 def label_centroids(

@@ -58,6 +58,20 @@ def mae_df(pred: DataFrame, label_col: str = "label", pred_col: str = "predictio
     return pred.agg(F.round(F.avg(err), 6).alias("mae"))
 
 
+def _round6_half_away(x: float) -> float:
+    """6dp HALF_UP rounding — the one rounding rule every contract
+    surface uses (Spark ``F.round`` / DuckDB ``round`` are both
+    half-away-from-zero). Python's built-in ``round`` is banker's
+    (half-even); an s/c block mean can never land on an exact 6dp
+    tie in binary floats, so the two only *theoretically* diverge —
+    but the PAVA UDFs must still state the same contract as the
+    relational surfaces. Decimal quantize over the shortest repr
+    matches Spark/DuckDB on every representable double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
 def isotonic_calibrate(
     scored: DataFrame,
     group_col: str = "model",
@@ -111,7 +125,7 @@ def isotonic_calibrate(
             cnts.append(c)
         if cnts:
             fitv = np.concatenate(
-                [np.full(c, round(s / c, 6)) for s, c in zip(sums, cnts)]
+                [np.full(c, _round6_half_away(s / c)) for s, c in zip(sums, cnts)]
             )
         else:
             fitv = np.array([], dtype=float)
@@ -161,7 +175,10 @@ def isotonic_fit_apply(
             return pd.DataFrame({c: [] for c in out_cols})
         out = rpdf[[id_col, group_col, score_col]].copy()
         if lpdf.empty:
-            out["calibrated"] = np.nan
+            # SQL NULL, not NaN: a nullable Float64 with a null mask
+            # surfaces as NULL through Arrow, matching the docstring
+            # contract and the DuckDB ASOF oracle's no-train-rows row
+            out["calibrated"] = pd.array([None] * len(out), dtype="Float64")
             return out[out_cols]
         l = lpdf.sort_values([score_col, id_col]).reset_index(drop=True)
         ys = l[label_col].to_numpy()
@@ -175,7 +192,7 @@ def isotonic_fit_apply(
             sums.append(s)
             cnts.append(c)
         l["fit"] = np.concatenate(
-            [np.full(c, round(s / c, 6)) for s, c in zip(sums, cnts)]
+            [np.full(c, _round6_half_away(s / c)) for s, c in zip(sums, cnts)]
         )
         step = l.groupby(score_col, as_index=False).last()
         ts = step[score_col].to_numpy()

@@ -42,7 +42,10 @@ def constraint_report(
 
     * ``not_null`` / ``non_negative`` / ``ranges`` / ``accepted``:
       row-level predicates — ALL of them fold into ONE conditional
-      aggregate over ONE scan of ``df``.
+      aggregate over ONE scan of ``df``. NULL is a violation for
+      every value-shaped check (``non_negative`` / ``ranges`` /
+      ``accepted``): a NULL price is not evidence of a non-negative
+      price.
     * ``unique``: per key-tuple, rows beyond the first are
       violations (duplicate mass, counted via one keyed agg).
     * ``foreign_keys``: (child_cols, parent_df, parent_cols) —
@@ -70,7 +73,12 @@ def constraint_report(
         agg_cols.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
     for c in non_negative:
         names.append(f"non_negative({c})")
-        agg_cols.append(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)))
+        # NULL counts as a violation, consistently with ranges and
+        # accepted_values (otherwise `NULL < 0 IS NULL -> otherwise(0)`
+        # would read a table of NULL prices as fully non-negative)
+        agg_cols.append(
+            F.sum(F.when(F.col(c).isNull() | (F.col(c) < 0), 1).otherwise(0))
+        )
     for c, (lo, hi) in sorted(ranges.items()):
         names.append(f"range({c},[{lo},{hi}])")
         agg_cols.append(

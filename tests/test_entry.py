@@ -83,12 +83,13 @@ def test_tiering_lists_name_real_queries():
     query would silently fall out of its tier. Every name they carry
     must be a live registry key."""
     from gexp_ml_dask_spark.queries import (
+        _DEFERRED_ROTATE_IN,
         _FLAGSHIPS,
         _HEAVY_NAMES,
         _SIBLING_TWINS,
         QUERIES,
     )
 
-    for group in (_FLAGSHIPS, _HEAVY_NAMES, _SIBLING_TWINS):
+    for group in (_FLAGSHIPS, _HEAVY_NAMES, _SIBLING_TWINS, _DEFERRED_ROTATE_IN):
         missing = [n for n in group if n not in QUERIES]
         assert not missing, missing

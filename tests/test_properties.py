@@ -1197,7 +1197,7 @@ def test_constraint_report_matches_pandas_counts(spark, rows):
     )
     assert got["not_null(l_orderkey)"] == int(pdf.l_orderkey.isna().sum())
     assert got["non_negative(l_extendedprice)"] == int(
-        (pdf.l_extendedprice < 0).sum()
+        (pdf.l_extendedprice.isna() | (pdf.l_extendedprice < 0)).sum()
     )
     assert got["range(l_discount,[0.0,1.0])"] == int(
         (pdf.l_discount.isna() | (pdf.l_discount < 0) | (pdf.l_discount > 1)).sum()

@@ -47,7 +47,16 @@ def compare(got, want, pd):
         return False
     for c in got.columns:
         g, w = got[c], want[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+        g_f, w_f = pd.api.types.is_float_dtype(g), pd.api.types.is_float_dtype(w)
+        g_i, w_i = pd.api.types.is_integer_dtype(g), pd.api.types.is_integer_dtype(w)
+        # Driver's value-hash is dtype-sensitive: an int column on one
+        # side rendered as float on the other (e.g. DuckDB HUGEINT ->
+        # pandas float) hash-mismatches even when values are equal.
+        # Mirror that here so local sweeps catch it BEFORE the driver.
+        if (g_f and w_i) or (g_i and w_f):
+            print(f"     dtype-class mismatch col={c}: {g.dtype} vs {w.dtype}")
+            return False
+        if g_f or w_f:
             ga, wa = pd.to_numeric(g), pd.to_numeric(w)
             if not (((ga == wa) | (ga.isna() & wa.isna())).all()):
                 return False
