@@ -16,6 +16,33 @@ is the min of 3 repeats, and the Spark cache is cleared between
 repeats so no repeat reads a previous repeat's persisted data. We
 drain with ``write.format('noop')`` so every row is produced but
 nothing is collected to the driver.
+
+Beyond the operator suite, this harness also times the reference's
+PRIMARY published workload: the whole ``gexp_pipeline`` end-to-end
+(load → UQ normalize → stat filter → log2 → assemble → split →
+encode → scale → CV10 fit/score → eval fit/score,
+``functions/dask_pipeline.py:124-157``) over the reference's
+samplewise/featurewise n×f grid
+(``singlemachine_dataset_samplewise_benchmark.py:21-33``,
+``…featurewise…py:20-34``), scaled to the driver tables (the
+reference's n ∈ {200,600,1205} kept verbatim; f scaled 20k→500 so
+the largest cell's dense n×f matrix ≈ the whole sf0.1 fact table).
+Data prep (dense matrix + labels to parquet) happens OUTSIDE the
+timed region, exactly like the reference's ``data/brca_undersample.py``
+prep step; the timed region starts at ``spark.read.parquet`` like the
+reference's ``dask_load_data``.
+
+Peak memory is recorded for reference parity with
+``memory_usage(max_usage=True, include_children=True)``
+(``…samplewise…py:47-48``): a sampler thread walks the process tree
+(python driver + JVM children) every 250 ms summing VmRSS, reporting
+a per-query window peak and a suite-level peak.
+
+Host-state guard: identical plans swing 2–6× with co-tenant load
+(BASELINE.md environment note; BENCH_r3 was recorded at loadavg 15).
+The JSON line carries start/end telemetry and ``degraded: true``
+whenever loadavg_1m > 4 or pipe RTT > 60 µs, so a gate read never
+mistakes host noise for a code regression.
 """
 
 from __future__ import annotations
@@ -23,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -60,6 +88,22 @@ HEADLINE = [
     "op_agg_19_constraints",        # data-quality gate (1 fused scan + keyed agg + FK anti-join)
 ]
 
+# The reference's benchmark grid (singlemachine_dataset_samplewise
+# _benchmark.py:21-33: n ∈ {200,600,1205} × f=20k; …featurewise…
+# py:20-34: f ∈ {10k,20k,40k} × n=1205), f scaled 20k→500 for the
+# driver tables (same 1:2:4 feature ratio). (1205, 500) is shared
+# between the two sweeps, so 5 unique cells.
+PIPELINE_GRID = [
+    ("samplewise_n200_f500", 200, 500),
+    ("samplewise_n600_f500", 600, 500),
+    ("samplewise_n1205_f500", 1205, 500),
+    ("featurewise_n1205_f250", 1205, 250),
+    ("featurewise_n1205_f1000", 1205, 1000),
+]
+
+DEGRADED_LOAD = 4.0
+DEGRADED_RTT_US = 60.0
+
 
 def host_telemetry() -> dict[str, float]:
     """Scheduling-latency + load snapshot recorded alongside the
@@ -95,10 +139,227 @@ def host_telemetry() -> dict[str, float]:
     return {"pipe_rtt_us": round(rtt_us, 1), "loadavg_1m": round(load1, 2)}
 
 
+def _proc_tree_rss_mb() -> float:
+    """Sum VmRSS over this process and all descendants (the JVM is a
+    child of the python driver in local mode) — the same quantity the
+    reference's memory_usage(max_usage=True, include_children=True)
+    tracks (singlemachine_dataset_samplewise_benchmark.py:47-48)."""
+
+    def rss(pid: int) -> float:
+        try:
+            with open(f"/proc/{pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return 0.0
+
+    def children(pid: int) -> list[int]:
+        out: list[int] = []
+        try:
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                with open(f"/proc/{pid}/task/{tid}/children") as fh:
+                    out += [int(x) for x in fh.read().split()]
+        except OSError:
+            pass
+        return out
+
+    total, stack, seen = 0.0, [os.getpid()], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        total += rss(pid)
+        stack.extend(children(pid))
+    return total
+
+
+class PeakRssSampler:
+    """Background max-RSS tracker: suite-level peak plus a resettable
+    per-query window peak, sampled every ``interval`` seconds."""
+
+    def __init__(self, interval: float = 0.25) -> None:
+        self.interval = interval
+        self.peak = 0.0
+        self.window_peak = 0.0
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            cur = _proc_tree_rss_mb()
+            with self._lock:
+                self.peak = max(self.peak, cur)
+                self.window_peak = max(self.window_peak, cur)
+            self._stop.wait(self.interval)
+
+    def start(self) -> "PeakRssSampler":
+        self._thread.start()
+        return self
+
+    def reset_window(self) -> None:
+        with self._lock:
+            self.window_peak = _proc_tree_rss_mb()
+
+    def take_window(self) -> float:
+        with self._lock:
+            self.window_peak = max(self.window_peak, _proc_tree_rss_mb())
+            return round(self.window_peak, 1)
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        return round(self.peak, 1)
+
+
+def prep_pipeline_cell(spark, sf_dir: str, n: int, f: int, out: str) -> None:
+    """Derive the reference-shaped dense n×f expression matrix +
+    labels from lineitem (prep step ≡ data/brca_undersample.py —
+    outside the timed region). Samples/genes are key-folded so every
+    cell is a real subset-shaped workload of the same fact table;
+    missing (sample, gene) cells become explicit zeros exactly like
+    an FPKM matrix. Labels are the first-50-genes expression SHARE
+    split at the median — a composition signal that survives the
+    pipeline's per-sample normalization (a total-expression label
+    would be erased by it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    gid = F.concat(
+        F.lit("g"),
+        F.format_string("%05d", (F.col("l_partkey") % f).cast("int")),
+    )
+    vals = (
+        li.select(
+            (F.col("l_orderkey") % n).alias("sample_id"),
+            gid.alias("gene_id"),
+            F.col("l_quantity").alias("value"),
+        )
+        .groupBy("sample_id", "gene_id")
+        .agg(F.sum("value").alias("value"))
+    )
+    samples = spark.range(n).select(F.col("id").alias("sample_id"))
+    genes = spark.range(f).select(
+        F.concat(
+            F.lit("g"), F.format_string("%05d", F.col("id").cast("int"))
+        ).alias("gene_id")
+    )
+    dense = (
+        samples.crossJoin(F.broadcast(genes))
+        .join(vals, ["sample_id", "gene_id"], "left")
+        .select(
+            "sample_id",
+            "gene_id",
+            F.coalesce("value", F.lit(0.0)).alias("value"),
+        )
+    )
+    dense.repartition(8).write.mode("overwrite").parquet(f"{out}/gexp")
+    labels = (
+        spark.read.parquet(f"{out}/gexp")
+        .groupBy("sample_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("gene_id") < "g00050", F.col("value")
+                    ).otherwise(0.0)
+                )
+                / F.sum("value")
+            ).alias("share")
+        )
+        .select(
+            "sample_id",
+            F.when(
+                F.col("share")
+                > F.expr(
+                    "percentile_cont(0.5) WITHIN GROUP (ORDER BY share)"
+                    " OVER ()"
+                ),
+                "hi",
+            )
+            .otherwise("lo")
+            .alias("label"),
+        )
+    )
+    labels.coalesce(1).write.mode("overwrite").parquet(f"{out}/labels")
+
+
+def run_pipeline_grid(
+    spark, sf_dir: str, sampler: PeakRssSampler, repeats: int
+) -> tuple[dict[str, float], dict[str, dict], dict[str, float]]:
+    """Time gexp_pipeline end-to-end per grid cell; returns
+    (timings, scores, peak_rss)."""
+    import shutil
+    import tempfile
+
+    from gexp_ml_dask_spark.plans.gexp_pipeline import gexp_pipeline
+
+    cells = os.environ.get("SPARK_GRAFT_PIPE_CELLS")
+    grid = [
+        c
+        for c in PIPELINE_GRID
+        if cells is None or c[0] in cells.split(",")
+    ]
+    timings: dict[str, float] = {}
+    scores: dict[str, dict] = {}
+    peaks: dict[str, float] = {}
+    for name, n, f in grid:
+        tmp = tempfile.mkdtemp(prefix=f"pipebench_{name}_")
+        try:
+            prep_pipeline_cell(spark, sf_dir, n, f, tmp)
+            best, res = float("inf"), None
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                sampler.reset_window()
+                t0 = time.perf_counter()
+                gexp = spark.read.parquet(f"{tmp}/gexp")
+                labels = spark.read.parquet(f"{tmp}/labels")
+                res = gexp_pipeline(
+                    gexp,
+                    labels,
+                    task="classification",
+                    k_folds=10,
+                    seed=42,
+                    cv_parallelism=10,
+                    fit_partitions=8,
+                )
+                best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+            peaks[name] = sampler.take_window()
+            scores[name] = {
+                "mean_cv": round(res[0], 4),
+                "var_cv": round(res[1], 6),
+                "eval": round(res[2], 4),
+            }
+            print(
+                f"# pipeline {name}: {best:.3f}s eval={res[2]:.3f}",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return timings, scores, peaks
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     host = host_telemetry()
+    degraded = (
+        host["loadavg_1m"] > DEGRADED_LOAD
+        or host["pipe_rtt_us"] > DEGRADED_RTT_US
+    )
+    if degraded:
+        print(
+            f"# WARNING: degraded host (load={host['loadavg_1m']}, "
+            f"rtt={host['pipe_rtt_us']}us) — timings will be stamped "
+            "degraded:true; re-run on a quiet host for gate reads",
+            file=sys.stderr,
+        )
 
     from __spark_entry__ import queries
 
@@ -106,6 +367,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     registry = queries()
+    sampler = PeakRssSampler().start()
 
     # Warm-up: pay one-time JVM classloading / codegen / Arrow init
     # outside the measured window (the reference's min-of-3 repeats
@@ -117,9 +379,11 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    query_peaks: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
         best = float("inf")
+        sampler.reset_window()
         for _ in range(repeats):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -131,9 +395,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        query_peaks[name] = sampler.take_window()
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    pipe_repeats = int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS", "1"))
+    pipe_timings: dict[str, float] = {}
+    pipe_scores: dict[str, dict] = {}
+    pipe_peaks: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_PIPE_SKIP") != "1":
+        pipe_timings, pipe_scores, pipe_peaks = run_pipeline_grid(
+            spark, sf_dir, sampler, pipe_repeats
+        )
+
     total = round(sum(timings.values()), 3)
+    peak_mb = sampler.stop()
+    host_end = host_telemetry()
     print(
         json.dumps(
             {
@@ -143,6 +419,18 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host": host,
+                "host_end": host_end,
+                "degraded": bool(
+                    degraded
+                    or host_end["loadavg_1m"] > DEGRADED_LOAD * 2
+                ),
+                "peak_rss_mb": peak_mb,
+                "query_peak_rss_mb": query_peaks,
+                "pipeline": pipe_timings,
+                "pipeline_total": round(sum(pipe_timings.values()), 3),
+                "pipeline_scores": pipe_scores,
+                "pipeline_peak_rss_mb": pipe_peaks,
+                "pipeline_repeats": pipe_repeats,
             }
         )
     )
