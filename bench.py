@@ -419,11 +419,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host": host,
+                # host_end is informational only: a multi-minute
+                # 32-thread bench drives its OWN loadavg past any
+                # threshold, so only the PRE-run snapshot can
+                # distinguish co-tenant noise from our work.
                 "host_end": host_end,
-                "degraded": bool(
-                    degraded
-                    or host_end["loadavg_1m"] > DEGRADED_LOAD * 2
-                ),
+                "degraded": bool(degraded),
                 "peak_rss_mb": peak_mb,
                 "query_peak_rss_mb": query_peaks,
                 "pipeline": pipe_timings,

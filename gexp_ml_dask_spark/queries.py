@@ -1121,6 +1121,77 @@ def op_agg_16_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_16_mad_outliers",
+    # Robust per-gene outlier diagnostics: median + MAD (median
+    # absolute deviation), then the modified-z-score outlier count
+    # at the standard 3.5 cutoff (3.5 / 0.6745 = 3.5 * 1.4826 —
+    # written as the single literal 5.1891 in BOTH engines so the
+    # threshold product is bit-identical). The compare runs on
+    # 6dp-rounded deviation vs 6dp-rounded threshold on both sides,
+    # so engine float order can never flip a boundary row. No
+    # division anywhere, so MAD=0 genes are exact (only dev > 0
+    # rows count as outliers there).
+    f"WITH g AS ({G_QTY}), "
+    "med AS (SELECT gene_id, percentile_cont(0.5) WITHIN GROUP "
+    "(ORDER BY value) AS med FROM g GROUP BY gene_id), "
+    "d AS (SELECT g.gene_id, med.med, abs(g.value - med.med) AS dev "
+    "FROM g JOIN med USING (gene_id)), "
+    "stats AS (SELECT gene_id, min(med) AS med, percentile_cont(0.5) "
+    "WITHIN GROUP (ORDER BY dev) AS mad FROM d GROUP BY gene_id) "
+    "SELECT d.gene_id, round(stats.med, 6) AS med, "
+    "round(stats.mad, 6) AS mad, "
+    "CAST(sum(CASE WHEN round(d.dev, 6) > round(5.1891 * stats.mad, 6) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+    "FROM d JOIN stats USING (gene_id) "
+    "GROUP BY d.gene_id, stats.med, stats.mad",
+)
+def op_agg_16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-16 (robust-outlier twin): per-gene median/MAD and the
+    modified-z-score outlier count (|x - med| > 3.5σ̂, σ̂ = 1.4826 ×
+    MAD) — the quality-diagnostics complement to the skew stats,
+    and the robust alternative to the variance-based filters the
+    reference uses (mean/var thresholds break under heavy-tailed
+    expression; median/MAD do not). Plan: two gene-key hash aggs of
+    exact group percentiles (grouped_percentile — group size bounded
+    by #samples) with the gene-dim stats broadcast back onto the
+    fact for the counting pass; no division, so MAD=0 genes are
+    handled exactly."""
+    g = gexp(spark, sf_dir)
+    med = g.groupBy("gene_id").agg(
+        agg.grouped_percentile("value", 0.5).alias("med")
+    )
+    d = g.join(F.broadcast(med), "gene_id").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = d.groupBy("gene_id").agg(
+        F.min("med").alias("med"),
+        agg.grouped_percentile("dev", 0.5).alias("mad"),
+    )
+    return (
+        d.drop("med")
+        .join(F.broadcast(stats), "gene_id")
+        .groupBy("gene_id", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.round(F.col("dev"), 6)
+                    > F.round(F.lit(5.1891) * F.col("mad"), 6),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "gene_id",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
     "op_agg_14_spearman",
     # Spearman = Pearson over within-gene RANKS of the pooled
     # values (deterministic tie-break by bucket id), computed from
@@ -1515,6 +1586,51 @@ def op_agg_12_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_distinct") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact")
         ).alias("within_5pct"),
+    )
+
+
+@register(
+    "op_agg_12_quantile_sketch",
+    # Quantile sketches (Spark GK approx_percentile, DuckDB t-digest
+    # approx_quantile) are not bit-portable across engines, so —
+    # exactly like the HLL rows above — the portable value contract
+    # is the RANK BAND: each engine's own approx p95 must land
+    # between its exact p90 and exact p99 (inclusive, so constant
+    # groups where all three coincide still pass). The exact p95 is
+    # engine-independent and hash-pinned alongside the band bool.
+    "SELECT event_type, "
+    "round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) "
+    "AS p95_exact, "
+    "approx_quantile(value, 0.95) BETWEEN "
+    "percentile_cont(0.90) WITHIN GROUP (ORDER BY value) AND "
+    "percentile_cont(0.99) WITHIN GROUP (ORDER BY value) "
+    "AS within_rank_band "
+    "FROM events GROUP BY event_type",
+)
+def op_agg_12_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-12 (quantile-sketch twin): per-event-type approximate
+    p95 via approx_percentile (Greenwald-Khanna, accuracy 10000 →
+    rank error ≤ 1e-4) — the O(sketch)-state complement to the exact
+    per-group percentile ops (OP-AGG-03/04), and the path the 100 TB
+    config flag swaps in where a full per-group sort is too dear.
+    The oracle pins the rank-band contract: the sketch's p95 must
+    sit inside the exact [p90, p99], plus the engine-independent
+    exact p95 itself."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(agg.grouped_percentile("value", 0.95), 6).alias(
+            "p95_exact"
+        ),
+        (
+            (
+                F.expr("approx_percentile(value, 0.95, 10000)")
+                >= agg.grouped_percentile("value", 0.90)
+            )
+            & (
+                F.expr("approx_percentile(value, 0.95, 10000)")
+                <= agg.grouped_percentile("value", 0.99)
+            )
+        ).alias("within_rank_band"),
     )
 
 
