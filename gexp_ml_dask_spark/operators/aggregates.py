@@ -521,3 +521,65 @@ def cohort_retention(
             F.round(F.col("n_users") / F.col("_cs"), 6).alias("retention"),
         )
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    key_col: str = "gene_id",
+    value_col: str = "value",
+    cutoff: float = 5.1891,
+) -> DataFrame:
+    """OP-AGG-16 (robust-outlier twin) — per-key median, MAD (median
+    absolute deviation) and the modified-z-score outlier count:
+    rows with |x - median| > cutoff * MAD, default cutoff 3.5σ̂
+    (3.5 × 1.4826 written as the single literal 5.1891 so both
+    engines multiply the identical constant). The robust complement
+    to the reference's mean/var feature filters
+    (functions/dask_pipeline.py:36-41): median/MAD survive the
+    heavy-tailed expression distributions that wreck moment-based
+    thresholds.
+
+    Division-free (the compare is dev > cutoff*MAD, never dev/MAD),
+    so MAD=0 keys are exact: only rows strictly above the median
+    count as outliers there. Both sides of the compare are rounded
+    to 6dp so engine float order can never flip a boundary row.
+
+    Plan: two key-hash aggs of exact group percentiles
+    (grouped_percentile — group size bounded by the co-dimension,
+    e.g. #samples per gene) with the key-dim stats broadcast back
+    onto the fact for the counting pass. At 100 TB the exact group
+    medians swap for the sketch path exactly like OP-AGG-03/04
+    (grouped_percentile(exact=False)).
+    """
+    med = df.groupBy(key_col).agg(
+        grouped_percentile(value_col, 0.5).alias("med")
+    )
+    d = df.join(F.broadcast(med), key_col).withColumn(
+        "dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    stats = d.groupBy(key_col).agg(
+        F.min("med").alias("med"),
+        grouped_percentile("dev", 0.5).alias("mad"),
+    )
+    return (
+        d.drop("med")
+        .join(F.broadcast(stats), key_col)
+        .groupBy(key_col, "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.round(F.col("dev"), 6)
+                    > F.round(F.lit(cutoff) * F.col("mad"), 6),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            key_col,
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -1155,40 +1155,9 @@ def op_agg_16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact group percentiles (grouped_percentile — group size bounded
     by #samples) with the gene-dim stats broadcast back onto the
     fact for the counting pass; no division, so MAD=0 genes are
-    handled exactly."""
-    g = gexp(spark, sf_dir)
-    med = g.groupBy("gene_id").agg(
-        agg.grouped_percentile("value", 0.5).alias("med")
-    )
-    d = g.join(F.broadcast(med), "gene_id").withColumn(
-        "dev", F.abs(F.col("value") - F.col("med"))
-    )
-    stats = d.groupBy("gene_id").agg(
-        F.min("med").alias("med"),
-        agg.grouped_percentile("dev", 0.5).alias("mad"),
-    )
-    return (
-        d.drop("med")
-        .join(F.broadcast(stats), "gene_id")
-        .groupBy("gene_id", "med", "mad")
-        .agg(
-            F.sum(
-                F.when(
-                    F.round(F.col("dev"), 6)
-                    > F.round(F.lit(5.1891) * F.col("mad"), 6),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_outliers")
-        )
-        .select(
-            "gene_id",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            "n_outliers",
-        )
-    )
+    handled exactly. Library op: operators/aggregates.py
+    mad_outlier_stats (golden-numerics test in tests/test_pipeline.py)."""
+    return agg.mad_outlier_stats(gexp(spark, sf_dir), "gene_id", "value")
 
 
 @register(

@@ -287,3 +287,27 @@ def test_model_backend_gate(spark, gexp_data):
     model = make_classifier("features", "label_idx", seed=42).fit(data)
     preds = model.transform(data)
     assert preds.filter("prediction IS NULL").count() == 0
+
+
+def test_mad_outlier_stats_golden(spark):
+    """Hand-computed golden numerics for mad_outlier_stats
+    (OP-AGG-16 twin): gA = [1,2,3,4,100] -> med 3, devs [2,1,0,1,97],
+    MAD 1, threshold 5.1891 -> exactly the 97 row is an outlier.
+    gB = [5,5,5,7] -> med 5, devs [0,0,0,2], MAD (percentile 0.5 of
+    [0,0,0,2]) = 0 -> division-free contract: only dev > 0 rows
+    count, so exactly one outlier. gC constant -> MAD 0, 0 outliers."""
+    from gexp_ml_dask_spark.operators.aggregates import mad_outlier_stats
+
+    rows = (
+        [("gA", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]]
+        + [("gB", v) for v in [5.0, 5.0, 5.0, 7.0]]
+        + [("gC", v) for v in [9.0, 9.0, 9.0]]
+    )
+    df = spark.createDataFrame(rows, "gene_id string, value double")
+    got = {
+        r["gene_id"]: (r["med"], r["mad"], r["n_outliers"])
+        for r in mad_outlier_stats(df, "gene_id", "value").collect()
+    }
+    assert got["gA"] == (3.0, 1.0, 1)
+    assert got["gB"] == (5.0, 0.0, 1)
+    assert got["gC"] == (9.0, 0.0, 0)
