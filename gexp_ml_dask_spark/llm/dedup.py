@@ -859,16 +859,24 @@ def tf_cosine_pairs_prefix(
     Theorem: unit-normalize each tf vector and fix ONE global term
     order (ascending document frequency here — rarest first, so hot
     postings land in the suffix and never enter the index). For a doc
-    a, let s_a(i) = sqrt(sum of squared weights from position i on).
-    If a pair shares NO term in a's prefix {positions i with
-    s_a(i) >= t}, then by Cauchy-Schwarz cos(a,b) <= s_a(first
-    suffix position) * ||b|| < t. So every qualifying pair shares a
-    term in EACH member's own prefix, and an index of prefixes probed
-    with FULL postings has recall 1.0 (prefix x prefix would need
-    the two-sided s_a + s_b bound and is NOT used here). The
-    admission band of round(cos, 6) >= t is cos >= t - 5e-7, so the
-    prefix keeps positions with suffix_sq >= (t - 1e-6)^2 - 1e-9 (the
-    squared slack also covers float accumulation in the window sum).
+    a, let s_a(i) = sqrt(sum of squared weights from position i on),
+    and let a's prefix = {positions i with s_a(i) >= t}. Take the
+    FIRST shared term w of a qualifying pair in the global order:
+    every shared term sits at or after w in both docs' suffix sets,
+    so by Cauchy-Schwarz cos(a,b) <= s_a(w) * s_b(w). If w were
+    outside a's prefix then s_a(w) < t and (since s_b <= 1)
+    cos < t — contradiction; symmetrically for b. Hence the first
+    shared term of every qualifying pair lies in BOTH prefixes, and
+    the prefix x prefix self-join has recall 1.0 (the one-sided
+    prefix x full-postings probe is also lossless but its candidate
+    volume carries each term's FULL posting list — measured 486 s ->
+    285 s at sf1 on the dense-block boundary corpus, identical 17,770
+    pairs; BASELINE.md "two-sided prefix A/B"). The admission
+    band of round(cos, 6) >= t is cos >= t - 5e-7, so the prefix
+    keeps positions with suffix_sq >= (t - 1e-6)^2 - 1e-9 (the
+    squared slack also covers float accumulation in the window sum;
+    s_a(w), s_b(w) >= cos >= t - 5e-7 > t - 1e-6 keeps w inside both
+    slackened prefixes).
 
     Identical-pair parity vs the inverted form is pinned in
     tests/test_llm_ops.py::test_prefix_tf_cosine_identical_pairs
@@ -914,18 +922,31 @@ def tf_cosine_pairs_prefix(
     prefix = (
         weighted.withColumn("_suf_sq", F.sum("_w2").over(wsuf))
         .filter(F.col("_suf_sq") >= F.lit(tt * tt - 1.0e-9))
-        .select("doc_id", "term")
+        .select("doc_id", "term", "_suf_sq")
     )
-    p, f = prefix.alias("p"), tf.alias("f")
+    # Two-sided prefix x prefix self-join (first-shared-term bound
+    # above): ordered pair direction comes free from doc_id <, and
+    # hot full-posting lists never enter either side. The extra
+    # suffix-product predicate is the PPJoin-style positional bound:
+    # cos <= s_a(w) * s_b(w) at the FIRST shared term w, and a
+    # qualifying pair is always (re)generated via that w — where the
+    # product must clear tt — so dropping edges whose product falls
+    # short prunes only candidate DUPLICATES, never a pair's sole
+    # surviving edge (slack mirrors the prefix filter's).
+    p, f = prefix.alias("p"), prefix.alias("f")
     cand = (
         p.join(
             f,
             (F.col("p.term") == F.col("f.term"))
-            & (F.col("p.doc_id") != F.col("f.doc_id")),
+            & (F.col("p.doc_id") < F.col("f.doc_id"))
+            & (
+                F.col("p._suf_sq") * F.col("f._suf_sq")
+                >= F.lit(tt * tt * tt * tt - 1.0e-9)
+            ),
         )
         .select(
-            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_a"),
-            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_b"),
+            F.col("p.doc_id").alias("id_a"),
+            F.col("f.doc_id").alias("id_b"),
         )
         .distinct()
     )
