@@ -329,6 +329,7 @@ def run_pipeline_grid(
                 )
                 best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             timings[name] = round(best, 3)
             peaks[name] = sampler.take_window()
             scores[name] = {
@@ -397,6 +398,12 @@ def main() -> None:
         timings[name] = round(best, 3)
         query_peaks[name] = sampler.take_window()
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Ask the JVM to collect between queries (outside every timed
+        # window) so a query's RSS window reflects ITS live set, not
+        # the heap high-water of everything before it — G1 on JDK 17
+        # uncommits at full GC, without this the per-query peaks are
+        # simply monotone.
+        spark.sparkContext._jvm.System.gc()
 
     pipe_repeats = int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS", "1"))
     pipe_timings: dict[str, float] = {}

@@ -1369,6 +1369,105 @@ def op_agg_19_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_19_psi_drift",
+    # Population Stability Index per event type between the first
+    # and second half of the time range: fixed [0,500) 50-wide bins
+    # (op_agg_13_histogram's domain), proportions clamped at 1e-6 so
+    # empty bins are defined, psi = sum (p_b - p_a) * ln(p_b / p_a).
+    # The full type x bin grid is materialized so a bin empty on one
+    # side still contributes its clamped term.
+    "WITH e AS (SELECT event_type, epoch(ts) AS ep, "
+    "CAST(least(greatest(floor(value / 50), 0), 9) AS BIGINT) AS bin "
+    "FROM events), "
+    "m AS (SELECT (min(ep) + max(ep)) / 2.0 AS mid FROM e), "
+    "c AS (SELECT event_type, bin, "
+    "sum(CASE WHEN ep < (SELECT mid FROM m) THEN 1 ELSE 0 END) AS n_a, "
+    "sum(CASE WHEN ep >= (SELECT mid FROM m) THEN 1 ELSE 0 END) AS n_b "
+    "FROM e GROUP BY 1, 2), "
+    "grid AS (SELECT event_type, bin FROM "
+    "(SELECT DISTINCT event_type FROM e), "
+    "(SELECT unnest(range(10)) AS bin)), "
+    "f AS (SELECT grid.event_type, grid.bin, "
+    "coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b "
+    "FROM grid LEFT JOIN c ON grid.event_type = c.event_type "
+    "AND grid.bin = c.bin), "
+    "t AS (SELECT event_type, sum(n_a) AS ta, sum(n_b) AS tb "
+    "FROM f GROUP BY 1) "
+    "SELECT f.event_type, CAST(t.ta AS BIGINT) AS n_before, "
+    "CAST(t.tb AS BIGINT) AS n_after, "
+    "round(sum((greatest(coalesce(f.n_b / nullif(t.tb, 0), 0), 1e-6) "
+    "- greatest(coalesce(f.n_a / nullif(t.ta, 0), 0), 1e-6)) "
+    "* ln(greatest(coalesce(f.n_b / nullif(t.tb, 0), 0), 1e-6) "
+    "/ greatest(coalesce(f.n_a / nullif(t.ta, 0), 0), 1e-6))), 6) AS psi "
+    "FROM f JOIN t ON f.event_type = t.event_type "
+    "GROUP BY f.event_type, t.ta, t.tb",
+)
+def op_agg_19_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-19 (distribution-drift twin): Population Stability
+    Index of the value distribution per event type, first half of
+    the time range (expected) vs second half (actual) — the standard
+    is-this-feature-drifting gate a training pipeline runs before
+    refreshing a model (psi < 0.1 stable, > 0.25 drifted). Plan: the
+    epoch midpoint is a 2-scalar estimator-fit collect planted as a
+    literal; then ONE conditional hash agg over the fact builds both
+    periods' histograms in the op_agg_13_histogram binning, the
+    type×bin grid comes from a row-local sequence explode (no
+    cross join), and the PSI fold runs over the grid-sized table.
+    Proportions clamp at 1e-6 so empty bins stay defined; the DuckDB
+    twin replays the identical clamp/ln algebra."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("double").alias("ep"),
+        F.least(F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+    )
+    lo, hi = ev.agg(F.min("ep"), F.max("ep")).first()
+    mid = (lo + hi) / 2.0
+    c = ev.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("ep") < mid, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("ep") >= mid, 1).otherwise(0)).alias("n_b"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+    f = grid.join(c, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    t = f.groupBy("event_type").agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    pa = F.greatest(
+        F.coalesce(F.try_divide(F.col("n_a"), F.col("ta")), F.lit(0.0)),
+        F.lit(1e-6),
+    )
+    pb = F.greatest(
+        F.coalesce(F.try_divide(F.col("n_b"), F.col("tb")), F.lit(0.0)),
+        F.lit(1e-6),
+    )
+    return (
+        f.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "ta", "tb")
+        .agg(F.round(F.sum((pb - pa) * F.log(pb / pa)), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("ta").cast("long").alias("n_before"),
+            F.col("tb").cast("long").alias("n_after"),
+            "psi",
+        )
+    )
+
+
+@register(
     "op_agg_18_cohort_retention",
     # Cohort retention: users grouped by first-activity ISO week;
     # retention(k) = share of the cohort active k weeks later.
@@ -4170,6 +4269,46 @@ def op_llm_04_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gexp_ml_dask_spark.llm.text import self_repetition
 
     return self_repetition(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "op_llm_04_char_entropy",
+    # Per-doc character Shannon entropy — the gibberish/spam signal
+    # (near-zero entropy = one repeated char; binary blobs pasted as
+    # text score far above prose). Algebra shared verbatim with the
+    # Spark side: H = log2(t) - sum(n*log2(n))/t over per-char
+    # counts, so both engines fold the identical terms.
+    "WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) "
+    "AS c FROM documents), "
+    "cc AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' "
+    "GROUP BY doc_id, c) "
+    "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_seen, "
+    "round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS char_entropy "
+    "FROM cc GROUP BY doc_id",
+)
+def op_llm_04_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-LLM-04 (char-entropy gibberish filter): per-document
+    Shannon entropy over the character distribution — the classic
+    cheap screen for encoded blobs / key-mash spam (entropy far
+    above prose) and degenerate repetition (far below), used beside
+    the stopword/punct ratios of op_llm_04_text_stats. Plan: one
+    row-local char explode, a (doc, char) hash agg, then the per-doc
+    fold using H = log2(t) - Σ n·log2 n / t — a single-pass identity
+    (no per-char p=n/t second join), both shuffles on the doc key.
+    Empty-text docs carry no chars and drop out on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    return cc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_chars_seen"),
+        F.round(
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+            6,
+        ).alias("char_entropy"),
+    )
 
 
 @register(
