@@ -402,6 +402,113 @@ def op_join_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fil.semi_join_members(cust, hv, "c_custkey")
 
 
+def _bloom_pos(col: F.Column, seed: int, m: int) -> F.Column:
+    """One Bloom bit position: the repo's seeded-md5 hash family
+    (ml/pipeline.hash_bucket's exact arithmetic, one position per
+    seed) — a pure function of (key, seed), so DuckDB replays the
+    identical bit set and the Bloom contract is integer-EXACT."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+
+
+_BLOOM_M = 65536
+_BLOOM_SEEDS = (101, 102, 103)
+_BP = (
+    "CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), "
+    "':{seed}')), 1, 8)) AS BIGINT) % 65536"
+)
+
+
+@register(
+    "op_join_02_bloom_semi",
+    # Bloom-filter pre-join: k=3 md5 positions in an m=65536 space
+    # from the urgent-orders build side; a probe row passes when ALL
+    # its positions are set. Both engines derive the identical bit
+    # set (seeded md5), so pass/exact/false-positive counts are
+    # integer-exact — a VALUE contract, not an error band.
+    "WITH build AS (SELECT o_orderkey AS k FROM orders "
+    "WHERE o_orderpriority = '1-URGENT'), "
+    "p AS (SELECT DISTINCT pos FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {_BP.format(key='k', seed=s)} AS pos FROM build"
+        for s in _BLOOM_SEEDS
+    )
+    + ")), "
+    "li AS (SELECT l_orderkey, l_returnflag, "
+    + ", ".join(
+        f"{_BP.format(key='l_orderkey', seed=s)} AS p{i+1}"
+        for i, s in enumerate(_BLOOM_SEEDS)
+    )
+    + " FROM lineitem), "
+    "bp AS (SELECT l_returnflag, count(*) AS nb FROM li "
+    "WHERE p1 IN (SELECT pos FROM p) AND p2 IN (SELECT pos FROM p) "
+    "AND p3 IN (SELECT pos FROM p) GROUP BY 1), "
+    "ex AS (SELECT l_returnflag, count(*) AS ne FROM lineitem "
+    "WHERE l_orderkey IN (SELECT k FROM build) GROUP BY 1) "
+    "SELECT bp.l_returnflag, CAST(bp.nb AS BIGINT) AS n_bloom_pass, "
+    "CAST(coalesce(ex.ne, 0) AS BIGINT) AS n_exact, "
+    "CAST(bp.nb - coalesce(ex.ne, 0) AS BIGINT) AS n_false_pos "
+    "FROM bp LEFT JOIN ex ON bp.l_returnflag = ex.l_returnflag",
+)
+def op_join_02_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JOIN-02 (Bloom pre-join twin): the 100 TB semi-join
+    technique — reduce a huge probe side with an O(m)-bit broadcast
+    BEFORE the real join ships any data. The build side (urgent
+    orders) sets k=3 seeded-md5 positions per key in an m=65536
+    space; the probe (lineitem) keeps rows whose positions are ALL
+    set — three broadcast LeftSemi hash joins against the distinct
+    position table (≤ m rows regardless of build size; the real
+    engine form is Spark's own runtime-filter bloom, this op states
+    the semantics as relational algebra). The report compares the
+    Bloom-passed count to the exact semi-join count per return flag:
+    false positives are the Bloom's documented one-sided error, and
+    because the hash family is the portable seeded-md5, the oracle
+    pins every count exactly — including n_false_pos ≥ 0 and
+    never a false negative (n_bloom_pass ≥ n_exact row-for-row).
+    m is a fixed literal so the SQL twin is portable across scale
+    factors; production sizes m ≈ 10 bits per build key (Spark's
+    own runtime bloom filter does this automatically), at which the
+    observed sf0.1 fill (~75%, FP ≈ fill^k) drops to ~5%/0.01%."""
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("k"))
+    pos_arr = F.array(
+        *[_bloom_pos(F.col("k"), s, _BLOOM_M) for s in _BLOOM_SEEDS]
+    )
+    p = build.select(F.explode(pos_arr).alias("pos")).distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    probe = li
+    for i, s in enumerate(_BLOOM_SEEDS):
+        probe = probe.withColumn(
+            f"p{i+1}", _bloom_pos(F.col("l_orderkey"), s, _BLOOM_M)
+        )
+    for i in range(len(_BLOOM_SEEDS)):
+        probe = probe.join(
+            F.broadcast(p),
+            probe[f"p{i+1}"] == p["pos"],
+            "left_semi",
+        )
+    nb = probe.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom_pass")
+    )
+    ne = (
+        li.join(F.broadcast(build), li["l_orderkey"] == build["k"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("ne"))
+    )
+    return nb.join(ne, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_bloom_pass",
+        F.coalesce("ne", F.lit(0)).cast("long").alias("n_exact"),
+        (F.col("n_bloom_pass") - F.coalesce("ne", F.lit(0)))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
 @register(
     "op_join_03_align_features_labels",
     "SELECT l.l_orderkey AS sample_id, CAST(l.l_linenumber AS BIGINT) AS row_id, "
