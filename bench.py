@@ -94,11 +94,15 @@ HEADLINE = [
 # driver tables (same 1:2:4 feature ratio). (1205, 500) is shared
 # between the two sweeps, so 5 unique cells.
 PIPELINE_GRID = [
-    ("samplewise_n200_f500", 200, 500),
-    ("samplewise_n600_f500", 600, 500),
-    ("samplewise_n1205_f500", 1205, 500),
-    ("featurewise_n1205_f250", 1205, 250),
-    ("featurewise_n1205_f1000", 1205, 1000),
+    ("samplewise_n200_f500", 200, 500, "classification"),
+    ("samplewise_n600_f500", 600, 500, "classification"),
+    ("samplewise_n1205_f500", 1205, 500, "classification"),
+    ("featurewise_n1205_f250", 1205, 250, "classification"),
+    ("featurewise_n1205_f1000", 1205, 1000, "classification"),
+    # the reference's SECOND task: lung cigarettes-per-day is a
+    # REGRESSION workload (lung_data_prep.ipynb cell-3; r² scoring,
+    # dask_pipeline.py:100-102) — continuous label, GBT regressor
+    ("regression_n1205_f500", 1205, 500, "regression"),
 ]
 
 DEGRADED_LOAD = 4.0
@@ -215,16 +219,21 @@ class PeakRssSampler:
         return round(self.peak, 1)
 
 
-def prep_pipeline_cell(spark, sf_dir: str, n: int, f: int, out: str) -> None:
+def prep_pipeline_cell(
+    spark, sf_dir: str, n: int, f: int, out: str, task: str = "classification"
+) -> None:
     """Derive the reference-shaped dense n×f expression matrix +
     labels from lineitem (prep step ≡ data/brca_undersample.py —
     outside the timed region). Samples/genes are key-folded so every
     cell is a real subset-shaped workload of the same fact table;
     missing (sample, gene) cells become explicit zeros exactly like
-    an FPKM matrix. Labels are the first-50-genes expression SHARE
-    split at the median — a composition signal that survives the
-    pipeline's per-sample normalization (a total-expression label
-    would be erased by it)."""
+    an FPKM matrix. Labels derive from the first-50-genes expression
+    SHARE — a composition signal that survives the pipeline's
+    per-sample normalization (a total-expression label would be
+    erased by it): classification splits it at the median (the BRCA
+    subtype analogue), regression uses the share itself as the
+    continuous target (the lung cigarettes-per-day analogue,
+    lung_data_prep.ipynb cell-3)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -258,33 +267,72 @@ def prep_pipeline_cell(spark, sf_dir: str, n: int, f: int, out: str) -> None:
         )
     )
     dense.repartition(8).write.mode("overwrite").parquet(f"{out}/gexp")
-    labels = (
-        spark.read.parquet(f"{out}/gexp")
-        .groupBy("sample_id")
-        .agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("gene_id") < "g00050", F.col("value")
-                    ).otherwise(0.0)
-                )
-                / F.sum("value")
-            ).alias("share")
+    dg = spark.read.parquet(f"{out}/gexp")
+    if task == "regression":
+        # Continuous target: the UQ-normalized expression of one
+        # robustly-kept gene (above-median mean AND variance, then
+        # max variance — guaranteed to survive the pipeline's own
+        # stat-threshold filter), i.e. y = ln(1 + v_g * q75_s /
+        # sum_s). The target is exactly realizable from the
+        # pipeline's post-normalization feature space, so r²
+        # measures pipeline fidelity end-to-end (the folded TPC-H
+        # matrix has ~1 draw per cell — multi-gene ratio targets
+        # drown in Poisson noise and score r² ≈ 0 for any learner).
+        gs = dg.groupBy("gene_id").agg(
+            F.avg("value").alias("m"), F.var_samp("value").alias("v")
         )
-        .select(
-            "sample_id",
-            F.when(
-                F.col("share")
-                > F.expr(
-                    "percentile_cont(0.5) WITHIN GROUP (ORDER BY share)"
-                    " OVER ()"
-                ),
-                "hi",
+        med_m, med_v = gs.agg(
+            F.expr("percentile(m, 0.5)"), F.expr("percentile(v, 0.5)")
+        ).first()
+        target_gene = (
+            gs.filter((F.col("m") > med_m) & (F.col("v") > med_v))
+            .orderBy(F.desc("v"), "gene_id")
+            .first()["gene_id"]
+        )
+        stats = dg.groupBy("sample_id").agg(
+            F.expr("percentile(value, 0.75)").alias("q75"),
+            F.sum("value").alias("tot"),
+        )
+        labels = (
+            dg.filter(F.col("gene_id") == target_gene)
+            .join(stats, "sample_id")
+            .select(
+                "sample_id",
+                F.round(
+                    F.log1p(
+                        F.col("value") * F.col("q75") / F.col("tot")
+                    ),
+                    6,
+                ).alias("label"),
             )
-            .otherwise("lo")
-            .alias("label"),
         )
-    )
+    else:
+        labels = (
+            dg.groupBy("sample_id")
+            .agg(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("gene_id") < "g00050", F.col("value")
+                        ).otherwise(0.0)
+                    )
+                    / F.sum("value")
+                ).alias("share")
+            )
+            .select(
+                "sample_id",
+                F.when(
+                    F.col("share")
+                    > F.expr(
+                        "percentile_cont(0.5) WITHIN GROUP (ORDER BY share)"
+                        " OVER ()"
+                    ),
+                    "hi",
+                )
+                .otherwise("lo")
+                .alias("label"),
+            )
+        )
     labels.coalesce(1).write.mode("overwrite").parquet(f"{out}/labels")
 
 
@@ -307,10 +355,10 @@ def run_pipeline_grid(
     timings: dict[str, float] = {}
     scores: dict[str, dict] = {}
     peaks: dict[str, float] = {}
-    for name, n, f in grid:
+    for name, n, f, task in grid:
         tmp = tempfile.mkdtemp(prefix=f"pipebench_{name}_")
         try:
-            prep_pipeline_cell(spark, sf_dir, n, f, tmp)
+            prep_pipeline_cell(spark, sf_dir, n, f, tmp, task)
             best, res = float("inf"), None
             for _ in range(repeats):
                 spark.catalog.clearCache()
@@ -321,7 +369,7 @@ def run_pipeline_grid(
                 res = gexp_pipeline(
                     gexp,
                     labels,
-                    task="classification",
+                    task=task,
                     k_folds=10,
                     seed=42,
                     cv_parallelism=10,

@@ -546,14 +546,23 @@ def test_tmm_uq_fit_job_budget(spark):
         "l_partkey as gene_id",
         "l_quantity as value",
     )
-    spark.catalog.clearCache()
-    n_tmm = _jobs_for(spark, "tmm_fit", lambda: tmm_factors(gexp).collect())
-    assert n_tmm <= 20, n_tmm  # measured 20 after the fold (21 before)
-    spark.catalog.clearCache()
-    n_uq = _jobs_for(
-        spark, "uq_fit", lambda: upper_quartile_transform(gexp).count()
-    )
-    assert n_uq <= 12, n_uq  # measured 12
+    def measured(tag, fn, ceiling):
+        # The ceiling is deliberately tight (the guarded regression —
+        # an extra eager scan — adds exactly one job), but the
+        # job-group listener occasionally over-counts by one when the
+        # host is saturated by a co-tenant Spark session (observed
+        # once in a full-suite run concurrent with an oracle sweep;
+        # both isolated re-runs measured the pinned count). One clean
+        # re-measure keeps the bound tight without that flake.
+        for attempt in range(2):
+            spark.catalog.clearCache()
+            n = _jobs_for(spark, tag, fn)
+            if n <= ceiling:
+                return n
+        raise AssertionError(f"{tag}: {n} jobs > ceiling {ceiling}")
+
+    measured("tmm_fit", lambda: tmm_factors(gexp).collect(), 20)
+    measured("uq_fit", lambda: upper_quartile_transform(gexp).count(), 12)
     spark.catalog.clearCache()
 
 

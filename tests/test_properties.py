@@ -1261,3 +1261,38 @@ def test_cohort_retention_matches_pandas(spark, visits):
         if k == 0:
             assert rate == 1.0
     assert len(got) == len(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    build=st.lists(st.integers(0, 500), min_size=0, max_size=25),
+    probe=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+)
+def test_bloom_positions_never_false_negative(spark, build, probe):
+    """Bloom pre-join contract (op_join_02_bloom_semi): a probe key
+    that IS in the build set always has all k positions set — the
+    one-sided-error theorem, over arbitrary key sets including
+    duplicates, empty build sides, and full overlap."""
+    from gexp_ml_dask_spark.queries import _BLOOM_M, _BLOOM_SEEDS, _bloom_pos
+
+    bdf = spark.createDataFrame(
+        [(int(k),) for k in build] or [(None,)], "k long"
+    ).filter(F.col("k").isNotNull())
+    pos = bdf.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("k"), s, _BLOOM_M) for s in _BLOOM_SEEDS]
+            )
+        ).alias("pos")
+    ).distinct()
+    pdf = spark.createDataFrame([(int(k),) for k in probe], "k long")
+    passed = pdf
+    for i, s in enumerate(_BLOOM_SEEDS):
+        passed = passed.withColumn(f"p{i}", _bloom_pos(F.col("k"), s, _BLOOM_M))
+    for i in range(len(_BLOOM_SEEDS)):
+        passed = passed.join(
+            F.broadcast(pos), passed[f"p{i}"] == pos["pos"], "left_semi"
+        )
+    got = {r["k"] for r in passed.select("k").distinct().collect()}
+    must_pass = set(probe) & set(build)
+    assert must_pass <= got, sorted(must_pass - got)
