@@ -311,3 +311,40 @@ def test_mad_outlier_stats_golden(spark):
     assert got["gA"] == (3.0, 1.0, 1)
     assert got["gB"] == (5.0, 0.0, 1)
     assert got["gC"] == (9.0, 0.0, 0)
+
+
+def test_bench_pipeline_cell_smoke(spark, tmp_path):
+    """The driver runs bench.py every round; this smoke-runs its
+    pipeline-grid cell machinery end-to-end at toy scale (both
+    tasks) so a broken prep/label path can never first surface in
+    the driver's recorded run."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import prep_pipeline_cell
+
+    from gexp_ml_dask_spark.plans.gexp_pipeline import gexp_pipeline
+    from tests.conftest import SF_SMOKE
+
+    for task in ("classification", "regression"):
+        out = str(tmp_path / task)
+        prep_pipeline_cell(spark, SF_SMOKE, 40, 30, out, task)
+        gexp = spark.read.parquet(f"{out}/gexp")
+        labels = spark.read.parquet(f"{out}/labels")
+        assert gexp.count() == 40 * 30
+        assert labels.count() == 40
+        mean_cv, var_cv, ev = gexp_pipeline(
+            gexp,
+            labels,
+            task=task,
+            k_folds=3,
+            seed=42,
+            cv_parallelism=3,
+            fit_partitions=4,
+        )
+        assert var_cv >= 0.0
+        if task == "classification":
+            assert 0.0 <= ev <= 1.0
+        else:
+            assert ev <= 1.0  # r² upper bound; toy cells may not learn

@@ -611,3 +611,30 @@ def test_new_training_ops_stay_jvm_side(spark, registry):
         n = tree.count("BroadcastNestedLoopJoin")
         assert n <= max_bnlj, (name, n)
     spark.catalog.clearCache()
+
+
+def test_bloom_semi_plan_shape(spark, registry):
+    """op_join_02_bloom_semi: the probe reduction is three broadcast
+    LeftSemi HASH joins against the position table — never a
+    nested-loop/cartesian shape, nothing drops to Python."""
+    from tests.conftest import SF_SMOKE
+
+    p = plan(registry["op_join_02_bloom_semi"](spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") >= 4  # 3 bloom probes + exact semi
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_psi_drift_plan_shape(spark, registry):
+    """op_agg_19_psi_drift: the type×bin grid comes from a row-local
+    sequence explode (Generate), never a cross join; the stats
+    attach is a broadcast hash join."""
+    from tests.conftest import SF_SMOKE
+
+    p = plan(registry["op_agg_19_psi_drift"](spark, SF_SMOKE))
+    assert "Generate" in p  # explode(sequence(0, 9))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
