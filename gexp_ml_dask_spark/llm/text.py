@@ -778,3 +778,33 @@ def normalize_text(
     c = F.regexp_replace(c, " +", " ")
     c = F.trim(c)
     return docs.select(F.col(id_col), c.alias("norm_text"))
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """OP-LLM-04 (char-entropy gibberish filter) — per-document
+    Shannon entropy over the character distribution: near-zero for
+    degenerate repetition (one char mashed), ~4.1 bits for English
+    prose, far higher for encoded blobs pasted as text. The cheap
+    screen used beside the stopword/punct ratios of text_stats.
+
+    Single-pass identity: H = log2(t) - (Σ n·log2 n) / t over the
+    per-char counts (no second join for p = n/t), so the plan is one
+    row-local char explode + two doc-keyed hash aggs, and the DuckDB
+    oracle can fold the identical terms. Docs with empty text carry
+    no characters and drop out.
+
+    Returns (id_col, n_chars_seen BIGINT, char_entropy DOUBLE@6dp).
+    """
+    ch = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("n"))
+    return cc.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_chars_seen"),
+        F.round(
+            F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+            6,
+        ).alias("char_entropy"),
+    )

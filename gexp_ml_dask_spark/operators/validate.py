@@ -150,3 +150,85 @@ def constraint_report(
         report = row if report is None else report.unionByName(row)
 
     return report
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+    bin_width: float = 50.0,
+    clamp: float = 1e-6,
+) -> DataFrame:
+    """OP-AGG-19 (distribution-drift gate) — Population Stability
+    Index of ``value_col`` per ``key_col`` between the first and
+    second half of the time range (expected vs actual period):
+    psi = Σ_bins (p_b - p_a) · ln(p_b / p_a). The standard
+    is-this-feature-drifting pre-flight before a model refresh
+    (psi < 0.1 stable, > 0.25 drifted).
+
+    Plan: the epoch midpoint is a 2-scalar estimator-fit collect
+    planted as a literal; ONE conditional hash agg over the fact
+    builds both periods' histograms (fixed equal-width bins, clamped
+    floor — op_agg_13_histogram's binning); the key×bin grid comes
+    from a row-local sequence explode (never a cross join); and the
+    PSI fold runs over the grid-sized table. Proportions clamp at
+    ``clamp`` so empty bins stay defined (a bin empty on BOTH sides
+    contributes exactly 0).
+
+    Returns (key_col, n_before BIGINT, n_after BIGINT, psi@6dp).
+    """
+    ev = df.select(
+        key_col,
+        F.col(ts_col).cast("double").alias("ep"),
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / bin_width), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    lo, hi = ev.agg(F.min("ep"), F.max("ep")).first()
+    mid = (lo + hi) / 2.0
+    c = ev.groupBy(key_col, "bin").agg(
+        F.sum(F.when(F.col("ep") < mid, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("ep") >= mid, 1).otherwise(0)).alias("n_b"),
+    )
+    grid = (
+        ev.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+    f = grid.join(c, [key_col, "bin"], "left").select(
+        key_col,
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    t = f.groupBy(key_col).agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    pa = F.greatest(
+        F.coalesce(F.try_divide(F.col("n_a"), F.col("ta")), F.lit(0.0)),
+        F.lit(clamp),
+    )
+    pb = F.greatest(
+        F.coalesce(F.try_divide(F.col("n_b"), F.col("tb")), F.lit(0.0)),
+        F.lit(clamp),
+    )
+    return (
+        f.join(F.broadcast(t), key_col)
+        .groupBy(key_col, "ta", "tb")
+        .agg(F.round(F.sum((pb - pa) * F.log(pb / pa)), 6).alias("psi"))
+        .select(
+            key_col,
+            F.col("ta").cast("long").alias("n_before"),
+            F.col("tb").cast("long").alias("n_after"),
+            "psi",
+        )
+    )

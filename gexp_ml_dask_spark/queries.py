@@ -1521,57 +1521,12 @@ def op_agg_19_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     type×bin grid comes from a row-local sequence explode (no
     cross join), and the PSI fold runs over the grid-sized table.
     Proportions clamp at 1e-6 so empty bins stay defined; the DuckDB
-    twin replays the identical clamp/ln algebra."""
-    ev = load_events(spark, sf_dir).select(
-        "event_type",
-        F.col("ts").cast("double").alias("ep"),
-        F.least(F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(9))
-        .cast("long")
-        .alias("bin"),
-    )
-    lo, hi = ev.agg(F.min("ep"), F.max("ep")).first()
-    mid = (lo + hi) / 2.0
-    c = ev.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("ep") < mid, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("ep") >= mid, 1).otherwise(0)).alias("n_b"),
-    )
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
-        )
-        .withColumn("bin", F.col("bin").cast("long"))
-    )
-    f = grid.join(c, ["event_type", "bin"], "left").select(
-        "event_type",
-        "bin",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
-    )
-    t = f.groupBy("event_type").agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
-    )
-    pa = F.greatest(
-        F.coalesce(F.try_divide(F.col("n_a"), F.col("ta")), F.lit(0.0)),
-        F.lit(1e-6),
-    )
-    pb = F.greatest(
-        F.coalesce(F.try_divide(F.col("n_b"), F.col("tb")), F.lit(0.0)),
-        F.lit(1e-6),
-    )
-    return (
-        f.join(F.broadcast(t), "event_type")
-        .groupBy("event_type", "ta", "tb")
-        .agg(F.round(F.sum((pb - pa) * F.log(pb / pa)), 6).alias("psi"))
-        .select(
-            "event_type",
-            F.col("ta").cast("long").alias("n_before"),
-            F.col("tb").cast("long").alias("n_after"),
-            "psi",
-        )
-    )
+    twin replays the identical clamp/ln algebra. Library op:
+    operators/validate.py psi_drift (exact-zero mirror invariant in
+    tests/test_pipeline.py)."""
+    from gexp_ml_dask_spark.operators.validate import psi_drift
+
+    return psi_drift(load_events(spark, sf_dir))
 
 
 @register(
@@ -4402,20 +4357,12 @@ def op_llm_04_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local char explode, a (doc, char) hash agg, then the per-doc
     fold using H = log2(t) - Σ n·log2 n / t — a single-pass identity
     (no per-char p=n/t second join), both shuffles on the doc key.
-    Empty-text docs carry no chars and drop out on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    ch = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
-    ).filter(F.col("c") != "")
-    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
-    return cc.groupBy("doc_id").agg(
-        F.sum("n").cast("long").alias("n_chars_seen"),
-        F.round(
-            F.log2(F.sum("n"))
-            - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
-            6,
-        ).alias("char_entropy"),
-    )
+    Empty-text docs carry no chars and drop out on both engines.
+    Library op: llm/text.py char_entropy (golden numerics in
+    tests/test_llm_ops.py)."""
+    from gexp_ml_dask_spark.llm.text import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
 @register(

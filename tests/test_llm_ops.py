@@ -1582,3 +1582,24 @@ def test_decoder_boundary_contracts():
     rgba = np.zeros((3, 4, 4), dtype=np.uint8)
     with _pytest.raises(NotImplementedError, match="alpha"):
         resize_image(encode_png(rgba), 2, 2)
+
+
+def test_char_entropy_golden(spark):
+    """Hand-computed entropies: one repeated char -> 0 bits; two
+    chars 50/50 -> 1 bit; four distinct -> 2 bits; 'aab' ->
+    log2(3) - (2*1 + 1*0)/3 = 0.918296 at 6dp."""
+    from gexp_ml_dask_spark.llm.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "aab"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chars_seen"], r["char_entropy"])
+        for r in char_entropy(docs).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert got[3] == (4, 2.0)
+    assert got[4] == (3, 0.918296)
+    assert 5 not in got  # empty text drops out

@@ -348,3 +348,33 @@ def test_bench_pipeline_cell_smoke(spark, tmp_path):
             assert 0.0 <= ev <= 1.0
         else:
             assert ev <= 1.0  # r² upper bound; toy cells may not learn
+
+
+def test_psi_drift_invariants(spark):
+    """psi_drift exact-zero mirror invariant: when every (key, bin)
+    count is identical in both halves of the time range, every
+    clamped proportion pair is equal and psi is exactly 0. A shifted
+    second half must score strictly positive."""
+    from datetime import datetime
+
+    from gexp_ml_dask_spark.operators.validate import psi_drift
+
+    t_a = datetime(2024, 1, 1)
+    t_b = datetime(2024, 1, 9)
+    mirrored = [
+        ("k1", float(v), t)
+        for v in (10, 60, 110, 260, 420)
+        for t in (t_a, t_b)
+    ]
+    df = spark.createDataFrame(
+        mirrored, "event_type string, value double, ts timestamp"
+    )
+    row = psi_drift(df).collect()[0]
+    assert row["n_before"] == 5 and row["n_after"] == 5
+    assert row["psi"] == 0.0
+
+    shifted = [("k1", 10.0, t_a)] * 5 + [("k1", 470.0, t_b)] * 5
+    df2 = spark.createDataFrame(
+        shifted, "event_type string, value double, ts timestamp"
+    )
+    assert psi_drift(df2).collect()[0]["psi"] > 1.0
