@@ -1989,6 +1989,69 @@ def op_set_03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+@register(
+    "op_set_03_except_all",
+    # MULTISET difference: multiplicities subtract instead of the
+    # set-semantics dedup — a key whose count is 5 on the left and 2
+    # on the right survives 3 times. The corpus-accounting form of
+    # EXCEPT (how many excess copies remain), aggregated to counts
+    # so the oracle is integer-exact and order-free.
+    "WITH d AS (SELECT l_partkey AS partkey FROM lineitem "
+    "WHERE l_quantity < 25 "
+    "EXCEPT ALL SELECT l_partkey FROM lineitem "
+    "WHERE l_returnflag = 'A') "
+    "SELECT partkey, count(*) AS n_excess FROM d GROUP BY partkey",
+)
+def op_set_03_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SET-03 (multiset twin): EXCEPT ALL — bag difference with
+    multiplicity arithmetic, the semantics corpus accounting needs
+    (how many EXCESS copies of each key remain after removing one
+    per right-side occurrence; plain EXCEPT would collapse them).
+    Spark plans exceptAll as a counted union (sum of +1/-1 tags, one
+    hash agg) then a generate — no join at all; the result is
+    re-aggregated to (key, n_excess) so the value oracle is
+    integer-exact regardless of row order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 25).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return (
+        a.exceptAll(b)
+        .groupBy("partkey")
+        .agg(F.count(F.lit(1)).alias("n_excess"))
+    )
+
+
+@register(
+    "op_set_02_intersect_all",
+    # MULTISET intersection: per-key min(multiplicity) survives.
+    "WITH d AS (SELECT l_partkey AS partkey FROM lineitem "
+    "WHERE l_quantity < 25 "
+    "INTERSECT ALL SELECT l_partkey FROM lineitem "
+    "WHERE l_returnflag = 'A') "
+    "SELECT partkey, count(*) AS n_common FROM d GROUP BY partkey",
+)
+def op_set_02_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SET-02 (multiset twin): INTERSECT ALL — per-key
+    min(left multiplicity, right multiplicity) copies survive;
+    aggregated to counts for an integer-exact order-free oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 25).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return (
+        a.intersectAll(b)
+        .groupBy("partkey")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 Sorts / top-k
 # ---------------------------------------------------------------------------
@@ -2193,6 +2256,51 @@ def op_scl_07(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(
             F.avg(F.get_json_object(F.col("props"), "$.k").cast("long"))
         ).alias("mean_k"),
+    )
+
+
+@register(
+    "op_scl_08_date_spine",
+    # Generated calendar dimension (the warehouse date-dim util every
+    # time-series join/gap-fill leans on): one row per day of 2024-Q1
+    # with ISO attributes — no source table at all, both engines
+    # generate the spine. ISO date strings (engines disagree on DATE
+    # physical dtype, not on the rendering); weekday conventions
+    # normalized to ISO 1=Monday on both sides.
+    "SELECT strftime(d, '%Y-%m-%d') AS date_iso, "
+    "CAST(isodow(d) AS BIGINT) AS iso_dow, "
+    "CAST(weekofyear(d) AS BIGINT) AS iso_week, "
+    "CAST(month(d) AS BIGINT) AS month, "
+    "CAST(quarter(d) AS BIGINT) AS quarter, "
+    "(isodow(d) >= 6) AS is_weekend "
+    "FROM (SELECT unnest(generate_series(DATE '2024-01-01', "
+    "DATE '2024-03-31', INTERVAL 1 DAY)) AS d)",
+)
+def op_scl_08_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SCL-08 (generated date dimension): the calendar-spine
+    utility behind every gap-fill/resample (op_llm_05_resample builds
+    the same spine inline) and fiscal-attribute join — one row per
+    day with ISO weekday/week/month/quarter, generated from a
+    row-local sequence+explode (a 90-row dimension costs no scan and
+    broadcasts anywhere). Convention trap pinned by the oracle:
+    Spark's dayofweek() is 1=Sunday while DuckDB's dow() is
+    0=Sunday — both sides use the ISO form (weekday()+1 / isodow(),
+    1=Monday), and weeks are ISO weeks in both engines."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("2024-01-01")),
+                F.to_date(F.lit("2024-03-31")),
+            )
+        ).alias("d")
+    )
+    return spine.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date_iso"),
+        (F.weekday("d") + 1).cast("long").alias("iso_dow"),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        F.month("d").cast("long").alias("month"),
+        F.quarter("d").cast("long").alias("quarter"),
+        (F.weekday("d") + 1 >= 6).alias("is_weekend"),
     )
 
 
