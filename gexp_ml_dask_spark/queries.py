@@ -999,6 +999,47 @@ def op_agg_13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_agg_13_equidepth_histogram",
+    # EQUI-DEPTH complement to the equal-width twin: 4 quartile bins
+    # per event type via ntile over a deterministic total order
+    # (value, event_id tie-break — ntile is order-sensitive, so the
+    # tie-break is what makes the bin assignment engine-portable).
+    # Emits per-bin count + realized [lo, hi] boundaries — the
+    # optimizer-statistics / data-skipping histogram form where bin
+    # POPULATION is constant and boundaries adapt to the data.
+    "WITH r AS (SELECT event_type, value, "
+    "ntile(4) OVER (PARTITION BY event_type "
+    "ORDER BY value, event_id) AS bin FROM events) "
+    "SELECT event_type, CAST(bin AS BIGINT) AS bin, "
+    "count(*) AS n, round(min(value), 6) AS lo, "
+    "round(max(value), 6) AS hi "
+    "FROM r GROUP BY event_type, bin",
+)
+def op_agg_13_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-13 (equi-depth histogram twin): per-type quartile bins
+    with realized boundaries — constant bin population, adaptive
+    edges (what ANALYZE-style optimizer statistics and data-skipping
+    zone maps store), vs the equal-width twin's fixed edges. ONE
+    key-shuffle window (ntile over the deterministic (value,
+    event_id) order — the tie-break makes bin membership
+    engine-portable) whose partitioning the groupBy reuses; at
+    100 TB swap ntile for approx_percentile edges exactly like the
+    other exact-percentile paths (the quantile-sketch twin
+    op_agg_12_quantile_sketch is that path's contract)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
     "op_agg_13_profile",
     # One-pass numeric-column profile of orders. DuckDB replays it
     # as a UNION ALL of per-column aggregates (its planner merges
