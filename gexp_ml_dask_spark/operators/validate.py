@@ -190,6 +190,18 @@ def psi_drift(
         .alias("bin"),
     )
     lo, hi = ev.agg(F.min("ep"), F.max("ep")).first()
+    if lo is None or hi is None:
+        # Empty input (or all-NULL timestamps): no epochs to split —
+        # return the empty result with the contract schema instead of
+        # raising TypeError on (None + None) / 2.
+        key_type = dict(ev.dtypes)[key_col]
+        return ev.sparkSession.createDataFrame(
+            [],
+            schema=(
+                f"{key_col} {key_type}, n_before bigint, "
+                "n_after bigint, psi double"
+            ),
+        )
     mid = (lo + hi) / 2.0
     c = ev.groupBy(key_col, "bin").agg(
         F.sum(F.when(F.col("ep") < mid, 1).otherwise(0)).alias("n_a"),

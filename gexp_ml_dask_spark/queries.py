@@ -1009,7 +1009,7 @@ def op_agg_13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # POPULATION is constant and boundaries adapt to the data.
     "WITH r AS (SELECT event_type, value, "
     "ntile(4) OVER (PARTITION BY event_type "
-    "ORDER BY value, event_id) AS bin FROM events) "
+    "ORDER BY value NULLS LAST, event_id) AS bin FROM events) "
     "SELECT event_type, CAST(bin AS BIGINT) AS bin, "
     "count(*) AS n, round(min(value), 6) AS lo, "
     "round(max(value), 6) AS hi "
@@ -1027,7 +1027,12 @@ def op_agg_13_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     other exact-percentile paths (the quantile-sketch twin
     op_agg_12_quantile_sketch is that path's contract)."""
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST pinned on BOTH sides: Spark defaults to NULLS FIRST
+    # ascending, DuckDB to NULLS LAST — without the pin the bin
+    # assignment diverges the day events.value acquires a NULL.
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return (
         ev.withColumn("bin", F.ntile(4).over(w).cast("long"))
         .groupBy("event_type", "bin")

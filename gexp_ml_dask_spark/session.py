@@ -57,12 +57,34 @@ def get_spark(
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None and not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        # SPARK_GRAFT_MASTER overrides the master wholesale (e.g.
+        # ``local-cluster[2,8,4096]`` for multi-executor smoke runs
+        # that exercise real broadcast shipping + shuffle
+        # serialization); otherwise local[$SPARK_GRAFT_CPUS].
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+        if master is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
     configs = dict(DEFAULT_CONFIGS)
-    if master and master.startswith("local"):
+    if master and master.startswith("local-cluster"):
+        # Multi-executor smoke mode: worker JVMs get the memory from
+        # the master string (MB); the driver only holds collects and
+        # broadcast builds. spark.executor.memory must fit inside the
+        # per-worker allowance or the app hangs waiting for resources.
+        try:
+            worker_mb = int(master.rstrip("]").split(",")[-1])
+        except ValueError:
+            worker_mb = 1024
+        configs.setdefault(
+            "spark.executor.memory", f"{max(worker_mb - 512, 512)}m"
+        )
+        configs.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+    elif master and master.startswith("local"):
         # Local mode: the driver JVM hosts all executor threads, but
         # Spark's default heap is 1g — 32 concurrent tasks OOM on any
         # real aggregate. -Xmx is a cap, not a reservation. On a real

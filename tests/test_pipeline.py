@@ -378,3 +378,12 @@ def test_psi_drift_invariants(spark):
         shifted, "event_type string, value double, ts timestamp"
     )
     assert psi_drift(df2).collect()[0]["psi"] > 1.0
+
+    # Empty input: no epochs to split — must return the empty
+    # contract-schema frame, not TypeError on (None + None) / 2.
+    empty = spark.createDataFrame(
+        [], "event_type string, value double, ts timestamp"
+    )
+    out = psi_drift(empty)
+    assert out.columns == ["event_type", "n_before", "n_after", "psi"]
+    assert out.count() == 0

@@ -554,11 +554,29 @@ def test_tmm_uq_fit_job_budget(spark):
         # once in a full-suite run concurrent with an oracle sweep;
         # both isolated re-runs measured the pinned count). One clean
         # re-measure keeps the bound tight without that flake.
+        import os
+
+        overcounts = []
         for attempt in range(2):
             spark.catalog.clearCache()
             n = _jobs_for(spark, tag, fn)
             if n <= ceiling:
+                if overcounts:
+                    # Surface the absorbed first measurement with host
+                    # telemetry so a ~50%-intermittent extra eager
+                    # scan can't hide behind the flake retry — a
+                    # genuine nondeterministic regression shows up as
+                    # repeated warnings on quiet hosts.
+                    import warnings
+
+                    warnings.warn(
+                        f"{tag}: first measurement {overcounts[0]} jobs"
+                        f" > ceiling {ceiling} (retry passed with {n};"
+                        f" loadavg {os.getloadavg()[0]:.1f})",
+                        stacklevel=2,
+                    )
                 return n
+            overcounts.append(n)
         raise AssertionError(f"{tag}: {n} jobs > ceiling {ceiling}")
 
     measured("tmm_fit", lambda: tmm_factors(gexp).collect(), 20)
