@@ -64,6 +64,33 @@ def salted_join(
     sides only). The join key becomes (key, salt), so one hot key
     lands in ``salt`` tasks instead of one. Row-identical to the
     plain join for inner/left joins on unique dim keys.
+
+    When to salt (measured, tools/skew_ab.py, 50M rows / one key
+    owning 20% / 10k-key long tail / broadcast disabled, min-of-3):
+
+    ==================  ======  =============================
+    strategy            wall s  note
+    ==================  ======  =============================
+    plain, no AQE        5.03   hot key = one straggler task
+    plain, AQE default   4.54   NO-OP: hot partition ~160 MB
+                                < 256 MB skew threshold
+    plain, AQE tuned     2.01   16m threshold/4x factor — the
+                                split fires and WINS
+    salted(16), no AQE   3.22   1.6x over plain
+    salted(16), AQE      3.14
+    ==================  ======  =============================
+
+    Threshold rule: prefer AQE's skew split whenever the hot
+    partition exceeds ``spark.sql.adaptive.skewJoin.
+    skewedPartitionThresholdInBytes`` (default 256m) AND the join is
+    sort-merge — it splits only the oversized partition and beats
+    salting (no dim replication, no wider shuffle). Salt when AQE
+    cannot fire: sub-threshold skew that still straggles (the
+    measured regime above), hot keys on the AGGREGATION side of a
+    groupBy, or when the skewed side arrives pre-sorted/bucketed and
+    AQE would be bypassed. At 100 TB a 20%-hot key is multi-GB —
+    default AQE fires there; this operator is for the sub-threshold
+    band and non-join skew.
     """
     salted_fact = fact.withColumn(
         "_salt", (F.rand(seed=42) * salt).cast("int")

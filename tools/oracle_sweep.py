@@ -80,13 +80,30 @@ def main() -> int:
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--only", default=None, help="comma-separated names")
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="override the master (e.g. local-cluster[2,8,4096] to "
+        "sweep across a real executor-to-executor serialization "
+        "boundary; default local[--threads])",
+    )
     args = ap.parse_args()
 
     import duckdb
     import pandas as pd
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.master(f"local[{args.threads}]")
+    b = SparkSession.builder.master(args.master or f"local[{args.threads}]")
+    if args.master and args.master.startswith("local-cluster"):
+        # Worker JVMs get the master-string allowance (MB); leave
+        # headroom for overhead so executors actually launch.
+        try:
+            worker_mb = int(args.master.rstrip("]").split(",")[-1])
+        except ValueError:
+            worker_mb = 1024
+        b = b.config(
+            "spark.executor.memory", f"{max(worker_mb - 512, 512)}m"
+        )
     if args.driver_memory:
         b = b.config("spark.driver.memory", args.driver_memory)
     if args.no_aqe:

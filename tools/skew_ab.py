@@ -9,8 +9,14 @@ and times three physical strategies over identical inputs:
 
   plain_noaqe   shuffle sort-merge join, AQE off — the naive plan;
                 the hot key's partition is one straggler task.
-  plain_aqe     same logical plan, AQE skew-join ON — Spark splits
-                the oversized post-shuffle partition at runtime.
+  plain_aqe     same logical plan, AQE skew-join ON at DEFAULT
+                thresholds (skewedPartitionThresholdInBytes=256m) —
+                measured to be a NO-OP at the planted sizes: the hot
+                partition is ~160 MB < 256 MB, so AQE never splits
+                and this times the same straggler as plain_noaqe.
+  plain_aqe_tuned  AQE skew-join with thresholds lowered (16m / 4×
+                factor / 8m advisory) so the split actually fires —
+                the honest "AQE-skew-split" column.
   salted_noaqe  operators.joins.salted_join(salt=N) — fact rows get a
                 random salt, dim replicated N ways, hot key spread
                 over N tasks with no AQE help.
@@ -114,11 +120,32 @@ def main() -> None:
             .select((F.col("v") * F.col("w")).alias("x"))
         )
 
+    def set_skew_tuning(on: bool) -> None:
+        if on:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "16m",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "4"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
+            )
+        else:
+            for k in (
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            ):
+                spark.conf.unset(k)
+
     variants = {
-        "plain_noaqe": (plain, "false"),
-        "plain_aqe": (plain, "true"),
-        "salted_noaqe": (salted, "false"),
-        "salted_aqe": (salted, "true"),
+        "plain_noaqe": (plain, "false", False),
+        "plain_aqe": (plain, "true", False),
+        "plain_aqe_tuned": (plain, "true", True),
+        "salted_noaqe": (salted, "false", False),
+        "salted_aqe": (salted, "true", False),
     }
 
     # Warm-up outside every timed window.
@@ -126,8 +153,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-    for name, (fn, aqe) in variants.items():
+    for name, (fn, aqe, tuned) in variants.items():
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        set_skew_tuning(tuned)
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
@@ -136,6 +164,7 @@ def main() -> None:
         counts[name] = fn().count()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    set_skew_tuning(False)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     assert len(set(counts.values())) == 1, f"row-count drift: {counts}"
