@@ -93,7 +93,32 @@ def gexp_pipeline(
 
     train, test = train_test_split(data, test_size=0.3, seed=seed)
 
-    scaler = fit_standard_scaler(train, "features", "features_scaled")
+    try:
+        scaler = fit_standard_scaler(train, "features", "features_scaled")
+    except Exception as exc:
+        # MLlib's Summarizer raises a bare "Nothing has been added to
+        # this summarizer" IllegalArgumentException when the training
+        # set is empty. The one way a non-empty gexp input gets here
+        # is the UQ degenerate case: a matrix >75% zeros makes every
+        # per-sample upper quartile 0, symmetrize_factors maps the 0
+        # factor to scaling_factor 0, every value scales to 0, and the
+        # stat-threshold filter then keeps 0 genes. Diagnose on the
+        # error path only — the happy path pays no extra action.
+        if train.isEmpty():
+            n_genes = (
+                preprocessed.select("gene_id").distinct().count()
+            )
+            raise ValueError(
+                "gexp_pipeline: training set is empty after "
+                f"preprocessing ({n_genes} genes survived the "
+                "stat-threshold filter). With 0 surviving genes the "
+                "usual cause is a sparse matrix (>75% zeros): every "
+                "per-sample upper quartile is then 0, UQ scales all "
+                "values to 0, and the mean/variance filter drops "
+                "everything. The UQ contract needs >25% nonzero "
+                "values per sample — densify or pre-filter the input."
+            ) from exc
+        raise
     train, test = scaler.transform(train), scaler.transform(test)
     if fit_partitions:
         train = train.repartition(fit_partitions)

@@ -138,6 +138,33 @@ def test_invalid_task_raises(spark, gexp_data):
         gexp_pipeline(gexp, labels, "clustering")
 
 
+def test_sparse_degenerate_input_fails_fast(spark, gexp_data):
+    """A matrix >75% zeros makes every per-sample q75 = 0: UQ scales
+    everything to 0 and the stat filter keeps 0 genes. The pipeline
+    must raise an actionable ValueError, not MLlib's bare
+    'Nothing has been added to this summarizer' (found by the sf1
+    f=20000 wide-cell bench, which folds 6M fact rows into 24M
+    cells)."""
+    from gexp_ml_dask_spark.plans import gexp_pipeline
+
+    gexp, labels, _ = gexp_data
+    # Scattered zeros: every sample keeps 1/6 of its genes nonzero
+    # (q75 = 0), but every gene is nonzero for SOME sample (so
+    # drop_zero_genes — the edgeR all-zero-gene rule — removes
+    # nothing and the degenerate q75 path is actually reached).
+    gidx = F.substring("gene_id", 2, 3).cast("int")
+    sparse = gexp.withColumn(
+        "value",
+        F.when(
+            (F.col("sample_id") + gidx) % 6 == 0, F.col("value")
+        ).otherwise(F.lit(0.0)),
+    )
+    with pytest.raises(ValueError, match="upper quartile"):
+        gexp_pipeline(
+            sparse, labels, "classification", k_folds=3, cv_parallelism=3
+        )
+
+
 def test_hash_split_is_partition_layout_stable(spark):
     """The property that motivates hash_split over randomSplit:
     membership is a pure function of (key, seed), so re-partitioning
