@@ -453,7 +453,7 @@ def run_pipeline_grid(
 def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 20) -> dict:
     """recall@k of the two no-oracle ANN entries against exact brute
     force, at THEIR registered serving configs (op_llm_03_knn_ivf:
-    8 cells / n_probe=4; op_llm_03_knn_lsh: 2 planes x 4 tables) and
+    8 cells / n_probe=5; op_llm_03_knn_lsh: 2 planes x 4 tables) and
     the same query set (vec_id < 20). Published per-round in the
     bench JSON so the rows-only entries carry a quality number the
     driver records (VERDICT r4 'Next round' item 5)."""
@@ -480,7 +480,7 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 20) -> dict:
     exact = pairs(knn_bruteforce_pandas(emb, queries, k=k))
     out = {"k": k, "n_queries": n_queries, "sf_dir": sf_dir}
     for name, approx_df in (
-        ("op_llm_03_knn_ivf", knn_ivf(emb, queries, k=k, n_cells=8, n_probe=4)),
+        ("op_llm_03_knn_ivf", knn_ivf(emb, queries, k=k, n_cells=8, n_probe=5)),
         (
             "op_llm_03_knn_lsh",
             knn_lsh(emb, queries, k=k, n_planes=2, n_tables=4),

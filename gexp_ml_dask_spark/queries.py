@@ -4283,15 +4283,19 @@ def op_llm_03_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("op_llm_03_knn_ivf")
 def op_llm_03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-03 (IVF, rows-only): KMeans inverted-file ANN — the
-    calibrated serving config (8 cells, n_probe=4; measured recall
-    0.86 vs the brute twin, gated >= 0.8 in tests/test_llm_ops.py)."""
+    calibrated serving config (8 cells, n_probe=5; recall@10 vs the
+    brute twin measured across scales 2026-08-15: 0.975 sf0.001 /
+    0.90 sf0.01 / 0.875 sf0.1 — n_probe=4 fell to 0.765 at sf0.1,
+    below the >= 0.8 gate in tests/test_llm_ops.py, so the serving
+    config carries margin at every bench scale; per-round recall is
+    published in BENCH_r{N}.json ann_recall)."""
     from gexp_ml_dask_spark.llm.similarity import knn_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_ivf(emb, queries, k=10, n_cells=8, n_probe=4)
+    return knn_ivf(emb, queries, k=10, n_cells=8, n_probe=5)
 
 
 @register("op_llm_03_knn_lsh")

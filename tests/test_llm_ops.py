@@ -235,11 +235,12 @@ def test_media_transform_payload_semantics(spark, docs):
 
 
 def test_knn_ivf_recall_vs_bruteforce(spark):
-    """IVF at the calibrated serving config (8 cells, n_probe=4 —
-    scoring ~half the corpus; measured recall 0.86 on this corpus
-    2026-08-14, vs 0.62 at n_probe=2) must recover >= 0.8 of the
-    exact top-10; and every IVF hit must carry the same cosine the
-    exact path computes."""
+    """IVF at the calibrated serving config (8 cells, n_probe=5 —
+    recalibrated 2026-08-15 after the published sf0.1 recall fell to
+    0.765 at n_probe=4; n_probe=5 measured 0.975/0.90/0.875 across
+    sf0.001/0.01/0.1) must recover >= 0.8 of the exact top-10; and
+    every IVF hit must carry the same cosine the exact path
+    computes."""
     from pyspark.sql import functions as F
 
     from gexp_ml_dask_spark.llm.similarity import knn_bruteforce, knn_ivf
@@ -254,7 +255,7 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     }
     approx = {
         (r["query_id"], r["vec_id"]): r["cosine"]
-        for r in knn_ivf(emb, queries, k=10, n_cells=8, n_probe=4).collect()
+        for r in knn_ivf(emb, queries, k=10, n_cells=8, n_probe=5).collect()
     }
     hits = set(exact) & set(approx)
     assert len(hits) / len(exact) >= 0.8, (len(hits), len(exact))
