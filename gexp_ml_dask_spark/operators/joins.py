@@ -80,17 +80,19 @@ def salted_join(
     salted(16), AQE      3.14
     ==================  ======  =============================
 
-    Threshold rule: prefer AQE's skew split whenever the hot
-    partition exceeds ``spark.sql.adaptive.skewJoin.
-    skewedPartitionThresholdInBytes`` (default 256m) AND the join is
-    sort-merge — it splits only the oversized partition and beats
-    salting (no dim replication, no wider shuffle). Salt when AQE
-    cannot fire: sub-threshold skew that still straggles (the
-    measured regime above), hot keys on the AGGREGATION side of a
-    groupBy, or when the skewed side arrives pre-sorted/bucketed and
-    AQE would be bypassed. At 100 TB a 20%-hot key is multi-GB —
-    default AQE fires there; this operator is for the sub-threshold
-    band and non-join skew.
+    Threshold rule: prefer AQE's skew split whenever it can fire —
+    it splits only the oversized partition and beats salting
+    (measured 2.5–2.7× over plain at BOTH 50M and 200M rows vs
+    salting's 1.5–1.6×; BASELINE.md round-5 A/B). But "fires" means
+    the hot partition's COMPRESSED map-output bytes exceed
+    ``spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes``
+    (default 256m) and factor × median: at 200M rows the 640
+    MB-uncompressed hot partition still did NOT trip the default
+    (narrow rows compress ~3×) — the default bar is much higher
+    than it looks, so tune it down (16–64m) on skewed workloads.
+    Salt when AQE cannot fire: the (wide) sub-threshold band that
+    still straggles, hot keys on the AGGREGATION side of a groupBy,
+    or plans AQE bypasses (pre-sorted/bucketed inputs).
     """
     salted_fact = fact.withColumn(
         "_salt", (F.rand(seed=42) * salt).cast("int")
