@@ -114,6 +114,11 @@ PIPELINE_GRID = [
 PIPELINE_GRID_WIDE = [
     ("featurewise_n1205_f5000", 1205, 5000, "classification"),
     ("featurewise_n1205_f20000", 1205, 20000, "classification"),
+    # The reference's largest grid point. At f=40k the measured RSS
+    # lever is CV-fold concurrency (each in-flight fold holds dense
+    # 40k-dim scaled copies) — run with SPARK_GRAFT_CV_PAR=4-5 on a
+    # 128 GiB box (f=20k at parallelism 10 peaked 52.7 GB).
+    ("featurewise_n1205_f40000", 1205, 40000, "classification"),
 ]
 
 # Wide cells fold 6M sf1 fact rows into up to 24M matrix cells —
@@ -428,7 +433,11 @@ def run_pipeline_grid(
                     task=task,
                     k_folds=10,
                     seed=42,
-                    cv_parallelism=10,
+                    # Default 10 ≡ the recorded grid; the wide-cell
+                    # RSS lever (see PIPELINE_GRID_WIDE note).
+                    cv_parallelism=int(
+                        os.environ.get("SPARK_GRAFT_CV_PAR", "10")
+                    ),
                     fit_partitions=8,
                 )
                 best = min(best, time.perf_counter() - t0)
