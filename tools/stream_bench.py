@@ -127,6 +127,17 @@ def main() -> None:
     ap.add_argument("--duration", type=float, default=25.0)
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--shuffle-partitions", type=int, default=16)
+    ap.add_argument(
+        "--state-provider",
+        choices=["hdfs", "rocksdb"],
+        default="hdfs",
+        help="state store provider for the stateful workload "
+        "(rocksdb = spark's in-box RocksDBStateStoreProvider)",
+    )
+    ap.add_argument(
+        "--workloads", default="window_agg,dedup_state",
+        help="comma-separated subset of {window_agg,dedup_state}",
+    )
     args = ap.parse_args()
 
     sys.path.insert(
@@ -140,9 +151,18 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.state_provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
+    wanted = set(args.workloads.split(","))
     out: dict[str, list] = {}
     for name, build in (("window_agg", window_agg), ("dedup_state", dedup_state)):
+        if name not in wanted:
+            continue
         out[name] = []
         for rate in (int(r) for r in args.rates.split(",")):
             res = run_once(
@@ -162,6 +182,7 @@ def main() -> None:
                 "metric": "stream_throughput",
                 "duration_s": args.duration,
                 "partitions": args.partitions,
+                "state_provider": args.state_provider,
                 "workloads": out,
                 "loadavg_before": round(load_before, 2),
                 "loadavg_after": round(host_load(), 2),
