@@ -948,9 +948,13 @@ def op_sql_01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_agg_12_top_k_sketch",
-    # The sketch tracks up to 10k items exactly; this corpus's
-    # vocabulary (31 terms) is far below that, so the "approximate"
-    # heavy hitters are exact and the oracle is the plain wordcount.
+    # The sketch tracks up to 10k items exactly and we ask for the
+    # top 1000; every bench corpus's vocabulary (31 terms at driver
+    # SFs, 310 in the derived sf1) is far below BOTH, so the
+    # "approximate" heavy hitters are the exact full wordcount and
+    # the oracle is the plain GROUP BY. (k was 100 until the sf1
+    # chaos sweep caught vocab 310 > k: truncation at the k-boundary
+    # is tie-ambiguous, so keep vocab <= k for the oracle twin.)
     "SELECT term, count(*) AS n FROM "
     "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) t "
     "WHERE term <> '' GROUP BY term",
@@ -967,7 +971,7 @@ def op_agg_12_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    row = ex.agg(F.expr("approx_top_k(term, 100, 10000)").alias("tk"))
+    row = ex.agg(F.expr("approx_top_k(term, 1000, 10000)").alias("tk"))
     return row.select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("term"), F.col("s.count").alias("n")
     )
