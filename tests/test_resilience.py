@@ -1,0 +1,68 @@
+"""Failure-injection invariants: retried tasks and killed executors
+must not change any result.
+
+At 100 TB, task retries and executor loss are ROUTINE (spot
+preemption, OOM kills, disk faults) — Spark recovers by re-running
+tasks and resubmitting stages, which is only correct if every
+operator is deterministic under recomputation. The repo's
+hash-derived-randomness contract (SCALING.md §3: membership/order is
+a pure function of (key, seed), never ``rand()``/partition-local
+state) exists exactly for this; these tests prove it holds rather
+than assert it. The reference never faced the question — its
+single-process harnesses (singlemachine_dataset_samplewise_
+benchmark.py) die with their worker.
+
+Both chaos modes need masters the shared session fixture can't
+provide (``local[8,4]`` for task retries, ``local-cluster[2,4,2048]``
+for executor loss), so each runs tools/retry_chaos.py in a
+subprocess; the tool prints one JSON line and exits non-zero on any
+divergence (exit 2 = the kill missed the job window — vacuous, not
+a correctness failure, but still a test failure so it can't rot
+silently)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+TOOL = str(Path(__file__).resolve().parents[1] / "tools" / "retry_chaos.py")
+
+
+def _run(*argv: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, TOOL, *argv],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, (
+        f"retry_chaos exit {proc.returncode}\n"
+        f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_task_retry_determinism():
+    """local[8,4]: every battery operator (shuffle agg, hash-split
+    membership, epoch shuffle, MinHash-LSH pairs, global rank, exact
+    dedup) hashes identically with first-attempt task failures
+    injected on the input scan AND on the final stage, and the
+    markers prove the failures actually fired."""
+    out = _run("--mode", "retry")
+    assert out["ok"] is True
+    for name, r in out["results"].items():
+        assert r["identical"], name
+        assert r["injected_failures"] > 0, f"{name}: vacuous (no failure fired)"
+
+
+def test_executor_kill_recovery():
+    """local-cluster[2,4,2048]: SIGKILL one executor JVM mid-query
+    (status-tracker-gated so the kill provably lands inside the job
+    span); the standalone worker replaces it, lost outputs are
+    recomputed, and the MinHash pair set is bit-identical."""
+    out = _run("--mode", "kill")
+    assert out["ok"] is True and out["vacuous"] is False
+    assert out["identical"] is True
+    assert out["killed_pid"] is not None

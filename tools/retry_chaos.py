@@ -1,0 +1,368 @@
+"""Task-retry / executor-loss chaos harness.
+
+At 100 TB task failures are routine (spot kills, OOM evictions, disk
+faults), so every operator must be RETRY-SAFE: a task that fails and
+is re-attempted — or a whole executor that dies, taking its shuffle
+files with it — must not change the result. That holds only if every
+row's fate is a pure function of its data (the repo's hash-derived
+randomness contract, SCALING.md §3); anything leaning on
+``rand()``/partition-local state silently corrupts under retry. The
+reference never had to prove this (single-process Dask harnesses,
+``singlemachine_dataset_samplewise_benchmark.py`` — a worker death
+there kills the run); on Spark it is a testable property.
+
+Two modes, each needing its own master (so: subprocess-per-mode,
+see tests/test_resilience.py):
+
+``--mode retry`` (default) — ``local[8,4]`` (4 task attempts).
+    Every battery operator runs three times: clean, with injected
+    first-attempt task failures on the INPUT scan stage, and with
+    the injection appended to the OUTPUT (so the retried task must
+    re-fetch shuffle blocks and recompute the operator's final
+    stage). All three results must hash identically, and marker
+    files prove the failures actually fired.
+
+``--mode kill`` — ``local-cluster[2,4,2048]`` (2 worker JVMs).
+    SIGKILL one CoarseGrainedExecutorBackend mid-query (pid matched
+    on THIS app's id, scheduled at ~30% of the measured clean wall).
+    The dead executor's shuffle files vanish -> FetchFailed -> stage
+    resubmission; the standalone worker relaunches a replacement.
+    The query must finish with a bit-identical result, and the tool
+    asserts the kill landed inside the job's wall span (else exit 2:
+    vacuous, enlarge the workload).
+
+Prints one JSON line; exit 0 = all invariants held.
+
+Usage::
+
+    python tools/retry_chaos.py                 # retry battery, sf0.001
+    python tools/retry_chaos.py --mode kill     # executor-loss run, sf0.1
+    python tools/retry_chaos.py --sf sf0.01 --inject-mod 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def flaky(df, tag: str, marker_dir: str, mod: int = 3):
+    """Identity pass-through that fails every (partition % mod == 0)
+    task on its FIRST attempt. Arrow-batched identity keeps schemas
+    intact; a marker file per injected failure proves the chaos
+    actually fired (a green run with zero markers is vacuous)."""
+    schema = df.schema
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc.partitionId() % mod == 0 and tc.attemptNumber() == 0:
+            open(
+                os.path.join(
+                    marker_dir,
+                    f"{tag}-s{tc.stageId()}-p{tc.partitionId()}",
+                ),
+                "w",
+            ).close()
+            raise RuntimeError(
+                f"chaos: injected failure [{tag}] partition "
+                f"{tc.partitionId()} attempt 0"
+            )
+        yield from batches
+
+    return df.mapInPandas(gen, schema)
+
+
+def df_hash(df) -> tuple[int, str]:
+    """Order/layout-independent content hash (the oracle-sweep
+    normalization: sort columns by name, then rows)."""
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(by=cols, na_position="last").reset_index(
+        drop=True
+    )
+    return len(pdf), hashlib.md5(
+        pdf.to_csv(index=False, float_format="%.12g").encode()
+    ).hexdigest()
+
+
+def battery(spark, sf_dir: str):
+    """(name, builder) pairs covering the retry-sensitive shapes:
+    shuffle agg, seeded-hash membership, windowed shuffle, banded
+    multi-stage LSH, boundary-literal global rank, dedup window."""
+    from pyspark.sql import functions as F
+
+    from gexp_ml_dask_spark.llm.dedup import exact_dedup, minhash_lsh_pairs
+    from gexp_ml_dask_spark.llm.mixture import epoch_shuffle
+    from gexp_ml_dask_spark.ml.pipeline import hash_split
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
+    def docs():
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def events():
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    return [
+        (
+            "shuffle_agg",
+            docs,
+            lambda d: d.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("chars"),
+            ),
+        ),
+        (
+            "hash_split_test_half",
+            docs,
+            lambda d: hash_split(d, 0.3, key_col="doc_id")[1].select(
+                "doc_id"
+            ),
+        ),
+        (
+            "epoch_shuffle",
+            docs,
+            lambda d: epoch_shuffle(d, seed=7, n_shards=16),
+        ),
+        (
+            "minhash_lsh_pairs",
+            docs,
+            lambda d: minhash_lsh_pairs(d, threshold=0.5),
+        ),
+        (
+            "global_rank",
+            events,
+            lambda d: global_rank(
+                d.select("event_id", "value"), "value", "event_id"
+            ),
+        ),
+        (
+            "exact_dedup",
+            docs,
+            lambda d: exact_dedup(d).select("doc_id", "n_chars"),
+        ),
+    ]
+
+
+def run_retry(args) -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.threads},4]")
+        .appName("retry_chaos")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = f"{args.data_root}/{args.sf}"
+    marker_dir = tempfile.mkdtemp(prefix="retry_chaos_")
+    results, bad = {}, []
+    for name, src, op in battery(spark, sf_dir):
+        clean = df_hash(op(src()))
+        in_chaos = df_hash(
+            op(flaky(src(), f"{name}-in", marker_dir, args.inject_mod))
+        )
+        out_chaos = df_hash(
+            flaky(op(src()), f"{name}-out", marker_dir, args.inject_mod)
+        )
+        fired = len(
+            [m for m in os.listdir(marker_dir) if m.startswith(name)]
+        )
+        ok = clean == in_chaos == out_chaos and fired > 0
+        results[name] = {
+            "rows": clean[0],
+            "identical": clean == in_chaos == out_chaos,
+            "injected_failures": fired,
+        }
+        if not ok:
+            bad.append(name)
+        print(
+            f"{'OK  ' if ok else 'FAIL'} {name} rows={clean[0]} "
+            f"injected={fired} clean={clean[1][:12]} "
+            f"in={in_chaos[1][:12]} out={out_chaos[1][:12]}",
+            file=sys.stderr,
+            flush=True,
+        )
+    spark.stop()
+    print(
+        json.dumps(
+            {"mode": "retry", "ok": not bad, "results": results}
+        )
+    )
+    return 1 if bad else 0
+
+
+def _kill_one_executor(sc, delay: float, out: dict, done):
+    """Wait until a job is actually RUNNING (poll the status tracker
+    — a wall-clock-only schedule is vacuous whenever JIT/page-cache
+    warmup makes the chaos run faster than the cold estimate), then
+    sleep ``delay`` and SIGKILL one of this app's executor JVMs."""
+    try:
+        tracker = sc.statusTracker()
+
+        def wait_active() -> bool:
+            while not done.is_set():
+                if tracker.getActiveJobsIds():
+                    return True
+                time.sleep(0.02)
+            return False
+
+        if not wait_active():
+            out["note"] = "no job ever became active"
+            return
+        time.sleep(delay)
+        # If the job beat the timer (warm runs keep getting faster),
+        # fire at the START of the next active job instead — an early
+        # kill is the harsher case anyway (stage-0 map outputs lost).
+        if not tracker.getActiveJobsIds() and not wait_active():
+            out["note"] = "chaos run ended before the timer fired"
+            return
+        pids = subprocess.run(
+            [
+                "pgrep",
+                "-f",
+                f"CoarseGrainedExecutorBackend.*{sc.applicationId}",
+            ],
+            capture_output=True,
+            text=True,
+        ).stdout.split()
+        if pids:
+            os.kill(int(pids[0]), signal.SIGKILL)
+            out["killed_pid"] = int(pids[0])
+            out["kill_time"] = time.time()
+        else:
+            out["note"] = "no executor pid matched at fire time"
+    except Exception as ex:  # noqa: BLE001 — surface, don't die silent
+        out["error"] = repr(ex)
+
+
+def run_kill(args) -> int:
+    from pyspark.sql import SparkSession, functions as F
+
+    from gexp_ml_dask_spark.llm.dedup import minhash_lsh_pairs
+
+    spark = (
+        SparkSession.builder.master("local-cluster[2,4,2048]")
+        .appName("retry_chaos_kill")
+        .config("spark.executor.memory", "1536m")
+        .config("spark.sql.shuffle.partitions", "16")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = f"{args.data_root}/{args.sf}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 4 tagged copies (ids offset, text version-suffixed) quadruple
+    # the corpus so the job is long enough to kill mid-flight; the
+    # suffix only perturbs trailing shingles, so cross-copy pairs are
+    # legitimate near-dups — more work, still deterministic.
+    big = None
+    for i in range(4):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" chaosv{i}")).alias("text"),
+        )
+        big = c if big is None else big.union(c)
+    big = big.persist()
+    big.count()
+
+    def pairs():
+        return minhash_lsh_pairs(big, threshold=0.5, max_bucket=5000)
+
+    df_hash(pairs())  # cold run: JIT + page-cache warmup, discarded
+    t0 = time.time()
+    clean = df_hash(pairs())
+    clean_wall = time.time() - t0  # warm estimate the kill is timed on
+    # The kill placement races the job under co-tenant load; a miss
+    # is vacuous (exit 2), not wrong, so retry the chaos leg a few
+    # times rather than flake the wrapping test.
+    for attempt in range(args.attempts):
+        kill_info = {}
+        done = threading.Event()
+        killer = threading.Thread(
+            target=_kill_one_executor,
+            args=(
+                spark.sparkContext,
+                max(0.3, args.kill_frac * clean_wall),
+                kill_info,
+                done,
+            ),
+        )
+        t1 = time.time()
+        killer.start()
+        chaos = df_hash(pairs())
+        t2 = time.time()
+        done.set()
+        killer.join()
+        vacuous = (
+            "killed_pid" not in kill_info or kill_info["kill_time"] >= t2
+        )
+        if not vacuous:
+            break
+        print(
+            f"attempt {attempt}: vacuous "
+            f"({kill_info.get('note') or kill_info.get('error')})",
+            file=sys.stderr,
+            flush=True,
+        )
+    spark.stop()
+    ok = not vacuous and clean == chaos
+    print(
+        json.dumps(
+            {
+                "mode": "kill",
+                "ok": ok,
+                "vacuous": vacuous,
+                "rows": clean[0],
+                "identical": clean == chaos,
+                "clean_wall_s": round(clean_wall, 2),
+                "chaos_wall_s": round(t2 - t1, 2),
+                "killed_pid": kill_info.get("killed_pid"),
+                "kill_at_s": round(kill_info["kill_time"] - t1, 2)
+                if "kill_time" in kill_info
+                else None,
+                "note": kill_info.get("note") or kill_info.get("error"),
+            }
+        )
+    )
+    return 2 if vacuous else (0 if ok else 1)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["retry", "kill"], default="retry")
+    ap.add_argument("--sf", default=None, help="testdata dir name")
+    ap.add_argument("--data-root", default="/root/testdata")
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--inject-mod", type=int, default=3)
+    ap.add_argument(
+        "--kill-frac",
+        type=float,
+        default=0.25,
+        help="schedule the SIGKILL at this fraction of the clean wall",
+    )
+    ap.add_argument(
+        "--attempts",
+        type=int,
+        default=3,
+        help="kill-mode retries when the kill misses the job window",
+    )
+    args = ap.parse_args()
+    if args.sf is None:
+        args.sf = "sf0.001" if args.mode == "retry" else "sf0.1"
+    return run_retry(args) if args.mode == "retry" else run_kill(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
