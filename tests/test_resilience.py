@@ -48,8 +48,10 @@ def test_task_retry_determinism():
     """local[8,4]: every battery operator (shuffle agg, hash-split
     membership, epoch shuffle, MinHash-LSH pairs, global rank, exact
     dedup) hashes identically with first-attempt task failures
-    injected on the input scan AND on the final stage, and the
-    markers prove the failures actually fired."""
+    injected on the input scan AND on the final stage; a parquet sink
+    with failures injected mid-write reads back bit-identical (the
+    output committer promotes only the committing attempt's files).
+    Marker files prove the failures actually fired."""
     out = _run("--mode", "retry")
     assert out["ok"] is True
     for name, r in out["results"].items():

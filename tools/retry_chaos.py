@@ -195,6 +195,33 @@ def run_retry(args) -> int:
             file=sys.stderr,
             flush=True,
         )
+    # Write-path retry: a task that fails mid-sink must not leave
+    # partial files behind — the FileOutputCommitter only promotes
+    # files from the attempt that COMMITS, so the re-attempt's output
+    # replaces (never duplicates) the failed attempt's rows. This is
+    # the invariant that makes batch sinks retry-exactly-once.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clean = df_hash(docs)
+    sink = tempfile.mkdtemp(prefix="retry_chaos_sink_")
+    flaky(
+        docs.repartition(6), "sink", marker_dir, args.inject_mod
+    ).write.mode("overwrite").parquet(f"{sink}/docs")
+    back = df_hash(spark.read.parquet(f"{sink}/docs"))
+    fired = len([m for m in os.listdir(marker_dir) if m.startswith("sink")])
+    ok = back == clean and fired > 0
+    results["parquet_sink_commit"] = {
+        "rows": clean[0],
+        "identical": back == clean,
+        "injected_failures": fired,
+    }
+    if not ok:
+        bad.append("parquet_sink_commit")
+    print(
+        f"{'OK  ' if ok else 'FAIL'} parquet_sink_commit rows={clean[0]} "
+        f"injected={fired} clean={clean[1][:12]} back={back[1][:12]}",
+        file=sys.stderr,
+        flush=True,
+    )
     spark.stop()
     print(
         json.dumps(
