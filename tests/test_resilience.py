@@ -30,14 +30,14 @@ from pathlib import Path
 TOOL = str(Path(__file__).resolve().parents[1] / "tools" / "retry_chaos.py")
 
 
-def _run(*argv: str) -> dict:
+def _run(*argv: str, ok_codes: tuple[int, ...] = (0,)) -> dict:
     proc = subprocess.run(
         [sys.executable, TOOL, *argv],
         capture_output=True,
         text=True,
         timeout=540,
     )
-    assert proc.returncode == 0, (
+    assert proc.returncode in ok_codes, (
         f"retry_chaos exit {proc.returncode}\n"
         f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
     )
@@ -57,6 +57,20 @@ def test_task_retry_determinism():
     for name, r in out["results"].items():
         assert r["identical"], name
         assert r["injected_failures"] > 0, f"{name}: vacuous (no failure fired)"
+
+
+def test_speculation_safe_results():
+    """local-cluster + spark.speculation=true + injected straggler:
+    results and sink output identical regardless of which attempt
+    wins. On a single machine Spark never actually launches the
+    duplicate (same-host exclusion — measured, see the tool's
+    docstring), so exit 2 (vacuous) is accepted here; the assertion
+    that survives either topology is result identity."""
+    out = _run("--mode", "speculate", "--straggle-s", "3", ok_codes=(0, 2))
+    for name, r in out["results"].items():
+        assert r["identical"], name
+    if not out["vacuous"]:  # multi-host: the full property must hold
+        assert out["ok"] is True
 
 
 def test_executor_kill_recovery():

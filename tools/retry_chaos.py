@@ -22,6 +22,28 @@ see tests/test_resilience.py):
     stage). All three results must hash identically, and marker
     files prove the failures actually fired.
 
+``--mode speculate`` — ``local-cluster[2,4,2048]`` with
+    ``spark.speculation=true``. An injected straggler (partition 0's
+    first attempt sleeps) invites the scheduler to race a duplicate
+    attempt; compute results AND parquet sink output must be
+    identical no matter which attempt wins (the
+    OutputCommitCoordinator admits exactly one sink commit); attempt
+    markers detect whether a duplicate actually launched.
+
+    Measured limitation, single machine: NO duplicate ever launches
+    here — ``local[N]`` never starts the speculation thread at all
+    (non-local masters only), and under local-cluster every executor
+    shares this host while the scheduler refuses to place a
+    speculative copy on a host that already has a running attempt
+    (probed with an 8 s straggler, 50 ms interval, quantile 0.25,
+    efficiency heuristic both on and off: 0 duplicates, job waits
+    out the sleep). So on one box this mode can only pin the
+    correctness half (results identical, exit 2 = vacuous); the
+    semantics speculation relies on — deterministic recomputation +
+    single-commit sinks — are exactly what ``--mode retry`` proves.
+    On a real multi-host cluster the same invocation is the full
+    test (exit 0 with ``speculated_tasks > 0``).
+
 ``--mode kill`` — ``local-cluster[2,4,2048]`` (2 worker JVMs).
     SIGKILL one CoarseGrainedExecutorBackend mid-query (pid matched
     on THIS app's id, scheduled at ~30% of the measured clean wall).
@@ -231,6 +253,135 @@ def run_retry(args) -> int:
     return 1 if bad else 0
 
 
+def straggler(df, tag: str, marker_dir: str, sleep_s: float):
+    """Identity pass-through that makes partition 0's FIRST attempt a
+    straggler (sleeps ``sleep_s``), and drops a marker for EVERY task
+    attempt — two markers for one (stage, partition) prove a
+    speculative duplicate actually launched."""
+    schema = df.schema
+
+    def gen(batches):
+        import time as _time
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        open(
+            os.path.join(
+                marker_dir,
+                f"{tag}-s{tc.stageId()}-p{tc.partitionId()}"
+                f"-a{tc.attemptNumber()}",
+            ),
+            "w",
+        ).close()
+        if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            _time.sleep(sleep_s)
+        yield from batches
+
+    return df.mapInPandas(gen, schema)
+
+
+def _speculated(marker_dir: str, tag: str) -> int:
+    """Count (stage, partition) cells that ran more than one attempt."""
+    from collections import Counter
+
+    cells = Counter(
+        m.rsplit("-a", 1)[0]
+        for m in os.listdir(marker_dir)
+        if m.startswith(tag)
+    )
+    return sum(1 for n in cells.values() if n > 1)
+
+
+def run_speculate(args) -> int:
+    """spark.speculation=true + an injected straggler: the scheduler
+    races a duplicate attempt against the slow original; results and
+    sink output must be identical no matter which attempt wins (the
+    OutputCommitCoordinator lets exactly one sink attempt commit)."""
+    from pyspark.sql import SparkSession
+
+    from gexp_ml_dask_spark.llm.dedup import minhash_lsh_pairs
+
+    # NOT local[N]: TaskSchedulerImpl only starts its speculation
+    # thread when the master is non-local. local-cluster runs the
+    # real scheduler path, but see the module docstring: on a single
+    # machine the same-host exclusion still keeps duplicates at 0,
+    # so expect exit 2 (vacuous, results pinned identical) here and
+    # exit 0 only on a genuinely multi-host cluster.
+    spark = (
+        SparkSession.builder.master("local-cluster[2,4,2048]")
+        .appName("retry_chaos_speculate")
+        .config("spark.executor.memory", "1536m")
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "50ms")
+        .config("spark.speculation.multiplier", "1.2")
+        .config("spark.speculation.quantile", "0.25")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = f"{args.data_root}/{args.sf}"
+    marker_dir = tempfile.mkdtemp(prefix="retry_chaos_spec_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results, bad = {}, []
+
+    # Compute path: straggler on the scan feeding MinHash-LSH.
+    clean = df_hash(minhash_lsh_pairs(docs, threshold=0.5))
+    t0 = time.time()
+    chaos = df_hash(
+        minhash_lsh_pairs(
+            straggler(
+                docs.repartition(8), "compute", marker_dir, args.straggle_s
+            ),
+            threshold=0.5,
+        )
+    )
+    wall = time.time() - t0
+    spec = _speculated(marker_dir, "compute")
+    ok = clean == chaos and spec > 0
+    results["compute"] = {
+        "rows": clean[0],
+        "identical": clean == chaos,
+        "speculated_tasks": spec,
+        "wall_s": round(wall, 2),
+        "straggler_s": args.straggle_s,
+    }
+    if not ok:
+        bad.append("compute")
+
+    # Sink path: the straggler races the speculative copy INTO the
+    # parquet commit; the loser's commit is denied, files from
+    # exactly one attempt are promoted.
+    clean = df_hash(docs)
+    sink = tempfile.mkdtemp(prefix="retry_chaos_spec_sink_")
+    straggler(
+        docs.repartition(8), "sink", marker_dir, args.straggle_s
+    ).write.mode("overwrite").parquet(f"{sink}/docs")
+    back = df_hash(spark.read.parquet(f"{sink}/docs"))
+    spec = _speculated(marker_dir, "sink")
+    ok = back == clean and spec > 0
+    results["sink"] = {
+        "rows": clean[0],
+        "identical": back == clean,
+        "speculated_tasks": spec,
+    }
+    if not ok:
+        bad.append("sink")
+    spark.stop()
+    vacuous = any(r["speculated_tasks"] == 0 for r in results.values())
+    print(
+        json.dumps(
+            {
+                "mode": "speculate",
+                "ok": not bad,
+                "vacuous": vacuous,
+                "results": results,
+            }
+        )
+    )
+    return (2 if vacuous else 1) if bad else 0
+
+
 def _kill_one_executor(sc, delay: float, out: dict, done):
     """Wait until a job is actually RUNNING (poll the status tracker
     — a wall-clock-only schedule is vacuous whenever JIT/page-cache
@@ -368,7 +519,9 @@ def run_kill(args) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["retry", "kill"], default="retry")
+    ap.add_argument(
+        "--mode", choices=["retry", "kill", "speculate"], default="retry"
+    )
     ap.add_argument("--sf", default=None, help="testdata dir name")
     ap.add_argument("--data-root", default="/root/testdata")
     ap.add_argument("--threads", type=int, default=8)
@@ -385,10 +538,21 @@ def main() -> int:
         default=3,
         help="kill-mode retries when the kill misses the job window",
     )
+    ap.add_argument(
+        "--straggle-s",
+        type=float,
+        default=4.0,
+        help="speculate-mode straggler sleep (must dwarf the median "
+        "task so the scheduler launches a duplicate)",
+    )
     args = ap.parse_args()
     if args.sf is None:
-        args.sf = "sf0.001" if args.mode == "retry" else "sf0.1"
-    return run_retry(args) if args.mode == "retry" else run_kill(args)
+        args.sf = "sf0.1" if args.mode == "kill" else "sf0.001"
+    if args.mode == "retry":
+        return run_retry(args)
+    if args.mode == "speculate":
+        return run_speculate(args)
+    return run_kill(args)
 
 
 if __name__ == "__main__":
