@@ -73,6 +73,19 @@ def test_speculation_safe_results():
         assert out["ok"] is True
 
 
+def test_streaming_state_survives_executor_kill():
+    """local-cluster + Structured Streaming: SIGKILL one executor
+    while a rate-source complete-mode aggregation runs. The dead
+    executor's partitions reschedule on the survivor and reload
+    their state stores from the checkpoint; the per-key counts must
+    stay EXACTLY derivable from the total streamed row count — lost
+    or double-counted state breaks the invariant."""
+    out = _run("--mode", "stream-kill")
+    assert out["ok"] is True and out["vacuous"] is False
+    assert out["state_exact"] is True
+    assert out["rows_streamed"] > 0 and out["killed_pid"] is not None
+
+
 def test_executor_kill_recovery():
     """local-cluster[2,4,2048]: SIGKILL one executor JVM mid-query
     (status-tracker-gated so the kill provably lands inside the job

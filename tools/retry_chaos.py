@@ -44,6 +44,13 @@ see tests/test_resilience.py):
     On a real multi-host cluster the same invocation is the full
     test (exit 0 with ``speculated_tasks > 0``).
 
+``--mode stream-kill`` — ``local-cluster[2,4,2048]``, Structured
+    Streaming. SIGKILL one executor while a rate-source complete-mode
+    aggregation is running; its partitions reschedule on the survivor
+    and reload their state stores from the checkpoint. Invariant:
+    with keys = value % 100, every key's final count is exactly
+    derivable from the total — lost or double-counted state breaks it.
+
 ``--mode kill`` — ``local-cluster[2,4,2048]`` (2 worker JVMs).
     SIGKILL one CoarseGrainedExecutorBackend mid-query (pid matched
     on THIS app's id, scheduled at ~30% of the measured clean wall).
@@ -517,10 +524,98 @@ def run_kill(args) -> int:
     return 2 if vacuous else (0 if ok else 1)
 
 
+def run_stream_kill(args) -> int:
+    """Streaming state must survive executor loss. A rate-source
+    complete-mode aggregation carries an exactly-checkable invariant:
+    with keys = value % K over values 0..N-1, every key's count is
+    N//K (+1 for k < N%K) — any state lost or double-counted when an
+    executor dies breaks it. The killed executor's partitions are
+    rescheduled on the survivor, which reloads their state store
+    from the checkpoint (the same recovery a DFS checkpoint gives a
+    real cluster); micro-batch offset tracking makes the replayed
+    batch exactly-once."""
+    import tempfile as _tf
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local-cluster[2,4,2048]")
+        .appName("retry_chaos_stream")
+        .config("spark.executor.memory", "1536m")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    K = 100
+    ckpt = _tf.mkdtemp(prefix="retry_chaos_stream_ckpt_")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20000)
+        .load()
+        .groupBy((F.col("value") % K).alias("k"))
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("chaos_counts")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    kill_info: dict = {}
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.2)  # let at least one batch commit first
+        time.sleep(2.0)
+        pids = subprocess.run(
+            [
+                "pgrep",
+                "-f",
+                "CoarseGrainedExecutorBackend.*"
+                + spark.sparkContext.applicationId,
+            ],
+            capture_output=True,
+            text=True,
+        ).stdout.split()
+        if pids:
+            os.kill(int(pids[0]), signal.SIGKILL)
+            kill_info["killed_pid"] = int(pids[0])
+        # keep streaming across the death + replacement executor
+        time.sleep(6.0)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pdf = spark.table("chaos_counts").toPandas()
+    spark.stop()
+    n = int(pdf["count"].sum())
+    got = {int(r["k"]): int(r["count"]) for _, r in pdf.iterrows()}
+    want = {k: n // K + (1 if k < n % K else 0) for k in range(K)}
+    want = {k: v for k, v in want.items() if v > 0}
+    exact = got == want
+    vacuous = "killed_pid" not in kill_info or n == 0
+    ok = exact and not vacuous
+    print(
+        json.dumps(
+            {
+                "mode": "stream-kill",
+                "ok": ok,
+                "vacuous": vacuous,
+                "rows_streamed": n,
+                "keys": len(got),
+                "state_exact": exact,
+                "killed_pid": kill_info.get("killed_pid"),
+            }
+        )
+    )
+    return 2 if vacuous else (0 if ok else 1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["retry", "kill", "speculate"], default="retry"
+        "--mode",
+        choices=["retry", "kill", "speculate", "stream-kill"],
+        default="retry",
     )
     ap.add_argument("--sf", default=None, help="testdata dir name")
     ap.add_argument("--data-root", default="/root/testdata")
@@ -552,6 +647,8 @@ def main() -> int:
         return run_retry(args)
     if args.mode == "speculate":
         return run_speculate(args)
+    if args.mode == "stream-kill":
+        return run_stream_kill(args)
     return run_kill(args)
 
 
