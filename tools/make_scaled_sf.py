@@ -27,6 +27,13 @@ entities, not replicas:
   means 10x samples over the same genes.
 
 Output: /root/repo/.scratch/sf1/*.parquet (gitignored scratch).
+
+Second decade (sf10): run once more with ``SRC_SF_DIR=.scratch/sf1
+OUT_SF_DIR=.scratch/sf10 PERTURB=rot`` — the rot scheme exists
+because the vowel substitution is single-use (see ``_RING``).
+Verified: sf10 distinct-text count = exactly 10x sf1's, i.e. all
+100 underlying copies stay mutually disjoint while within-copy dup
+structure scales linearly.
 """
 
 from __future__ import annotations
@@ -62,14 +69,37 @@ def _subst(i: int) -> str:
     return _SUBST[(i - 1) * 5 : i * 5]
 
 
+# Second-decade perturbation (PERTURB=rot, for scaling an already
+# vowel-perturbed sf1 up to sf10): the vowel scheme is single-use —
+# sf1 copies 1..9 contain no vowels, so a second vowel pass would
+# leave them EXACT clones and fabricate 10-clique dup blowups. A
+# full-ring rotation (Caesar over lowercase + the substitute charset;
+# space stays out of the ring so tokenization is preserved) changes
+# EVERY letter, so any two distinct rotations share zero shingles:
+# all 100 underlying copies stay mutually dissimilar while each
+# keeps the source corpus's exact length/shape statistics.
+_RING = "abcdefghijklmnopqrstuvwxyz" + _SUBST
+
+
+def _rot(i: int) -> str:
+    s = (i * 7) % len(_RING)
+    return _RING[s:] + _RING[:s]
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from gexp_ml_dask_spark.session import get_spark
 
     src = os.environ.get("SRC_SF_DIR", "/root/testdata/sf0.1")
     out = os.environ.get("OUT_SF_DIR", "/root/repo/.scratch/sf1")
+    perturb = os.environ.get("PERTURB", "vowel")  # vowel | rot
     spark = get_spark(app_name="make_sf1")
     os.makedirs(out, exist_ok=True)
+
+    def _perturbed(col: str, i: int):
+        if perturb == "rot":
+            return F.translate(col, _RING, _rot(i))
+        return F.translate(col, VOWELS, _subst(i))
 
     for table, keys in SHIFT_COLS.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
@@ -88,15 +118,11 @@ def main() -> None:
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * strides[k]))
             if table == "documents" and i > 0:
-                # perturb: all vowels -> copy-unique chars; cross-copy
-                # similarity collapses, within-copy structure intact
-                c = c.withColumn(
-                    "text", F.translate("text", VOWELS, _subst(i))
-                )
+                # perturb: cross-copy similarity collapses, within-copy
+                # structure intact (scheme per PERTURB, see above)
+                c = c.withColumn("text", _perturbed("text", i))
             if table == "part" and i > 0:
-                c = c.withColumn(
-                    "p_name", F.translate("p_name", VOWELS, _subst(i))
-                )
+                c = c.withColumn("p_name", _perturbed("p_name", i))
             parts.append(c)
         u = parts[0]
         for p in parts[1:]:
