@@ -65,6 +65,72 @@ def compare(got, want, pd):
     return True
 
 
+def _spark_digest(df):
+    """Order-invariant multiset digest, computed DISTRIBUTED: row
+    count + per-column sum of a 32-bit md5 prefix over a canonical
+    string rendering. This is how value-verification survives scales
+    where collecting the result is itself the bottleneck (a 60M-row
+    result blows spark.driver.maxResultSize long before the operator
+    itself struggles): both engines reduce to O(columns) scalars.
+    Canonical form: NULL -> '~null~'; float/decimal -> printf %.6f of
+    round(x,6)+0.0 (the +0.0 folds -0.0; nan/inf spelled out — Java
+    and C printf disagree on case and -0); everything else -> its
+    string cast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        col = F.col(f.name)
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.DecimalType)):
+            d = col.cast("double")
+            canon = (
+                F.when(col.isNull(), F.lit("~null~"))
+                .when(F.isnan(d), F.lit("nan"))
+                .when(d == float("inf"), F.lit("inf"))
+                .when(d == float("-inf"), F.lit("-inf"))
+                .otherwise(
+                    F.format_string("%.6f", F.round(d, 6) + F.lit(0.0))
+                )
+            )
+        else:
+            canon = F.when(col.isNull(), F.lit("~null~")).otherwise(
+                col.cast("string")
+            )
+        h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+        aggs.append(F.sum(h).alias(f.name))
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def _duck_digest(con, sql: str):
+    """DuckDB twin of :func:`_spark_digest` (same canonical form,
+    same md5-prefix sum; hex via the '0x…'::BIGINT cast)."""
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()
+    parts = ["count(*) AS __n"]
+    for row in desc:
+        name, typ = row[0], row[1].upper()
+        q = f'"{name}"'
+        if typ in ("DOUBLE", "FLOAT", "REAL") or typ.startswith("DECIMAL"):
+            canon = (
+                f"CASE WHEN {q} IS NULL THEN '~null~' "
+                f"WHEN isnan({q}::DOUBLE) THEN 'nan' "
+                f"WHEN isinf({q}::DOUBLE) AND {q} > 0 THEN 'inf' "
+                f"WHEN isinf({q}::DOUBLE) THEN '-inf' "
+                f"ELSE printf('%.6f', round({q}::DOUBLE, 6) + 0.0) END"
+            )
+        else:
+            canon = (
+                f"CASE WHEN {q} IS NULL THEN '~null~' "
+                f"ELSE {q}::VARCHAR END"
+            )
+        parts.append(
+            "sum(CAST(concat('0x', substr(md5(" + canon + "), 1, 8)) "
+            f'AS BIGINT)) AS "{name}"'
+        )
+    got = con.execute(f"SELECT {', '.join(parts)} FROM ({sql}) t").df()
+    return {c: (None if got[c].isna()[0] else int(got[c][0])) for c in got.columns}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="sf0.01", help="testdata dir name")
@@ -80,6 +146,19 @@ def main() -> int:
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--only", default=None, help="comma-separated names")
+    ap.add_argument(
+        "--digest-over",
+        type=int,
+        default=0,
+        help="when > 0: results with more rows than this are compared "
+        "by distributed order-invariant digest (count + per-column "
+        "md5-prefix sums) instead of collecting — the verification "
+        "form that scales past spark.driver.maxResultSize. Digest "
+        "compare is type-canonicalizing (everything hashes as a "
+        "string), so dtype-class strictness only applies below the "
+        "threshold. 0 (default, the driver's behavior) = always "
+        "collect.",
+    )
     ap.add_argument(
         "--master",
         default=None,
@@ -135,9 +214,27 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            got = queries[name](spark, sf_dir).toPandas()
-            want = con.execute(oracles[name]).df()
-            ok = compare(got, want, pd)
+            df = queries[name](spark, sf_dir)
+            digested = False
+            if args.digest_over > 0:
+                n = df.count()
+                if n > args.digest_over:
+                    digested = True
+                    g = _spark_digest(df)
+                    w = _duck_digest(con, oracles[name])
+                    ok = g == w
+                    if not ok:
+                        diff = {
+                            k: (g.get(k), w.get(k))
+                            for k in set(g) | set(w)
+                            if g.get(k) != w.get(k)
+                        }
+                        print(f"     digest diff: {diff}")
+            if not digested:
+                got = df.toPandas()
+                want = con.execute(oracles[name]).df()
+                n = len(got)
+                ok = compare(got, want, pd)
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(f"ERR  {name}: {str(ex)[:150]}", flush=True)
@@ -145,9 +242,10 @@ def main() -> int:
         dt = time.time() - t0
         if not ok:
             fails.append(name)
+        tag = "OK  " if ok else "FAIL"
         print(
-            f"{'OK  ' if ok else 'FAIL'} {name} rows={len(got)} "
-            f"({dt:.1f}s)",
+            f"{tag} {name} rows={n} "
+            f"({dt:.1f}s{', digest' if digested else ''})",
             flush=True,
         )
     print(f"checked {len(names)} | FAILS: {fails}")
