@@ -131,8 +131,22 @@ def tmm_factors(
     value_col: str = "value",
     exact: bool = True,
     cache: bool = True,
+    trim_quantize: int | None = None,
 ) -> DataFrame:
     """TMM fit: (sample_id, norm_factor, scaling_factor).
+
+    ``trim_quantize`` (opt-in): round the kernel values AND the trim
+    bounds to N decimal places before the trim comparison. The
+    default (None, reference parity) thresholds raw doubles, whose
+    last ulp differs across engines/libms (JVM StrictMath vs C
+    log2): measured at sf10, million-row TIE-RUNS of identical
+    kernel values sitting within an ulp of a global bound flip trim
+    membership between Spark and DuckDB, shifting the geometric mean
+    by 4.6e-5 and every 6dp-rounded factor with it (BASELINE.md,
+    round-5 sf10 verification). With ``trim_quantize=6`` membership
+    is a pure function of the 6dp value — engine-independent at any
+    scale — at the cost of a <=5e-7 perturbation of where the trim
+    cuts (far below the statistic's noise floor).
 
     Long-form derivation of feature_selection_and_normalization.py:
     71-112 (see each step's citation inline). The reference's
@@ -309,10 +323,21 @@ def tmm_factors(
         ae_lo, ae_hi = F.col("ae_lo"), F.col("ae_hi")
         trimmed_src = mat.crossJoin(F.broadcast(bounds))
 
+    if trim_quantize is not None:
+        qz = trim_quantize
+        c_lr, c_lr_lo, c_lr_hi = (
+            F.round(lr, qz), F.round(lr_lo, qz), F.round(lr_hi, qz),
+        )
+        c_ae, c_ae_lo, c_ae_hi = (
+            F.round(ae, qz), F.round(ae_lo, qz), F.round(ae_hi, qz),
+        )
+    else:
+        c_lr, c_lr_lo, c_lr_hi = lr, lr_lo, lr_hi
+        c_ae, c_ae_lo, c_ae_hi = ae, ae_lo, ae_hi
     trimmed = trimmed_src.select(
         sample_col,
-        F.when((lr > lr_lo) & (lr < lr_hi), lr).alias("t_lr"),
-        F.when((ae > ae_lo) & (ae < ae_hi), ae).alias("t_ae"),
+        F.when((c_lr > c_lr_lo) & (c_lr < c_lr_hi), lr).alias("t_lr"),
+        F.when((c_ae > c_ae_lo) & (c_ae < c_ae_hi), ae).alias("t_ae"),
     )
 
     # :94 ((t_lr * t_ae) / t_lr).mean(axis=1) — algebraically the

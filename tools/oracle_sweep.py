@@ -123,9 +123,12 @@ def _duck_digest(con, sql: str):
                 f"CASE WHEN {q} IS NULL THEN '~null~' "
                 f"ELSE {q}::VARCHAR END"
             )
+        # outer BIGINT cast: DuckDB sums BIGINT into HUGEINT, which
+        # pandas renders as float64 — exactness dies past 2^53 and
+        # every big digest "mismatches" by the float spacing
         parts.append(
-            "sum(CAST(concat('0x', substr(md5(" + canon + "), 1, 8)) "
-            f'AS BIGINT)) AS "{name}"'
+            "CAST(sum(CAST(concat('0x', substr(md5(" + canon + "), 1, 8)) "
+            f'AS BIGINT)) AS BIGINT) AS "{name}"'
         )
     got = con.execute(f"SELECT {', '.join(parts)} FROM ({sql}) t").df()
     return {c: (None if got[c].isna()[0] else int(got[c][0])) for c in got.columns}
@@ -146,6 +149,15 @@ def main() -> int:
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--only", default=None, help="comma-separated names")
+    ap.add_argument(
+        "--duck-mem",
+        default=None,
+        help="DuckDB memory_limit (e.g. 32GB) + disk spill. Set this "
+        "on big-SF sweeps: DuckDB's default limit (80%% of RAM) "
+        "assumes it owns the box, and a large Spark driver heap "
+        "starves it into 'bad allocation' failures on the oracle "
+        "side (observed at sf10 with a 100g heap).",
+    )
     ap.add_argument(
         "--digest-over",
         type=int,
@@ -196,6 +208,9 @@ def main() -> int:
 
     sf_dir = f"{args.data_root}/{args.sf}"
     con = duckdb.connect()
+    if args.duck_mem:
+        con.execute(f"SET memory_limit='{args.duck_mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata = single files; tools/make_scaled_sf.py
         # output = Spark directory-of-parts — glob the latter
