@@ -150,6 +150,28 @@ def test_tmm_factors_golden(spark, long_df):
         assert got[s] == pytest.approx(want[s], abs=1e-10), f"sample {s}"
 
 
+def test_tmm_trim_quantize_matches_default_off_boundary(spark, long_df):
+    """trim_quantize=6 only changes trim membership for kernel
+    values within 5e-7 of a global bound; the golden fixture has
+    none, so quantized and reference-parity factors must agree to
+    the same tolerance as the golden test. (The parameter exists for
+    the cross-engine sf10 boundary — BASELINE.md round 5: raw-double
+    thresholds flip million-row tie-runs between JVM and C libm.)"""
+    from gexp_ml_dask_spark.ml.normalization import tmm_factors
+
+    base = {
+        r["sample_id"]: r["scaling_factor"]
+        for r in tmm_factors(long_df).collect()
+    }
+    q6 = {
+        r["sample_id"]: r["scaling_factor"]
+        for r in tmm_factors(long_df, trim_quantize=6).collect()
+    }
+    assert set(base) == set(q6)
+    for s in base:
+        assert q6[s] == pytest.approx(base[s], abs=1e-10), f"sample {s}"
+
+
 def test_estimator_api(spark, long_df):
     from gexp_ml_dask_spark.ml.estimators import (
         TMMNormalizer,
