@@ -3,9 +3,16 @@
 
 Runs the headline queries from ``__spark_entry__.queries()`` against
 ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The compact line is sized to survive the driver's ~2000-char stdout
+tail capture (BENCH_r04/r05 recorded ``"parsed": null`` because the
+old single line outgrew it); the complete record — host telemetry,
+per-query RSS windows, pipeline-grid scores — is written to
+``BENCH_full.json`` (override: ``$SPARK_GRAFT_BENCH_OUT``), which the
+round snapshot commits.
 
 Measurement recipe mirrors the reference's
 (``singlemachine_dataset_samplewise_benchmark.py:52-53``,
@@ -582,36 +589,67 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     peak_mb = sampler.stop()
     host_end = host_telemetry()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "host": host,
-                # host_end is informational only: a multi-minute
-                # 32-thread bench drives its OWN loadavg past any
-                # threshold, so only the PRE-run snapshot can
-                # distinguish co-tenant noise from our work.
-                "host_end": host_end,
-                "degraded": bool(degraded),
-                "peak_rss_mb": peak_mb,
-                "query_peak_rss_mb": query_peaks,
-                "pipeline": pipe_timings,
-                "pipeline_total": round(sum(pipe_timings.values()), 3),
-                "pipeline_scores": pipe_scores,
-                "pipeline_peak_rss_mb": pipe_peaks,
-                "pipeline_repeats": pipe_repeats,
-                # Per-round recall@k for the two no-oracle ANN
-                # entries (op_llm_03_knn_ivf / knn_lsh) — makes their
-                # quality visible in every BENCH_r{N}.json, not just
-                # the >=0.8 gate in tests/test_llm_ops.py.
-                "ann_recall": recall,
-            }
-        )
+    full = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "host": host,
+        # host_end is informational only: a multi-minute
+        # 32-thread bench drives its OWN loadavg past any
+        # threshold, so only the PRE-run snapshot can
+        # distinguish co-tenant noise from our work.
+        "host_end": host_end,
+        "degraded": bool(degraded),
+        "peak_rss_mb": peak_mb,
+        "query_peak_rss_mb": query_peaks,
+        "pipeline": pipe_timings,
+        "pipeline_total": round(sum(pipe_timings.values()), 3),
+        "pipeline_scores": pipe_scores,
+        "pipeline_peak_rss_mb": pipe_peaks,
+        "pipeline_repeats": pipe_repeats,
+        # Per-round recall@k for the two no-oracle ANN
+        # entries (op_llm_03_knn_ivf / knn_lsh) — makes their
+        # quality visible in every BENCH_r{N}.json, not just
+        # the >=0.8 gate in tests/test_llm_ops.py.
+        "ann_recall": recall,
+    }
+    # The driver records only the LAST ~2000 chars of stdout; the
+    # full record grew past that two rounds running, truncating its
+    # own head ("parsed": null in BENCH_r04/r05). So: the full record
+    # goes to a committed file, and stdout carries ONE compact line —
+    # guaranteed under the capture window — with the gate-read
+    # fields (suite total, per-query seconds, degraded, recall).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_full.json"),
     )
+    Path(out_path).write_text(json.dumps(full, indent=1) + "\n")
+    print(f"# full record: {out_path}", file=sys.stderr)
+    compact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "degraded": bool(degraded),
+        "host_load": host["loadavg_1m"],
+        "pipeline_total": full["pipeline_total"],
+        "ann_recall": {
+            k: v for k, v in recall.items() if k.startswith("op_")
+        },
+        "peak_rss_mb": peak_mb,
+        "full_json": out_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # stay inside the driver's tail capture
+        compact["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        )
+        compact["queries_truncated_to_top10"] = True
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -135,18 +135,25 @@ def tmm_factors(
 ) -> DataFrame:
     """TMM fit: (sample_id, norm_factor, scaling_factor).
 
-    ``trim_quantize`` (opt-in): round the kernel values AND the trim
-    bounds to N decimal places before the trim comparison. The
+    ``trim_quantize`` (opt-in): bucket the kernel values AND the trim
+    bounds to ``floor(x * 10^N)`` before the trim comparison. The
     default (None, reference parity) thresholds raw doubles, whose
     last ulp differs across engines/libms (JVM StrictMath vs C
     log2): measured at sf10, million-row TIE-RUNS of identical
     kernel values sitting within an ulp of a global bound flip trim
     membership between Spark and DuckDB, shifting the geometric mean
     by 4.6e-5 and every 6dp-rounded factor with it (BASELINE.md,
-    round-5 sf10 verification). With ``trim_quantize=6`` membership
-    is a pure function of the 6dp value — engine-independent at any
-    scale — at the cost of a <=5e-7 perturbation of where the trim
-    cuts (far below the statistic's noise floor).
+    round-5 sf10 verification). The bucket form is deliberately
+    ROUNDING-MODE-FREE: one IEEE-754 binary64 multiply then an exact
+    floor, both bit-identical on any IEEE engine — unlike decimal
+    rounding, where Spark's F.round (HALF_UP over the shortest
+    decimal repr) and DuckDB's round (half-away-from-zero on the
+    binary value) disagree on doubles whose repr terminates in a 5
+    at the (N+1)th place. With ``trim_quantize=6`` membership is a
+    pure function of the bucket index — engine-independent at any
+    scale (for |x| < 2^63 / 10^N, far beyond any kernel value) — at
+    the cost of a <=1e-6 perturbation of where the trim cuts (far
+    below the statistic's noise floor).
 
     Long-form derivation of feature_selection_and_normalization.py:
     71-112 (see each step's citation inline). The reference's
@@ -324,13 +331,17 @@ def tmm_factors(
         trimmed_src = mat.crossJoin(F.broadcast(bounds))
 
     if trim_quantize is not None:
-        qz = trim_quantize
-        c_lr, c_lr_lo, c_lr_hi = (
-            F.round(lr, qz), F.round(lr_lo, qz), F.round(lr_hi, qz),
-        )
-        c_ae, c_ae_lo, c_ae_hi = (
-            F.round(ae, qz), F.round(ae_lo, qz), F.round(ae_hi, qz),
-        )
+        # floor-bucket, NOT F.round: floor(x * 10^N) is one IEEE
+        # multiply + an exact floor, identical on every IEEE engine;
+        # decimal rounding modes differ across engines on half-cases
+        # (see the trim_quantize docstring note).
+        scale = F.lit(float(10 ** trim_quantize))
+
+        def _bucket(c: F.Column) -> F.Column:
+            return F.floor(c * scale)
+
+        c_lr, c_lr_lo, c_lr_hi = _bucket(lr), _bucket(lr_lo), _bucket(lr_hi)
+        c_ae, c_ae_lo, c_ae_hi = _bucket(ae), _bucket(ae_lo), _bucket(ae_hi)
     else:
         c_lr, c_lr_lo, c_lr_hi = lr, lr_lo, lr_hi
         c_ae, c_ae_lo, c_ae_hi = ae, ae_lo, ae_hi

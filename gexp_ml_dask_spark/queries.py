@@ -2424,8 +2424,11 @@ def op_ml_01_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(gexp(spark, sf_dir))
 
 
-@register(
-    "op_ml_02_tmm",
+# Shared TMM oracle body; {t_lr}/{t_ae} hold the trim predicates so
+# the quantized twin (floor-bucket membership) and the raw twin
+# (reference-parity raw-double thresholds) use ONE derivation and the
+# raw twin stays an independent check on the un-quantized semantics.
+_TMM_ORACLE = (
     f"WITH g0 AS ({G_QTY}), "
     "keep AS (SELECT gene_id FROM g0 GROUP BY gene_id "
     "HAVING count(*) FILTER (value <> 0) > 0), "
@@ -2452,13 +2455,24 @@ def op_ml_01_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_cont(0.05) WITHIN GROUP (ORDER BY ae) AS ae_lo, "
     "percentile_cont(0.95) WITHIN GROUP (ORDER BY ae) AS ae_hi FROM m2), "
     "t AS (SELECT sample_id, "
-    "CASE WHEN round(lr,6) > round(lr_lo,6) AND round(lr,6) < round(lr_hi,6) THEN lr END AS t_lr, "
-    "CASE WHEN round(ae,6) > round(ae_lo,6) AND round(ae,6) < round(ae_hi,6) THEN ae END AS t_ae FROM m2, b), "
+    "CASE WHEN {t_lr} THEN lr END AS t_lr, "
+    "CASE WHEN {t_ae} THEN ae END AS t_ae FROM m2, b), "
     "nf AS (SELECT sample_id, avg(CASE WHEN t_lr IS NOT NULL THEN t_ae END) "
     "AS norm_factor FROM t GROUP BY sample_id), "
     "geo AS (SELECT exp(avg(ln(CASE WHEN norm_factor = 0 THEN 1 ELSE norm_factor END))) "
     "AS gm FROM nf) "
-    "SELECT sample_id, round(norm_factor / gm, 6) AS scaling_factor FROM nf, geo",
+    "SELECT sample_id, round(norm_factor / gm, 6) AS scaling_factor FROM nf, geo"
+)
+
+
+@register(
+    "op_ml_02_tmm",
+    _TMM_ORACLE.format(
+        t_lr="floor(lr*1000000.0) > floor(lr_lo*1000000.0) "
+        "AND floor(lr*1000000.0) < floor(lr_hi*1000000.0)",
+        t_ae="floor(ae*1000000.0) > floor(ae_lo*1000000.0) "
+        "AND floor(ae*1000000.0) < floor(ae_hi*1000000.0)",
+    ),
 )
 def op_ml_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-ML-02: TMM normalization fit — the hardest composite
@@ -2470,15 +2484,45 @@ def op_ml_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 2 broadcast scalars, no UDFs.
 
     trim_quantize=6: the registered twin pins trim membership to the
-    6dp value on BOTH sides — raw-double thresholds diverge across
-    engines at sf10, where the fixture's million-row kernel tie-runs
-    sit within a libm ulp of the global bounds (measured 2026-08-15:
-    raw trims shift the geomean 4.6e-5 and every factor with it;
-    quantized trims match DuckDB row-for-row at 14.7M samples). The
-    library default stays None (reference parity)."""
+    floor(x*1e6) bucket on BOTH sides — raw-double thresholds diverge
+    across engines at sf10, where the fixture's million-row kernel
+    tie-runs sit within a libm ulp of the global bounds (measured
+    2026-08-15: raw trims shift the geomean 4.6e-5 and every factor
+    with it; quantized trims match DuckDB row-for-row at 14.7M
+    samples). The bucket form (one IEEE multiply + exact floor) is
+    rounding-mode-free, unlike round(x,6) whose half-cases Spark and
+    DuckDB resolve differently. The library default stays None
+    (reference parity); op_ml_02_tmm_raw keeps that default path
+    independently oracle-checked against an unmodified raw-threshold
+    oracle at small SF."""
     from gexp_ml_dask_spark.ml.normalization import tmm_factors
 
     out = tmm_factors(gexp(spark, sf_dir), trim_quantize=6)
+    return out.select("sample_id", r6("scaling_factor").alias("scaling_factor"))
+
+
+@register(
+    "op_ml_02_tmm_raw",
+    _TMM_ORACLE.format(
+        t_lr="lr > lr_lo AND lr < lr_hi",
+        t_ae="ae > ae_lo AND ae < ae_hi",
+    ),
+)
+def op_ml_02_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-ML-02 (raw-threshold twin): the library-default
+    trim_quantize=None path — raw-double trim thresholds, exactly the
+    reference's semantics (feature_selection_and_normalization.py:
+    88-94) — checked against an UNMODIFIED raw-threshold oracle. This
+    keeps reference parity independently verified after the main twin
+    adopted floor-bucket trim membership for cross-engine determinism
+    at sf10 (ADVICE r5: the quantized twin's oracle was edited in
+    lockstep, so it no longer witnessed the raw semantics). At small
+    SF no kernel value sits within an ulp of a global bound, so both
+    engines agree on raw membership; the sf10 tie-run divergence this
+    would hit is exactly what the quantized twin exists for."""
+    from gexp_ml_dask_spark.ml.normalization import tmm_factors
+
+    out = tmm_factors(gexp(spark, sf_dir))
     return out.select("sample_id", r6("scaling_factor").alias("scaling_factor"))
 
 

@@ -161,15 +161,18 @@ def main() -> int:
     ap.add_argument(
         "--digest-over",
         type=int,
-        default=0,
-        help="when > 0: results with more rows than this are compared "
-        "by distributed order-invariant digest (count + per-column "
+        default=500_000,
+        help="results with more rows than this are compared by "
+        "distributed order-invariant digest (count + per-column "
         "md5-prefix sums) instead of collecting — the verification "
         "form that scales past spark.driver.maxResultSize. Digest "
         "compare is type-canonicalizing (everything hashes as a "
         "string), so dtype-class strictness only applies below the "
-        "threshold. 0 (default, the driver's behavior) = always "
-        "collect.",
+        "threshold. Default 500000: sf0.01 sweeps (max result 60k "
+        "rows) stay fully collect/dtype-strict like the driver, "
+        "while sf0.1+ sweeps digest the handful of fact-sized "
+        "results routinely (the round-5 sf10 TMM trim boundary was "
+        "found by exactly this compare). 0 = always collect.",
     )
     ap.add_argument(
         "--master",
@@ -232,6 +235,14 @@ def main() -> int:
             df = queries[name](spark, sf_dir)
             digested = False
             if args.digest_over > 0:
+                # ONE plan execution regardless of path: persist the
+                # result, let count() materialize it, then digest OR
+                # collect from the cache (the old count-then-digest
+                # form executed large plans twice). MEMORY_AND_DISK:
+                # a fact-sized result spills instead of OOMing.
+                from pyspark.storagelevel import StorageLevel
+
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
                 n = df.count()
                 if n > args.digest_over:
                     digested = True
@@ -250,9 +261,15 @@ def main() -> int:
                 want = con.execute(oracles[name]).df()
                 n = len(got)
                 ok = compare(got, want, pd)
+            if args.digest_over > 0:
+                df.unpersist()
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(f"ERR  {name}: {str(ex)[:150]}", flush=True)
+            try:  # drop the result cache if we persisted before dying
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — df may not exist yet
+                pass
             continue
         dt = time.time() - t0
         if not ok:

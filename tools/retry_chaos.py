@@ -51,6 +51,14 @@ see tests/test_resilience.py):
     with keys = value % 100, every key's final count is exactly
     derivable from the total — lost or double-counted state breaks it.
 
+``--mode stream-kill-append`` — same topology, but APPEND-mode
+    session windows over synthetic (value-derived) event time: rows
+    sit in the session store until the checkpointed watermark closes
+    them, then emit exactly once. Executor death while sessions are
+    open exercises the watermark/state interplay complete mode
+    can't; every emitted session must carry its block's exact count,
+    start, and per-key multiplicity.
+
 ``--mode kill`` — ``local-cluster[2,4,2048]`` (2 worker JVMs).
     SIGKILL one CoarseGrainedExecutorBackend mid-query (pid matched
     on THIS app's id, scheduled at ~30% of the measured clean wall).
@@ -610,11 +618,147 @@ def run_stream_kill(args) -> int:
     return 2 if vacuous else (0 if ok else 1)
 
 
+def run_stream_kill_append(args) -> int:
+    """Append-mode session windows must survive executor loss.
+
+    Complete-mode (--mode stream-kill) only exercises state reload;
+    append mode adds the watermark/state interplay: rows are held in
+    the session store until the (checkpointed) watermark passes the
+    session end + gap, then emitted EXACTLY ONCE — an executor death
+    that loses or replays store contents shows up as a wrong count,
+    a duplicate emission, or a session that never closes.
+
+    The invariant is exact because event time is synthetic (a pure
+    function of the rate source's ``value``, never wall clock): key
+    ``value % K`` sees one event per second ``j = value // K``, and
+    every B events the clock jumps G seconds — far past the session
+    gap — so each key's sessions are exactly the B-event blocks. All
+    keys' blocks share identical time ranges (the jump is aligned on
+    ``value``), so whatever prefix of blocks the watermark closes, it
+    closes for every key: the sink must hold the SAME number of
+    sessions per key, every one with count == B and the block's exact
+    start. Any deviation is state lost/duplicated in the kill."""
+    import tempfile as _tf
+
+    from pyspark.sql import SparkSession, functions as F
+
+    K, B, GAP_JUMP_S = 10, 50, 60
+    spark = (
+        SparkSession.builder.master("local-cluster[2,4,2048]")
+        .appName("retry_chaos_stream_append")
+        .config("spark.executor.memory", "1536m")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ckpt = _tf.mkdtemp(prefix="retry_chaos_stream_append_ckpt_")
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20000)
+        .load()
+        .select(
+            (F.col("value") % K).alias("k"),
+            F.timestamp_seconds(
+                (F.col("value") / K).cast("long")
+                + (F.col("value") / (K * B)).cast("long") * GAP_JUMP_S
+            ).alias("ts"),
+        )
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        src.groupBy(F.session_window("ts", "5 seconds"), "k")
+        .count()
+        .select(
+            "k",
+            F.col("session_window.start").cast("long").alias("s_start"),
+            F.col("session_window.end").cast("long").alias("s_end"),
+            "count",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chaos_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    kill_info: dict = {}
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.2)  # let at least one batch commit first
+        time.sleep(2.0)
+        pids = subprocess.run(
+            [
+                "pgrep",
+                "-f",
+                "CoarseGrainedExecutorBackend.*"
+                + spark.sparkContext.applicationId,
+            ],
+            capture_output=True,
+            text=True,
+        ).stdout.split()
+        if pids:
+            os.kill(int(pids[0]), signal.SIGKILL)
+            kill_info["killed_pid"] = int(pids[0])
+        # keep streaming across the death + replacement executor so
+        # the watermark advances and closes sessions POST-recovery
+        time.sleep(6.0)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pdf = spark.table("chaos_sessions").toPandas()
+    spark.stop()
+    n_sessions = len(pdf)
+    counts_exact = bool((pdf["count"] == B).all()) if n_sessions else False
+    per_key = pdf.groupby("k").size() if n_sessions else None
+    keys_symmetric = (
+        per_key is not None
+        and len(per_key) == K
+        and int(per_key.nunique()) == 1
+    )
+    # block i of every key starts at second i*B + i*GAP_JUMP_S and
+    # spans B events 1s apart -> session end = start + (B-1) + gap(5)
+    starts_exact = bool(
+        n_sessions
+        and (
+            (pdf["s_start"] % (B + GAP_JUMP_S) == 0)
+            & (pdf["s_end"] == pdf["s_start"] + B - 1 + 5)
+        ).all()
+    )
+    exact = counts_exact and keys_symmetric and starts_exact
+    vacuous = "killed_pid" not in kill_info or n_sessions == 0
+    ok = exact and not vacuous
+    print(
+        json.dumps(
+            {
+                "mode": "stream-kill-append",
+                "ok": ok,
+                "vacuous": vacuous,
+                "sessions_emitted": n_sessions,
+                "sessions_per_key": (
+                    int(per_key.iloc[0]) if keys_symmetric else None
+                ),
+                "counts_exact": counts_exact,
+                "keys_symmetric": bool(keys_symmetric),
+                "starts_exact": starts_exact,
+                "killed_pid": kill_info.get("killed_pid"),
+            }
+        )
+    )
+    return 2 if vacuous else (0 if ok else 1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["retry", "kill", "speculate", "stream-kill"],
+        choices=[
+            "retry",
+            "kill",
+            "speculate",
+            "stream-kill",
+            "stream-kill-append",
+        ],
         default="retry",
     )
     ap.add_argument("--sf", default=None, help="testdata dir name")
@@ -641,6 +785,8 @@ def main() -> int:
         "task so the scheduler launches a duplicate)",
     )
     args = ap.parse_args()
+    if args.attempts < 1:
+        ap.error("--attempts must be >= 1 (kill mode needs at least one try)")
     if args.sf is None:
         args.sf = "sf0.1" if args.mode == "kill" else "sf0.001"
     if args.mode == "retry":
@@ -649,6 +795,8 @@ def main() -> int:
         return run_speculate(args)
     if args.mode == "stream-kill":
         return run_stream_kill(args)
+    if args.mode == "stream-kill-append":
+        return run_stream_kill_append(args)
     return run_kill(args)
 
 
