@@ -238,11 +238,17 @@ def main() -> int:
                 # ONE plan execution regardless of path: persist the
                 # result, let count() materialize it, then digest OR
                 # collect from the cache (the old count-then-digest
-                # form executed large plans twice). MEMORY_AND_DISK:
-                # a fact-sized result spills instead of OOMing.
+                # form executed large plans twice). DISK_ONLY, not
+                # MEMORY_AND_DISK: cached blocks under
+                # spark.memory.storageFraction are UNEVICTABLE, so a
+                # heap-resident cache steals execution memory from
+                # the very plan materializing it — measured as a
+                # driver-JVM OOM on the heaviest sf0.1 query under
+                # the default 1g heap. Disk blocks cost one local
+                # write/read and compete with nothing.
                 from pyspark.storagelevel import StorageLevel
 
-                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                df = df.persist(StorageLevel.DISK_ONLY)
                 n = df.count()
                 if n > args.digest_over:
                     digested = True
@@ -270,6 +276,18 @@ def main() -> int:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — df may not exist yet
                 pass
+            try:  # dead gateway? every later query would ERR too —
+                spark.range(1).count()  # abort with ONE honest line
+            except Exception:  # noqa: BLE001
+                print(
+                    "FATAL: Spark JVM is gone (above error killed it); "
+                    f"aborting sweep at {name} — remaining queries "
+                    "NOT checked",
+                    flush=True,
+                )
+                remaining = names[names.index(name) + 1 :]
+                fails.extend(remaining)
+                break
             continue
         dt = time.time() - t0
         if not ok:
