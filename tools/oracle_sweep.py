@@ -144,8 +144,11 @@ def main() -> int:
         "--driver-memory",
         default=None,
         help="JVM heap for the local session (default: Spark's 1g — "
-        "the vanilla driver gate; size it for >= sf1 runs, the "
-        "documented local-heap cliff in SCALING.md §4)",
+        "the vanilla driver gate, fine for sf0.01. Size it for FULL "
+        "sweeps at sf0.1+ (4g measured sufficient at sf0.1; the "
+        "accumulated 195-query session state alone can tip a 1g "
+        "heap) and for >= sf1 runs, the documented local-heap cliff "
+        "in SCALING.md §4)",
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--only", default=None, help="comma-separated names")
@@ -269,6 +272,13 @@ def main() -> int:
                 ok = compare(got, want, pd)
             if args.digest_over > 0:
                 df.unpersist()
+            # Between-query hygiene: drop any cache a query left
+            # behind (e.g. the persist-reuse op) so 195 queries'
+            # leftovers can't accumulate into a heap cliff late in
+            # the sweep — the full sf0.1 sweep on the default 1g
+            # heap OOM'd at query #63 from exactly this buildup,
+            # while the same query passed in isolation.
+            spark.catalog.clearCache()
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(f"ERR  {name}: {str(ex)[:150]}", flush=True)
