@@ -34,6 +34,12 @@ because the vowel substitution is single-use (see ``_RING``).
 Verified: sf10 distinct-text count = exactly 10x sf1's, i.e. all
 100 underlying copies stay mutually disjoint while within-copy dup
 structure scales linearly.
+
+Third decade (sf100): ``SRC_SF_DIR=.scratch/sf10
+OUT_SF_DIR=.scratch/sf100 PERTURB=perm`` — the rot scheme is itself
+single-use (rotations compose: equal i+j sums would clone texts
+across copies; see ``_perm``). Same build-time invariant: sf100
+distinct-text count must equal exactly 10x sf10's.
 """
 
 from __future__ import annotations
@@ -86,19 +92,39 @@ def _rot(i: int) -> str:
     return _RING[s:] + _RING[:s]
 
 
+# Third-decade perturbation (PERTURB=perm, for scaling an already
+# rot-perturbed sf10 up to sf100): the rot scheme is ALSO single-use
+# — rotations compose within the rotation group, so a second rot
+# pass makes every (i, j) copy-of-copy with equal i+j an exact text
+# clone of its partners (7*(i+j) mod 41 depends only on the sum),
+# fabricating cross-copy dup cliques exactly like a repeated vowel
+# pass would. A seeded full permutation of the ring per copy lives
+# outside the rotation subgroup: the composed character maps
+# P_k ∘ R_j ∘ V_i are pairwise distinct (asserted at build time via
+# the distinct-text invariant: sf100 distinct texts == 10x sf10's).
+def _perm(i: int) -> str:
+    import random
+
+    chars = list(_RING)
+    random.Random(0xC0FFEE + i).shuffle(chars)
+    return "".join(chars)
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from gexp_ml_dask_spark.session import get_spark
 
     src = os.environ.get("SRC_SF_DIR", "/root/testdata/sf0.1")
     out = os.environ.get("OUT_SF_DIR", "/root/repo/.scratch/sf1")
-    perturb = os.environ.get("PERTURB", "vowel")  # vowel | rot
+    perturb = os.environ.get("PERTURB", "vowel")  # vowel | rot | perm
     spark = get_spark(app_name="make_sf1")
     os.makedirs(out, exist_ok=True)
 
     def _perturbed(col: str, i: int):
         if perturb == "rot":
             return F.translate(col, _RING, _rot(i))
+        if perturb == "perm":
+            return F.translate(col, _RING, _perm(i))
         return F.translate(col, VOWELS, _subst(i))
 
     for table, keys in SHIFT_COLS.items():
