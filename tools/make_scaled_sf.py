@@ -49,7 +49,10 @@ import sys
 
 from pyspark.sql import functions as F
 
-COPIES = 10
+# Copies per pass — 10 for the real decade fixtures; overridable so
+# the test suite can exercise the scaler+invariants pipeline on a
+# seconds-sized factor-2 fixture (tests/test_decade_invariants.py).
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
 
 SHIFT_COLS = {
     "lineitem": ["l_orderkey"],  # l_partkey = bounded gene dim, unshifted

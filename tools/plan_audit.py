@@ -33,6 +33,10 @@ BAD = ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]
 
 WHITELIST = {
     "op_ml_02_tmm": {"BroadcastNestedLoopJoin"},
+    # same tmm_factors derivation as op_ml_02_tmm (the round-6
+    # raw-threshold reference-parity twin, trim_quantize=None): the
+    # flag is the identical 1-row global ref_total scalar attach
+    "op_ml_02_tmm_raw": {"BroadcastNestedLoopJoin"},
     "op_fil_02_stat_threshold_genes": {"BroadcastNestedLoopJoin"},
     "op_llm_04_bm25": {"BroadcastNestedLoopJoin"},
     "op_llm_03_series_similarity": {"BroadcastNestedLoopJoin"},
