@@ -6217,15 +6217,13 @@ def op_llm_05_stateful_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, across micro-batches. (The transformWithStateInPandas twin
     is env-gated in tests — this container's protobuf lacks its
     descriptors.)"""
-    from gexp_ml_dask_spark.streaming import streaming_per_source_cap
+    from gexp_ml_dask_spark.streaming import (
+        open_table_stream,
+        streaming_per_source_cap,
+    )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream = open_table_stream(spark, f"{sf_dir}/documents.parquet", schema)
     capped = streaming_per_source_cap(stream, cap=50)
     name = "op_llm_05_cap_sink"
     q = (
@@ -6255,18 +6253,16 @@ def op_llm_05_foreach_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, value-oracled against the batch groupBy."""
     import shutil
 
-    from gexp_ml_dask_spark.streaming import streaming_multiplex_sink
+    from gexp_ml_dask_spark.streaming import (
+        open_table_stream,
+        streaming_multiplex_sink,
+    )
 
     base = "/tmp/gexp_spark_artifacts/multiplex"
     for suffix in ("_data", "_counts", "_data_chk"):
         shutil.rmtree(base + suffix, ignore_errors=True)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = open_table_stream(spark, f"{sf_dir}/events.parquet", schema)
     q = streaming_multiplex_sink(stream, base + "_data", base + "_counts")
     try:
         q.processAllAvailable()
@@ -6294,16 +6290,13 @@ def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_hash, keep_id) pairs equal the batch keep-first groups
     (value-oracled); multi-batch prefix consistency is asserted in
     tests/test_streaming.py."""
-    from gexp_ml_dask_spark.streaming import streaming_first_seen_dedup
+    from gexp_ml_dask_spark.streaming import (
+        open_table_stream,
+        streaming_first_seen_dedup,
+    )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    base, fname = f"{sf_dir}", "documents.parquet"
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", fname)
-        .load(base)
-    )
+    stream = open_table_stream(spark, f"{sf_dir}/documents.parquet", schema)
     deduped = streaming_first_seen_dedup(stream)
     name = "op_llm_05_dedup_sink"
     q = (

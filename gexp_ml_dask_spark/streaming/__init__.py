@@ -10,6 +10,7 @@ from gexp_ml_dask_spark.streaming.stateful import (
     streaming_watermark_dedup,
 )
 from gexp_ml_dask_spark.streaming.windows import (
+    open_table_stream,
     session_windows_batch,
     sliding_window_counts,
     streaming_session_counts,
@@ -19,6 +20,7 @@ from gexp_ml_dask_spark.streaming.windows import (
 )
 
 __all__ = [
+    "open_table_stream",
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_windows_batch",
