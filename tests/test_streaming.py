@@ -584,3 +584,65 @@ def test_multibatch_sessions_match_watermark_predicate(
         k: (r["n_events"], r["total"]) for k, r in zip(keys, rows)
     }
     assert online == batch
+
+
+def test_directory_layout_table_streams_all_rows(spark, tmp_path):
+    """Regression: the file-source opener must read BOTH physical
+    table layouts — the driver's single-file `events.parquet` AND a
+    directory of part-* files (every Spark-written table). The old
+    pathGlobFilter-on-filename form silently read 0 rows from the
+    directory layout (caught by the sf1 sweep: all 8 streaming
+    queries empty on the derived fixture)."""
+    from gexp_ml_dask_spark.streaming import (
+        open_table_stream,
+        streaming_tumbling_counts,
+        tumbling_window_counts,
+    )
+
+    from gexp_ml_dask_spark.sources.readers import load_events
+
+    # a directory-layout copy of the smoke events table
+    dir_table = str(tmp_path / "events.parquet")
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src.repartition(3).write.parquet(dir_table)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_window_counts(load_events(spark, SF_SMOKE)).collect()
+    }
+
+    # the raw opener sees every row of the 3-part directory
+    raw = open_table_stream(spark, dir_table, src.schema)
+    q0 = (
+        raw.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dir_raw")
+        .start()
+    )
+    try:
+        q0.processAllAvailable()
+        n_raw = spark.table("t_dir_raw").count()
+    finally:
+        q0.stop()
+    assert n_raw == src.count()
+
+    # and the windowed aggregation over the directory layout equals
+    # the batch twin, same as the single-file layout always did
+    agg = streaming_tumbling_counts(
+        spark, dir_table, spark.read.parquet(dir_table).schema
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_dir_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        online = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total"])
+            for r in spark.table("t_dir_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert online == batch
