@@ -216,6 +216,12 @@ def main() -> int:
     con = duckdb.connect()
     if args.duck_mem:
         con.execute(f"SET memory_limit='{args.duck_mem}'")
+        # a KILLED sweep leaves its spill behind (observed: 50 GB of
+        # orphans from an aborted sf1 sweep later failed an unrelated
+        # Spark shuffle with ENOSPC) — reclaim before spilling anew
+        import shutil
+
+        shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata = single files; tools/make_scaled_sf.py
