@@ -114,11 +114,23 @@ def open_table_stream(
 
     ``max_files_per_trigger`` forces MULTI-batch execution — how the
     multi-batch equivalence tests drive real batch boundaries
-    through the stateful operators."""
+    through the stateful operators.
+
+    Layout detection uses ``os.path.isdir``, which only answers for
+    LOCAL paths — on a scheme-prefixed URI (``s3://``, ``hdfs://``)
+    it is always False and the single-file branch would wrongly glob
+    the parent. Such paths skip the shortcut and stream as-is; a
+    remote SINGLE-file table (never produced by Spark or the decade
+    tooling, both of which write directories) is out of contract."""
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if table_path.endswith(".parquet") and not os.path.isdir(table_path):
+    scheme_prefixed = "://" in table_path
+    if (
+        not scheme_prefixed
+        and table_path.endswith(".parquet")
+        and not os.path.isdir(table_path)
+    ):
         base, _, fname = table_path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         table_path = base

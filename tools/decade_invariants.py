@@ -74,23 +74,20 @@ CHECKS: dict[str, dict] = {
     # Per-sample q75/sum: each copy's sample rows are value-identical
     # to the base sample's, so factors replicate; sample_id shifts.
     "op_agg_04_uq_factor": {"mode": "replica", "exclude": ["sample_id"]},
-    # Full UQ normalizer: the geometric-mean symmetrizer over k
-    # replicas of the factor multiset equals the base's EXACTLY in
-    # rational arithmetic — but in FP the mean of 147M logs differs
-    # from the mean of 147k logs in the last ulp, and that constant
-    # multiplies every output row. Measured at sf100 (exact multiset
-    # diff, k=1000): 4 of 600,000 base rows land on the other side
-    # of a 6dp rounding boundary, each off by exactly 1e-6 and
-    # uniformly so across all 1000 copies (the engine's own output
-    # is internally consistent; only the cross-scale EXPECTATION
-    # shifts). boundary_flips prices that: rows must still match
-    # exactly, and each column digest must sit within
-    # budget x 2^32-1 of the expectation (a 6dp flip swaps one md5
-    # prefix for another, bounded by 2^32-1 per row).
+    # Full UQ normalizer. History: through round 6 the registered
+    # query used the RAW geomean, and the mean of 147M replicated
+    # logs drifts from the mean of 147k in the last ulp — that
+    # constant multiplies every output row, and at sf100 (k=1000) it
+    # pushed 4 of 600,000 base rows across a 6dp rounding boundary
+    # (a boundary_flips budget priced it). Round 7: the registered
+    # twin adopted geomean_quantize=6 (floor-bucketed log-mean, same
+    # contract shape as TMM's trim_quantize), which pins the
+    # constant across aggregation orders — so the check is back to
+    # STRICT digest equality; op_ml_01_uq_raw keeps the raw
+    # reference semantics oracle-checked at small SF.
     "op_ml_01_upper_quartile": {
         "mode": "replica",
         "exclude": ["sample_id"],
-        "boundary_flips": 10_000,
     },
     # TMM: the gene-level reference is percentile_cont over the
     # POOLED samples, and an interpolated percentile of a
@@ -159,6 +156,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     names = args.queries.split(",") if args.queries else list(CHECKS)
+    unknown = [n for n in names if n not in CHECKS or n not in qs]
+    if unknown:  # a typo in a long --queries list → usable error, not a KeyError
+        print(
+            f"unknown query name(s): {', '.join(unknown)}; "
+            f"choose from: {', '.join(sorted(CHECKS))}",
+            file=sys.stderr,
+        )
+        return 2
     k = args.factor
     failures = 0
     out = {}
@@ -205,7 +210,7 @@ def main() -> int:
                         rec.setdefault("boundary_drift", {})[col] = {
                             "digest_diff": got - want,
                             "min_flipped_rows": int(
-                                abs(got - want) // (2**32 - 1) + 1
+                                -(-abs(got - want) // (2**32 - 1))
                             ),
                             "budget_rows": budget,
                         }

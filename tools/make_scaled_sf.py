@@ -75,7 +75,17 @@ _SUBST = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ!@#$%^&*("
 
 
 def _subst(i: int) -> str:
-    return _SUBST[(i - 1) * 5 : i * 5]
+    out = _SUBST[(i - 1) * 5 : i * 5]
+    # the vowel scheme has exactly 9 disjoint 5-char substitute sets;
+    # past that the slice silently shrinks and F.translate would
+    # DELETE vowels, cloning copies >=10 of each other and breaking
+    # the cross-copy disjointness the decade invariants rely on
+    # (ADVICE r6) — fail loudly instead.
+    assert len(out) == 5, (
+        f"vowel perturbation supports at most 10 copies (copy {i} has "
+        f"no substitute set); use PERTURB=rot/perm or lower SCALE_COPIES"
+    )
+    return out
 
 
 # Second-decade perturbation (PERTURB=rot, for scaling an already

@@ -218,11 +218,27 @@ def main() -> int:
         con.execute(f"SET memory_limit='{args.duck_mem}'")
         # a KILLED sweep leaves its spill behind (observed: 50 GB of
         # orphans from an aborted sf1 sweep later failed an unrelated
-        # Spark shuffle with ENOSPC) — reclaim before spilling anew
+        # Spark shuffle with ENOSPC) — reclaim before spilling anew.
+        # Spill dirs are per-pid so a second concurrent sweep cannot
+        # delete a live one out from under the first (ADVICE r6);
+        # only siblings whose owning pid is dead are stale.
+        import glob
         import shutil
 
-        shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for stale in glob.glob("/tmp/duckdb_spill.*"):
+            try:
+                pid = int(stale.rsplit(".", 1)[1])
+            except ValueError:
+                continue
+            try:
+                os.kill(pid, 0)  # raises if the pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
+        shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)  # legacy name
+        spill_dir = f"/tmp/duckdb_spill.{os.getpid()}"
+        con.execute(f"SET temp_directory='{spill_dir}'")
     for t in TABLES:
         # driver testdata = single files; tools/make_scaled_sf.py
         # output = Spark directory-of-parts — glob the latter
