@@ -78,18 +78,17 @@ def test_driver_order_is_permutation():
     assert not (set(order[: len(order) - len(checked)]) & set(checked))
 
 
-def test_tiering_lists_name_real_queries():
-    """The deferral/tiering lists are maintained by hand — a renamed
-    query would silently fall out of its tier. Every name they carry
-    must be a live registry key."""
+def test_unchecked_block_leads_in_registration_order():
+    """With every oracled name driver-green (round 6), the reorder
+    collapsed to unchecked-first / checked-trailing: the leading
+    block must preserve registration order (no tiering survives)."""
     from gexp_ml_dask_spark.queries import (
-        _DEFERRED_ROTATE_IN,
-        _FLAGSHIPS,
-        _HEAVY_NAMES,
-        _SIBLING_TWINS,
         QUERIES,
+        _driver_checked,
+        _driver_order,
     )
 
-    for group in (_FLAGSHIPS, _HEAVY_NAMES, _SIBLING_TWINS, _DEFERRED_ROTATE_IN):
-        missing = [n for n in group if n not in QUERIES]
-        assert not missing, missing
+    names = list(QUERIES)
+    checked = set(_driver_checked())
+    lead = [n for n in _driver_order(names) if n not in checked]
+    assert lead == [n for n in names if n not in checked]
