@@ -39,6 +39,7 @@ def upper_quartile_factors(
     gene_col: str = "gene_id",
     value_col: str = "value",
     exact: bool = True,
+    geomean_quantize: int | None = None,
 ) -> DataFrame:
     """UpperQuartile fit: (sample_id, norm_factor, scaling_factor).
 
@@ -47,10 +48,19 @@ def upper_quartile_factors(
     (fsn.py:24). Two shuffles total (per-gene keep-list agg,
     per-sample factor shuffle-sort); symmetrization is a single-pass
     window over the tiny factors table.
+
+    ``geomean_quantize``: opt-in floor-bucketed log-mean (default
+    None = reference parity) — see
+    :func:`~gexp_ml_dask_spark.operators.aggregates.symmetrize_factors`.
     """
     kept = drop_zero_genes(gexp, gene_col, value_col)
     factors = _uq_factor_agg(kept, q, sample_col, value_col, exact)
-    return symmetrize_factors(factors, "norm_factor", "scaling_factor")
+    return symmetrize_factors(
+        factors,
+        "norm_factor",
+        "scaling_factor",
+        geomean_quantize=geomean_quantize,
+    )
 
 
 def _uq_factor_agg(
@@ -92,6 +102,7 @@ def upper_quartile_transform(
     value_col: str = "value",
     exact: bool = True,
     cache: bool = True,
+    geomean_quantize: int | None = None,
 ) -> DataFrame:
     """UpperQuartile fit_transform: the normalized long table
     (zero genes dropped, values row-scaled by the symmetrized
@@ -117,7 +128,11 @@ def upper_quartile_transform(
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     factors = _uq_factor_agg(kept, q, sample_col, value_col, exact)
     factors = symmetrize_factors(
-        factors, "norm_factor", "scaling_factor", eager=cache
+        factors,
+        "norm_factor",
+        "scaling_factor",
+        eager=cache,
+        geomean_quantize=geomean_quantize,
     )
     return scale_rows(kept, factors, sample_col, value_col, "scaling_factor")
 

@@ -348,6 +348,7 @@ def symmetrize_factors(
     factor_col: str = "norm_factor",
     out_col: str = "scaling_factor",
     eager: bool = False,
+    geomean_quantize: int | None = None,
 ) -> DataFrame:
     """OP-AGG-05 — geometric-mean symmetrization:
     ``factor / exp(mean(log(factor.replace(0,1))))``
@@ -364,18 +365,41 @@ def symmetrize_factors(
     geomean as a partial+final aggregate (no single-partition stage),
     and inline the scalar as a literal — the scale-safe form when the
     per-sample factors table is itself large.
+
+    ``geomean_quantize`` (opt-in, default None = reference parity):
+    floor-bucket the LOG-mean at ``10^-d`` before exponentiating —
+    ``exp(floor(avg(log f) * 10^d) / 10^d)``. Why: the mean of k*n
+    replicated logs differs from the mean of n in the last ulps
+    (accumulation order), and that constant multiplies EVERY output
+    row — measured at sf100 (k=1000): 4 of 600k base factors landed
+    across a 6dp output-rounding boundary (BASELINE.md §Round-6).
+    Bucketing the log-mean pins the constant to one value across any
+    aggregation order whose drift is below the bucket width (~1e-12
+    observed vs 1e-6 buckets), making replica runs digest-exact. The
+    floor-bucket form (one IEEE multiply + exact floor) is
+    rounding-mode-free across engines, same rationale as TMM's
+    ``trim_quantize`` (ml/normalization.py:130). Relative
+    perturbation of the geomean at d=6 is <= 10^-6/|log gm| in log
+    space, i.e. ~5e-7 on the factor scale — uniform over all rows.
     """
     logs = F.log(
         F.when(F.col(factor_col) == 0, F.lit(1.0)).otherwise(F.col(factor_col))
     )
+
+    def _geo(avg_log: F.Column) -> F.Column:
+        if geomean_quantize is not None:
+            scale = F.lit(float(10**geomean_quantize))
+            avg_log = F.floor(avg_log * scale) / scale
+        return F.exp(avg_log)
+
     if eager:
         factors = factors.persist()
-        gm = factors.agg(F.exp(F.avg(logs))).collect()[0][0]
+        gm = factors.agg(_geo(F.avg(logs))).collect()[0][0]
         return factors.withColumn(out_col, F.col(factor_col) / F.lit(gm))
 
     from pyspark.sql import Window
 
-    geo = F.exp(F.avg(logs).over(Window.partitionBy()))
+    geo = _geo(F.avg(logs).over(Window.partitionBy()))
     return factors.withColumn(out_col, F.col(factor_col) / geo)
 
 
