@@ -953,6 +953,281 @@ def tf_cosine_pairs_prefix(
     return _tf_cosine_verify(cand, tf, threshold)
 
 
+def tf_cosine_pairs_dense(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 2048,
+    max_vocab: int = 4096,
+) -> DataFrame:
+    """OP-LLM-02 (TF cosine, dense block-GEMM) — the EXACT same pair
+    set as :func:`tf_cosine_pairs`, computed as a tiled dense matrix
+    product for the DENSE-corpus regime where every sparse filter
+    degenerates (BASELINE.md dense-corpus note: a tiny shared
+    vocabulary makes candidates ~quadratic for ANY lossless sparse
+    filter — prefix included).
+
+    Why not the sign-LSH route the round-6 advice suggested: measured
+    on the real dense bench corpus (5k docs, 31-term vocab, all-
+    positive tf vectors), hyperplane LSH needs ~25% of ALL pairs as
+    candidates to reach 95% recall (p=12/t=16; p=16/t=16 gives 10.8%
+    for only 86%) — the bulk of the corpus sits at cosine ~0.62 and
+    the collision S-curve between 0.62 and 0.9 is too flat on the
+    positive orthant. A lossless tiled GEMM does the SAME quadratic
+    pair count at BLAS constants instead of SQL-join constants and
+    keeps recall exactly 1.0, so the dense route stays value-oracled
+    (the shared _TF_COSINE_ORACLE drives it like every other
+    strategy).
+
+    Plan shape:
+
+    1. postings -> bounded vocab index (``max_vocab`` guards the
+       densify memory; exceeding it raises — that corpus is sparse
+       and belongs to the prefix route);
+    2. per-doc sparse vector rows (tid/tf arrays + Spark-computed
+       norm), chunked into contiguous doc_id ranges via the
+       distributed :func:`~...operators.sorts.global_rank` (never an
+       empty-partition window);
+    3. IVF-style EXACT tile pruning by two intersected bounds: the
+       spherical triangle inequality (a chunk pair survives only if
+       cos(theta_ij - r_i - r_j) >= threshold, lossless because
+       angle(a,b) >= angle(c_i,c_j) - r_i - r_j for a in chunk i, b
+       in chunk j) AND the nonnegativity bound
+       cos(a,b) <= sum_t maxw_it*maxw_jt, which prunes
+       vocabulary-disjoint tiles wide radii let through. Chunk stats
+       are chunk-dim x vocab-dim — a driver-sized table (k x V);
+    4. surviving tiles -> ``applyInPandas`` computing the integer tf
+       dot as a float64 GEMM (exact below 2^53) with a slack
+       prefilter ``dot/(|a||b|) >= t - 1e-6``;
+    5. the canonical :func:`_tf_cosine_finish` joins the SPARK-side
+       norms, rounds and filters — so admission rounding is
+       bit-identical to the other strategies by construction (the
+       UDF only ever emits a slack superset plus the exact integer
+       dot).
+
+    Scale posture: exact dense similarity is O(n^2 V) WORK no matter
+    the engine; this form moves it from a shuffle-heavy SQL join to
+    embarrassingly-parallel vectorized tiles (no shuffle after the
+    chunk assignment, tile fan-out = data duplication bounded by
+    surviving-tile count) and prunes tiles whose geometry cannot
+    reach the threshold (measured sf1 numbers: BASELINE.md
+    §Round-7 — cross-block tiles all pruned by the nonnegativity
+    bound because doc_id-contiguous chunks stay block-pure). For
+    corpora where k = n/chunk_size makes
+    the k x k driver tile matrix unwieldy (>~10^4 chunks), raise
+    ``chunk_size`` toward the task-memory bound (chunk x V doubles);
+    past that, dense exact pairs at 100 TB are the wrong ask — the
+    quadratic is intrinsic, and the honest tools are the approximate
+    family (embedding LSH/IVF with published recall).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
+    spark = docs.sparkSession
+    tf = _tf_table(docs, id_col, text_col)
+    vocab = (
+        tf.select("term")
+        .distinct()
+        .withColumn(
+            "tid",
+            F.row_number().over(Window.orderBy("term")) - 1,
+        )
+    )
+    v_size = vocab.count()
+    if v_size > max_vocab:
+        tf.unpersist()
+        raise ValueError(
+            f"tf_cosine_pairs_dense: vocabulary {v_size} exceeds "
+            f"max_vocab={max_vocab}; this corpus is sparse — use the "
+            "prefix or inverted strategy"
+        )
+    tfj = tf.join(F.broadcast(vocab), "term")
+    docvec = (
+        tfj.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("tid", "tf")).alias("_p"),
+            F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("_nrm"),
+        )
+        .select(
+            "doc_id",
+            F.col("_p.tid").alias("tids"),
+            F.col("_p.tf").alias("tfs"),
+            "_nrm",
+        )
+    )
+    ranked = global_rank(docvec, "doc_id", "doc_id", out_col="_rank")
+    docvec = ranked.withColumn(
+        "chunk_id", F.floor((F.col("_rank") - 1) / chunk_size).cast("int")
+    ).drop("_rank")
+    docvec = docvec.persist()
+
+    # Chunk geometry for the exact tile bound: unit-weight centroid
+    # sums per (chunk, tid), plus each chunk's min cosine to its own
+    # centroid (= max angular radius). Both are chunk x vocab /
+    # chunk-dim tables — driver-sized by the max_vocab guard.
+    unit = (
+        tfj.join(docvec.select("doc_id", "_nrm", "chunk_id"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "tid",
+            (F.col("tf") / F.col("_nrm")).alias("_w"),
+        )
+    )
+    csum = (
+        unit.groupBy("chunk_id", "tid")
+        .agg(F.sum("_w").alias("_s"), F.max("_w").alias("_mx"))
+    )
+    cpdf = csum.toPandas()
+    k = int(cpdf["chunk_id"].max()) + 1 if len(cpdf) else 0
+    C = np.zeros((k, v_size))
+    C[cpdf["chunk_id"].to_numpy(), cpdf["tid"].to_numpy()] = cpdf[
+        "_s"
+    ].to_numpy()
+    Mx = np.zeros((k, v_size))
+    Mx[cpdf["chunk_id"].to_numpy(), cpdf["tid"].to_numpy()] = cpdf[
+        "_mx"
+    ].to_numpy()
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cu = C / cn[:, None]
+    # per-doc cosine to its chunk centroid -> per-chunk min
+    cen = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "chunk_id": cpdf["chunk_id"],
+                "tid": cpdf["tid"],
+                "_c": (cpdf["_s"] / cn[cpdf["chunk_id"].to_numpy()]),
+            }
+        )
+    )
+    mincos = (
+        unit.join(cen, ["chunk_id", "tid"])
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum(F.col("_w") * F.col("_c")).alias("_cos"))
+        .groupBy("chunk_id")
+        .agg(F.min("_cos").alias("_min_cos"))
+        .toPandas()
+    )
+    radius = np.zeros(k)
+    mc = np.clip(mincos["_min_cos"].to_numpy(), -1.0, 1.0)
+    radius[mincos["chunk_id"].to_numpy()] = np.arccos(mc)
+
+    # Lossless tile admission, two exact bounds intersected:
+    # (1) spherical triangle inequality — best possible pair angle
+    #     between chunks i,j is max(0, theta_ij - r_i - r_j);
+    # (2) nonnegativity bound — tf weights are >= 0, so
+    #     cos(a,b) = sum_t w_at*w_bt <= sum_t maxw_it*maxw_jt; this
+    #     is what kills vocabulary-disjoint tiles (shared terms = 0
+    #     => bound = 0) that wide chunk radii let through (1).
+    theta = np.arccos(np.clip(Cu @ Cu.T, -1.0, 1.0))
+    best = np.cos(np.maximum(0.0, theta - radius[:, None] - radius[None, :]))
+    best = np.minimum(best, Mx @ Mx.T)
+    tt = threshold - 1.0e-6
+    ii, jj = np.where(np.triu(best >= tt))
+    tiles = [(int(a), int(b)) for a, b in zip(ii, jj)]
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(tiles, columns=["ci", "cj"]).astype("int32")
+    )
+
+    a_side = tiles_df.join(
+        docvec, docvec["chunk_id"] == tiles_df["ci"]
+    ).select("ci", "cj", F.lit("a").alias("role"), "doc_id", "tids", "tfs", "_nrm")
+    b_side = (
+        tiles_df.filter(F.col("ci") != F.col("cj"))
+        .join(docvec, docvec["chunk_id"] == tiles_df["cj"])
+        .select("ci", "cj", F.lit("b").alias("role"), "doc_id", "tids", "tfs", "_nrm")
+    )
+    data = a_side.unionByName(b_side)
+    V = v_size
+
+    def _tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        def densify(part: pd.DataFrame):
+            nnz = np.fromiter(
+                (len(t) for t in part["tids"]), dtype=np.int64
+            )
+            rows = np.repeat(np.arange(len(part)), nnz)
+            tids = (
+                np.concatenate([np.asarray(t) for t in part["tids"]])
+                if len(part)
+                else np.empty(0, dtype=np.int64)
+            )
+            tfs = (
+                np.concatenate([np.asarray(t) for t in part["tfs"]])
+                if len(part)
+                else np.empty(0, dtype=np.int64)
+            )
+            m = np.zeros((len(part), V))
+            m[rows, tids.astype(np.int64)] = tfs.astype(np.float64)
+            return (
+                m,
+                part["doc_id"].to_numpy(),
+                part["_nrm"].to_numpy(),
+            )
+
+        diag = bool((pdf["ci"] == pdf["cj"]).iloc[0])
+        a = pdf[pdf["role"] == "a"]
+        A, ida, na = densify(a)
+        if diag:
+            B, idb, nb = A, ida, na
+        else:
+            B, idb, nb = densify(pdf[pdf["role"] == "b"])
+        if not len(A) or not len(B):
+            return pd.DataFrame({"id_a": [], "id_b": [], "dot": []})
+        D = A @ B.T  # integer-exact in float64 (values << 2^53)
+        mask = D / np.outer(na, nb) >= tt
+        if diag:
+            mask &= ida[:, None] < idb[None, :]
+        ra, rb = np.where(mask)
+        lo = np.minimum(ida[ra], idb[rb])
+        hi = np.maximum(ida[ra], idb[rb])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "dot": D[ra, rb]})
+
+    dot = data.groupBy("ci", "cj").applyInPandas(
+        _tile, schema="id_a long, id_b long, dot double"
+    )
+    return _tf_cosine_finish(dot, tf, threshold)
+
+
+def tf_density_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_docs: int = 100_000,
+) -> dict:
+    """Vocabulary-density probe for the dense-route gate: over (up
+    to) ``probe_docs`` documents, measure n_docs, vocab size and the
+    posting fill fraction ``density = postings / (vocab * n_docs)``
+    — the fraction of the doc x term matrix that is nonzero. One
+    bounded aggregation job (the LIMIT caps the probe at any corpus
+    scale); Zipf text probes at density ~1e-3 or less, the dense
+    boundary corpora at ~0.9+."""
+    tok = (
+        docs.select(id_col, text_col)
+        .limit(probe_docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    row = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("vocab"),
+        F.countDistinct("doc_id", "term").alias("postings"),
+    ).collect()[0]
+    n, v, p = row["n_docs"], row["vocab"], row["postings"]
+    return {
+        "n_docs": n,
+        "vocab": v,
+        "postings": p,
+        "density": (p / (v * n)) if n and v else 0.0,
+    }
+
+
 TF_COSINE_STRATEGY_CONF = "spark.gexp_ml.tf_cosine.strategy"
 
 
@@ -964,16 +1239,45 @@ def tf_cosine_pairs_auto(
     strategy: str | None = None,
     size_hint: int | None = None,
     size_gate: int = 1_000_000,
+    probe: bool = False,
+    dense_max_vocab: int = 4096,
+    dense_min_density: float = 0.2,
 ) -> DataFrame:
     """OP-LLM-02 — strategy-gated exact TF-cosine pairs; same
-    contract shape as :func:`ngram_jaccard_pairs_auto`. Both physical
-    forms emit the IDENTICAL rows (pinned in
-    tests/test_llm_ops.py::test_prefix_tf_cosine_identical_pairs).
-    The gate is LAZY — no job at plan-build time. Resolution order:
-    explicit ``strategy`` ("inverted" | "prefix"), the session conf
-    ``spark.gexp_ml.tf_cosine.strategy``, ``size_hint`` vs
+    contract shape as :func:`ngram_jaccard_pairs_auto`, extended with
+    the DENSE route (VERDICT r6 item 4). ALL physical forms emit the
+    IDENTICAL rows (pinned in tests/test_llm_ops.py::
+    test_prefix_tf_cosine_identical_pairs and
+    test_dense_tf_cosine_identical_pairs), so the gate can flip
+    without changing results.
+
+    Resolution order: explicit ``strategy`` ("inverted" | "prefix" |
+    "dense"), the session conf ``spark.gexp_ml.tf_cosine.strategy``,
+    the vocabulary-density probe (``probe=True`` only: ONE bounded
+    stats job over <= 100k docs — :func:`tf_density_stats` — routes
+    to "dense" when vocab <= ``dense_max_vocab`` AND posting density
+    >= ``dense_min_density``; measured endpoints: the dense bench
+    corpus probes at density 0.97/vocab 31 where dense wins 285 s ->
+    <60 s at sf1, the Zipf hot-vocab A/B fixture probes at density
+    ~1e-3 where prefix wins 82 s -> 3.8 s), then ``size_hint`` vs
     ``size_gate``, default "inverted" (right for oracle/bench
-    scale)."""
+    scale). Without ``probe`` the gate stays fully lazy — no job at
+    plan-build time."""
+    if strategy is None:
+        conf = docs.sparkSession.conf.get(TF_COSINE_STRATEGY_CONF, "auto")
+        if conf != "auto":
+            strategy = conf
+    if strategy is None and probe:
+        stats = tf_density_stats(docs, id_col, text_col)
+        if (
+            stats["vocab"] <= dense_max_vocab
+            and stats["density"] >= dense_min_density
+        ):
+            strategy = "dense"
+    if strategy == "dense":
+        return tf_cosine_pairs_dense(
+            docs, threshold, id_col, text_col, max_vocab=dense_max_vocab
+        )
     strategy = _resolve_pair_strategy(
         docs, TF_COSINE_STRATEGY_CONF, strategy, size_hint, size_gate
     )

@@ -3688,15 +3688,37 @@ _TF_COSINE_ORACLE = (
 def op_llm_02_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-02 (TF cosine): doc-doc cosine over sparse term-
     frequency vectors — the embedding-free IR similarity, routed
-    through the lazy strategy gate (inverted-index join at
-    oracle/bench scale; the lossless L2 prefix filter via
-    ``spark.gexp_ml.tf_cosine.strategy=prefix`` or a size hint at
-    100 TB — small-vocab/boilerplate corpora make every posting hot
-    and the unblocked join quadratic). Integer tf products keep the
-    dot exact, so only the final ratio needs rounding."""
+    through the strategy gate WITH the vocabulary-density probe
+    (VERDICT r6 item 4): one bounded stats job measures posting
+    density over <=100k docs and routes dense corpora (vocab <= 4k,
+    density >= 0.2) to the exact tiled-GEMM form, Zipf corpora to the
+    inverted/prefix sparse forms. The driver fixtures probe DENSE
+    (density ~0.76, vocab 31), so this entry value-checks the dense
+    route end-to-end; op_llm_02_tf_cosine_inverted/_prefix keep the
+    sparse forms value-checked against the SAME oracle. All strategies
+    emit identical rows by construction (integer-exact dot + one
+    shared finish), pinned in tests/test_llm_ops.py."""
     from gexp_ml_dask_spark.llm.dedup import tf_cosine_pairs_auto
 
-    return tf_cosine_pairs_auto(load_docs(spark, sf_dir), threshold=0.9)
+    return tf_cosine_pairs_auto(
+        load_docs(spark, sf_dir), threshold=0.9, probe=True
+    )
+
+
+@register("op_llm_02_tf_cosine_inverted", _TF_COSINE_ORACLE)
+def op_llm_02_tf_cosine_inverted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OP-LLM-02 (TF cosine, forced inverted-index strategy): the
+    posting self-join form registered against the same oracle, so the
+    classic sparse route keeps independent driver evidence after the
+    auto gate started routing the (dense) driver fixtures to the
+    tiled-GEMM form."""
+    from gexp_ml_dask_spark.llm.dedup import tf_cosine_pairs_auto
+
+    return tf_cosine_pairs_auto(
+        load_docs(spark, sf_dir), threshold=0.9, strategy="inverted"
+    )
 
 
 @register("op_llm_02_tf_cosine_prefix", _TF_COSINE_ORACLE)

@@ -1246,6 +1246,65 @@ def test_prefix_tf_cosine_hot_vocab_lossless(spark, hot_shingle_docs):
     assert inv == pre and inv
 
 
+def test_dense_tf_cosine_identical_pairs(spark, docs):
+    """The tiled dense-GEMM TF cosine (the dense-corpus route, r7)
+    must produce the IDENTICAL row set as the inverted-index join at
+    two thresholds — the centroid-radius tile bound is the spherical
+    triangle inequality (lossless) and the dot is integer-exact, so
+    this is exact set equality. chunk_size=64 forces many tiles
+    (diagonal + off-diagonal + pruned)."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        tf_cosine_pairs,
+        tf_cosine_pairs_dense,
+    )
+
+    for t in (0.9, 0.7):
+        inv = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in tf_cosine_pairs(docs, threshold=t).collect()
+        }
+        den = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in tf_cosine_pairs_dense(
+                docs, threshold=t, chunk_size=64
+            ).collect()
+        }
+        assert inv == den, (t, inv ^ den)
+    assert inv  # non-trivial at 0.7 on the planted-dup corpus
+
+
+def test_tf_cosine_auto_gate_boundary(spark, docs, hot_shingle_docs):
+    """The density-probed auto gate: the two fixtures straddle the
+    measured dense_min_density threshold (documents probe DENSE, the
+    Zipf hot-vocab corpus probes SPARSE), and on BOTH sides of the
+    boundary the probed route emits the exact inverted-join pair set
+    — flipping the gate never changes results (VERDICT r6 item 4)."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        tf_cosine_pairs,
+        tf_cosine_pairs_auto,
+        tf_density_stats,
+    )
+
+    dense_stats = tf_density_stats(docs)
+    sparse_stats = tf_density_stats(hot_shingle_docs)
+    # the fixtures actually sit on opposite sides of the gate
+    assert dense_stats["density"] >= 0.2 and dense_stats["vocab"] <= 4096
+    assert sparse_stats["density"] < 0.2
+
+    for corpus, t in ((docs, 0.7), (hot_shingle_docs, 0.8)):
+        inv = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in tf_cosine_pairs(corpus, threshold=t).collect()
+        }
+        auto = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in tf_cosine_pairs_auto(
+                corpus, threshold=t, probe=True
+            ).collect()
+        }
+        assert inv == auto and inv
+
+
 def test_tf_cosine_auto_gate_lazy_and_routed(spark, hot_shingle_docs):
     """The strategy gate must build the requested plan without
     running a job: the prefix plan contains the suffix-norm Window,
