@@ -135,6 +135,63 @@ CHECKS: dict[str, dict] = {
 }
 
 
+def _stage_snapshot(spark) -> tuple[int, dict]:
+    """(max stage id seen, {stageId: metrics}) from the live UI's
+    status API. The engine session disables the UI (session.py); the
+    decade runner re-enables it so each big-side run can be diffed
+    for shuffle-write/spill bytes — the memory-curve numbers a 100 TB
+    extrapolation needs (VERDICT r6 item 7). Returns (-1, {}) when
+    the UI is off (telemetry then reads null, never crashes a run)."""
+    import json as _json
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return -1, {}
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as r:
+            stages = _json.load(r)
+    except OSError:
+        return -1, {}
+    out = {}
+    for s in stages:
+        out[s["stageId"]] = {
+            "shuffle_write_b": s.get("shuffleWriteBytes", 0),
+            "shuffle_read_b": s.get("shuffleReadBytes", 0),
+            "spill_mem_b": s.get("memoryBytesSpilled", 0),
+            "spill_disk_b": s.get("diskBytesSpilled", 0),
+            "input_b": s.get("inputBytes", 0),
+        }
+    return (max(out) if out else -1), out
+
+
+def _stage_delta(spark, prev_max: int) -> dict | None:
+    """Sum stage metrics for stages submitted after ``prev_max``.
+    Stage ids are monotone within an app, so id > prev_max is exactly
+    the work of the bracketed query (UI retention default 1000 stages
+    comfortably exceeds any single query here)."""
+    cur_max, stages = _stage_snapshot(spark)
+    if cur_max < 0 and not stages:
+        return None
+    mb = 1024.0 * 1024.0
+    tot = {"shuffle_write_b": 0, "shuffle_read_b": 0, "spill_mem_b": 0,
+           "spill_disk_b": 0, "input_b": 0}
+    for sid, m in stages.items():
+        if sid > prev_max:
+            for k in tot:
+                tot[k] += m[k]
+    return {
+        "shuffle_write_mb": round(tot["shuffle_write_b"] / mb, 1),
+        "shuffle_read_mb": round(tot["shuffle_read_b"] / mb, 1),
+        "spill_mem_mb": round(tot["spill_mem_b"] / mb, 1),
+        "spill_disk_mb": round(tot["spill_disk_b"] / mb, 1),
+        "input_mb": round(tot["input_b"] / mb, 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
@@ -152,7 +209,12 @@ def main() -> int:
     import __spark_entry__ as entry
     from gexp_ml_dask_spark.session import get_spark
 
-    spark = get_spark(app_name="decade_invariants")
+    spark = get_spark(
+        app_name="decade_invariants",
+        # UI on for this runner only: the stage status API is where
+        # the per-query shuffle/spill telemetry comes from.
+        extra_configs={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     names = args.queries.split(",") if args.queries else list(CHECKS)
@@ -171,11 +233,15 @@ def main() -> int:
         cfg = CHECKS[name]
         mode = cfg["mode"]
         excl = set(cfg.get("exclude", ()))
+        prev_max, _ = _stage_snapshot(spark)
         t0 = time.time()
         big = _spark_digest(qs[name](spark, args.big))
         wall_big = time.time() - t0
+        telemetry = _stage_delta(spark, prev_max)
         spark.catalog.clearCache()
         rec = {"mode": mode, "wall_big_s": round(wall_big, 1)}
+        if telemetry is not None:
+            rec["telemetry_big"] = telemetry
         if mode == "wall_only":
             rec["rows_big"] = big["__n"]
             rec["ok"] = True
