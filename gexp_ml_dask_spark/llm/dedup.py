@@ -1145,7 +1145,7 @@ def tf_cosine_pairs_dense(
     V = v_size
 
     def _tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        def densify(part: pd.DataFrame):
+        def flatten(part: pd.DataFrame):
             nnz = np.fromiter(
                 (len(t) for t in part["tids"]), dtype=np.int64
             )
@@ -1154,37 +1154,52 @@ def tf_cosine_pairs_dense(
                 np.concatenate([np.asarray(t) for t in part["tids"]])
                 if len(part)
                 else np.empty(0, dtype=np.int64)
-            )
+            ).astype(np.int64)
             tfs = (
                 np.concatenate([np.asarray(t) for t in part["tfs"]])
                 if len(part)
                 else np.empty(0, dtype=np.int64)
-            )
-            m = np.zeros((len(part), V))
-            m[rows, tids.astype(np.int64)] = tfs.astype(np.float64)
-            return (
-                m,
-                part["doc_id"].to_numpy(),
-                part["_nrm"].to_numpy(),
-            )
+            ).astype(np.float64)
+            return rows, tids, tfs
 
         diag = bool((pdf["ci"] == pdf["cj"]).iloc[0])
         a = pdf[pdf["role"] == "a"]
-        A, ida, na = densify(a)
-        if diag:
-            B, idb, nb = A, ida, na
-        else:
-            B, idb, nb = densify(pdf[pdf["role"] == "b"])
-        if not len(A) or not len(B):
+        b = a if diag else pdf[pdf["role"] == "b"]
+        ra_, ta_, fa_ = flatten(a)
+        rb_, tb_, fb_ = (ra_, ta_, fa_) if diag else flatten(b)
+        if not len(a) or not len(b):
             return pd.DataFrame({"id_a": [], "id_b": [], "dot": []})
-        D = A @ B.T  # integer-exact in float64 (values << 2^53)
+        # Densify over the tile's OWN vocabulary, not the global one:
+        # a block-pure tile touches only its block's terms, so the
+        # GEMM inner dimension shrinks from V to |terms in tile|
+        # (10x at sf1: 31 of 310).
+        local, inv = np.unique(np.concatenate([ta_, tb_]), return_inverse=True)
+        la, lb = inv[: len(ta_)], inv[len(ta_):]
+        ida, na = a["doc_id"].to_numpy(), a["_nrm"].to_numpy()
+        idb, nb = b["doc_id"].to_numpy(), b["_nrm"].to_numpy()
+        # float32 GEMM when Cauchy-Schwarz bounds every integer dot
+        # below 2^24 (all intermediates are integers, so the sgemm is
+        # exact there); float64 otherwise — exact below 2^53.
+        dt = (
+            np.float32
+            if float(na.max()) * float(nb.max()) < 2**24
+            else np.float64
+        )
+        A = np.zeros((len(a), len(local)), dtype=dt)
+        A[ra_, la] = fa_
+        if diag:
+            B = A
+        else:
+            B = np.zeros((len(b), len(local)), dtype=dt)
+            B[rb_, lb] = fb_
+        D = (A @ B.T).astype(np.float64)
         mask = D / np.outer(na, nb) >= tt
         if diag:
             mask &= ida[:, None] < idb[None, :]
-        ra, rb = np.where(mask)
-        lo = np.minimum(ida[ra], idb[rb])
-        hi = np.maximum(ida[ra], idb[rb])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "dot": D[ra, rb]})
+        ri, rj = np.where(mask)
+        lo = np.minimum(ida[ri], idb[rj])
+        hi = np.maximum(ida[ri], idb[rj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "dot": D[ri, rj]})
 
     dot = data.groupBy("ci", "cj").applyInPandas(
         _tile, schema="id_a long, id_b long, dot double"
@@ -1196,17 +1211,30 @@ def tf_density_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    probe_docs: int = 100_000,
+    probe_docs: int = 10_000,
 ) -> dict:
-    """Vocabulary-density probe for the dense-route gate: over (up
-    to) ``probe_docs`` documents, measure n_docs, vocab size and the
-    posting fill fraction ``density = postings / (vocab * n_docs)``
-    — the fraction of the doc x term matrix that is nonzero. One
-    bounded aggregation job (the LIMIT caps the probe at any corpus
-    scale); Zipf text probes at density ~1e-3 or less, the dense
-    boundary corpora at ~0.9+."""
+    """Vocabulary-density probe for the dense-route gate: over the
+    ``probe_docs`` smallest-id documents, measure n_docs, vocab size
+    and the posting fill fraction ``density = postings / (vocab *
+    n_docs)`` — the fraction of the doc x term matrix that is
+    nonzero. One bounded job: the ordered take compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort), so
+    the probe costs one scan at any corpus scale.
+
+    The sample is a CONTIGUOUS id range, not an arbitrary LIMIT:
+    density is a NEIGHBORHOOD property, and an arbitrary partition
+    sample of a multi-source corpus mixes disjoint vocabularies,
+    diluting the stat by the source count (measured on the sf1
+    fixture: 10 vocabulary-disjoint dense blocks probe at 0.075
+    under LIMIT but 0.37 under an id-contiguous sample — the former
+    misroutes a corpus whose every block is dense at 0.75). Id
+    contiguity is the same locality proxy the dense route's chunking
+    uses. Zipf text probes at ~1e-3 or less either way; a misrouted
+    gate is a performance miss, never a correctness one (every
+    strategy emits identical rows)."""
     tok = (
         docs.select(id_col, text_col)
+        .orderBy(id_col)
         .limit(probe_docs)
         .select(
             F.col(id_col).alias("doc_id"),
