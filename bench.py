@@ -648,7 +648,13 @@ def main() -> None:
              "pipeline_total": full2["pipeline_total"]}
         )
         kept = 1
-        if (degraded, full["value"]) > (degraded2, full2["value"]):
+        # pipeline_total breaks ties when the headline suite was
+        # skipped (SPARK_GRAFT_HEADLINE_SKIP=1 runs have value == 0).
+        if (degraded, full["value"], full["pipeline_total"]) > (
+            degraded2,
+            full2["value"],
+            full2["pipeline_total"],
+        ):
             full, kept = full2, 2
         print(f"# kept attempt {kept} of {len(attempts)}", file=sys.stderr)
     full["attempts"] = attempts

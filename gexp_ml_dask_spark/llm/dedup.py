@@ -1076,6 +1076,10 @@ def tf_cosine_pairs_dense(
             "tid",
             (F.col("tf") / F.col("_nrm")).alias("_w"),
         )
+        # two collect jobs consume this (chunk sums, then min-cosines
+        # against the centroids derived from the first) — persist so
+        # the tfj join + weight projection runs once
+        .persist()
     )
     csum = (
         unit.groupBy("chunk_id", "tid")
@@ -1112,6 +1116,7 @@ def tf_cosine_pairs_dense(
         .agg(F.min("_cos").alias("_min_cos"))
         .toPandas()
     )
+    unit.unpersist()
     radius = np.zeros(k)
     mc = np.clip(mincos["_min_cos"].to_numpy(), -1.0, 1.0)
     radius[mincos["chunk_id"].to_numpy()] = np.arccos(mc)
@@ -1268,6 +1273,7 @@ def tf_cosine_pairs_auto(
     size_hint: int | None = None,
     size_gate: int = 1_000_000,
     probe: bool = False,
+    probe_docs: int = 10_000,
     dense_max_vocab: int = 4096,
     dense_min_density: float = 0.2,
 ) -> DataFrame:
@@ -1295,17 +1301,28 @@ def tf_cosine_pairs_auto(
         conf = docs.sparkSession.conf.get(TF_COSINE_STRATEGY_CONF, "auto")
         if conf != "auto":
             strategy = conf
+    probed_dense = False
     if strategy is None and probe:
-        stats = tf_density_stats(docs, id_col, text_col)
+        stats = tf_density_stats(docs, id_col, text_col, probe_docs)
         if (
             stats["vocab"] <= dense_max_vocab
             and stats["density"] >= dense_min_density
         ):
-            strategy = "dense"
+            strategy, probed_dense = "dense", True
     if strategy == "dense":
-        return tf_cosine_pairs_dense(
-            docs, threshold, id_col, text_col, max_vocab=dense_max_vocab
-        )
+        try:
+            return tf_cosine_pairs_dense(
+                docs, threshold, id_col, text_col, max_vocab=dense_max_vocab
+            )
+        except ValueError:
+            if not probed_dense:  # explicitly requested dense: surface it
+                raise
+            # The probe samples a contiguous id range; a heterogeneous
+            # corpus can probe dense yet carry a global vocabulary past
+            # the densify bound (the dense route checks the FULL vocab
+            # and refuses). Fall back to the sparse resolution so a
+            # misrouted gate stays a performance miss, never a crash.
+            strategy = None
     strategy = _resolve_pair_strategy(
         docs, TF_COSINE_STRATEGY_CONF, strategy, size_hint, size_gate
     )

@@ -800,7 +800,10 @@ def op_agg_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value FROM events) "
     "SELECT event_type, bucket, "
     "CAST(GROUPING(event_type) * 2 + GROUPING(bucket) AS BIGINT) AS lvl, "
-    "count(*) AS n, round(sum(value), 6) AS total "
+    # 2dp total (r2 contract): the grand-total/subtotal cells sum the
+    # WHOLE fact table, so their magnitude grows with SF and 6dp hits
+    # the double ULP at sf10 (observed: one 1-ULP flip at a 1e8 sum)
+    "count(*) AS n, round(sum(value), 2) AS total "
     "FROM e GROUP BY ROLLUP (event_type, bucket)",
 )
 def op_agg_11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,7 +824,7 @@ def op_agg_11(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("lvl"),
             F.count("*").alias("n"),
-            r6(F.sum("value")).alias("total"),
+            r2(F.sum("value")).alias("total"),
         )
         .select("event_type", "bucket", "lvl", "n", "total")
     )
@@ -833,7 +836,8 @@ def op_agg_11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value FROM events) "
     "SELECT event_type, bucket, "
     "CAST(GROUPING(event_type) * 2 + GROUPING(bucket) AS BIGINT) AS lvl, "
-    "count(*) AS n, round(sum(value), 6) AS total "
+    # 2dp total: same scale-stable contract as the ROLLUP twin
+    "count(*) AS n, round(sum(value), 2) AS total "
     "FROM e GROUP BY CUBE (event_type, bucket)",
 )
 def op_agg_11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,7 +856,7 @@ def op_agg_11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("lvl"),
             F.count("*").alias("n"),
-            r6(F.sum("value")).alias("total"),
+            r2(F.sum("value")).alias("total"),
         )
         .select("event_type", "bucket", "lvl", "n", "total")
     )
@@ -948,32 +952,58 @@ def op_sql_01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_agg_12_top_k_sketch",
-    # The sketch tracks up to 10k items exactly and we ask for the
-    # top 1000; every bench corpus's vocabulary (31 terms at driver
-    # SFs, 310 in the derived sf1) is far below BOTH, so the
-    # "approximate" heavy hitters are the exact full wordcount and
-    # the oracle is the plain GROUP BY. (k was 100 until the sf1
-    # chaos sweep caught vocab 310 > k: truncation at the k-boundary
-    # is tie-ambiguous, so keep vocab <= k for the oracle twin.)
-    "SELECT term, count(*) AS n FROM "
+    # Tie-boundary-free contract (r7): the sketch's top-k cut is
+    # tie-AMBIGUOUS — with k=1000 and the sf10 fixture's 3,100-term
+    # vocabulary (counts replicated x100 into huge tie blocks) Spark
+    # legitimately returns an arbitrary 1000-subset. Both sides
+    # therefore emit every term STRICTLY ABOVE the k-th per-item
+    # count boundary (all of the vocabulary when it fits inside k) —
+    # deterministic at ANY scale/vocabulary. History: k was 100
+    # until the sf1 chaos sweep caught vocab 310 > k; raising k
+    # rotted again one decade later, the boundary-free form cannot.
+    "WITH c AS (SELECT term, count(*) AS n FROM "
     "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) t "
-    "WHERE term <> '' GROUP BY term",
+    "WHERE term <> '' GROUP BY term), "
+    # the rank-1000 count is well-defined whatever the tie order;
+    # strict < 1000 in the keep-all arm so the vocab==k case drops
+    # the boundary block on BOTH sides exactly like the Spark twin
+    "r AS (SELECT n, row_number() OVER (ORDER BY n DESC) AS rn FROM c) "
+    "SELECT term, n FROM c WHERE (SELECT count(*) FROM c) < 1000 "
+    "OR n > (SELECT n FROM r WHERE rn = 1000)",
 )
 def op_agg_12_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 (heavy hitters): frequent terms via Spark 4's
     approx_top_k sketch — O(maxItemsTracked) state per partition,
     mergeable, ONE row of output instead of a full wordcount
     shuffle; the 100 TB path for "top phrases in the corpus". Exact
-    while distinct items fit the sketch capacity (here: always), an
-    estimate beyond; exact-twin: op_llm_04_word_freq."""
+    while distinct items fit the sketch capacity (10k here — holds
+    through sf10's 3,100-term vocabulary), an estimate beyond;
+    exact-twin: op_llm_04_word_freq. The k-boundary tie block is
+    dropped on BOTH sides (see the oracle note): the returned set is
+    "every term strictly above the top-1000 count boundary", which
+    is deterministic where "an arbitrary 1000 of the tied terms" is
+    not. The trim runs over the <=k-row sketch OUTPUT (dim-bounded
+    window), never the corpus."""
     ex = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
     row = ex.agg(F.expr("approx_top_k(term, 1000, 10000)").alias("tk"))
-    return row.select(F.explode("tk").alias("s")).select(
+    tk = row.select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("term"), F.col("s.count").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        tk.withColumn("_k", F.count(F.lit(1)).over(w))
+        .withColumn("_min", F.min("n").over(w))
+        # fewer than k items returned => no truncation happened =>
+        # keep everything; else drop the (possibly partial) tie
+        # block at the boundary, whose count == the sketch's min
+        .filter((F.col("_k") < 1000) | (F.col("n") > F.col("_min")))
+        .select("term", "n")
     )
 
 

@@ -1305,6 +1305,50 @@ def test_tf_cosine_auto_gate_boundary(spark, docs, hot_shingle_docs):
         assert inv == auto and inv
 
 
+def test_tf_cosine_probed_dense_falls_back_on_big_vocab(spark):
+    """A heterogeneous corpus can PROBE dense (its low-id head is
+    template text) while its global vocabulary exceeds the densify
+    bound — the dense route then refuses, and the gate must fall back
+    to a sparse strategy instead of crashing (a misrouted gate is a
+    performance miss, never a correctness one)."""
+    from gexp_ml_dask_spark.llm.dedup import (
+        tf_cosine_pairs,
+        tf_cosine_pairs_auto,
+        tf_cosine_pairs_dense,
+    )
+
+    head = [
+        (i, "alpha beta gamma delta " + ("alpha beta " * (i % 3)))
+        for i in range(20)
+    ]
+    tail = [
+        (1000 + i, " ".join(f"uniq{i}_{j}" for j in range(8)))
+        for i in range(100)
+    ]
+    corpus = spark.createDataFrame(head + tail, ["doc_id", "text"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # the dense route itself refuses
+        tf_cosine_pairs_dense(corpus, max_vocab=50).collect()
+
+    inv = {
+        tuple(r)
+        for r in tf_cosine_pairs(corpus, threshold=0.9).collect()
+    }
+    auto = {
+        tuple(r)
+        for r in tf_cosine_pairs_auto(
+            corpus,
+            threshold=0.9,
+            probe=True,
+            probe_docs=20,  # the probe sees only the dense head
+            dense_max_vocab=50,
+        ).collect()
+    }
+    assert auto == inv and inv  # fell back, identical results
+
+
 def test_tf_cosine_auto_gate_lazy_and_routed(spark, hot_shingle_docs):
     """The strategy gate must build the requested plan without
     running a job: the prefix plan contains the suffix-norm Window,

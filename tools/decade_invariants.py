@@ -158,14 +158,17 @@ def _stage_snapshot(spark) -> tuple[int, dict]:
         return -1, {}
     out = {}
     for s in stages:
-        out[s["stageId"]] = {
+        # key by (stageId, attemptId): the endpoint lists one entry
+        # per stage ATTEMPT, and a retried stage's real bytes (both
+        # attempts did real work) must not overwrite each other.
+        out[(s["stageId"], s.get("attemptId", 0))] = {
             "shuffle_write_b": s.get("shuffleWriteBytes", 0),
             "shuffle_read_b": s.get("shuffleReadBytes", 0),
             "spill_mem_b": s.get("memoryBytesSpilled", 0),
             "spill_disk_b": s.get("diskBytesSpilled", 0),
             "input_b": s.get("inputBytes", 0),
         }
-    return (max(out) if out else -1), out
+    return (max(k[0] for k in out) if out else -1), out
 
 
 def _stage_delta(spark, prev_max: int) -> dict | None:
@@ -179,7 +182,7 @@ def _stage_delta(spark, prev_max: int) -> dict | None:
     mb = 1024.0 * 1024.0
     tot = {"shuffle_write_b": 0, "shuffle_read_b": 0, "spill_mem_b": 0,
            "spill_disk_b": 0, "input_b": 0}
-    for sid, m in stages.items():
+    for (sid, _attempt), m in stages.items():
         if sid > prev_max:
             for k in tot:
                 tot[k] += m[k]

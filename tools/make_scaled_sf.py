@@ -80,11 +80,15 @@ def _subst(i: int) -> str:
     # past that the slice silently shrinks and F.translate would
     # DELETE vowels, cloning copies >=10 of each other and breaking
     # the cross-copy disjointness the decade invariants rely on
-    # (ADVICE r6) — fail loudly instead.
-    assert len(out) == 5, (
-        f"vowel perturbation supports at most 10 copies (copy {i} has "
-        f"no substitute set); use PERTURB=rot/perm or lower SCALE_COPIES"
-    )
+    # (ADVICE r6) — fail loudly instead. An if/raise, not an assert:
+    # python -O strips asserts and would silently restore the
+    # corruption this guard exists to prevent.
+    if len(out) != 5:
+        raise ValueError(
+            f"vowel perturbation supports at most 10 copies (copy {i} "
+            f"has no substitute set); use PERTURB=rot/perm or lower "
+            "SCALE_COPIES"
+        )
     return out
 
 

@@ -230,12 +230,16 @@ def main() -> int:
                 pid = int(stale.rsplit(".", 1)[1])
             except ValueError:
                 continue
+            # liveness alone is not enough: a recycled pid would make
+            # a dead sweep's 50 GB look owned forever — require the
+            # live process to actually BE an oracle_sweep run.
             try:
-                os.kill(pid, 0)  # raises if the pid is gone
-            except ProcessLookupError:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmdline = fh.read()
+            except OSError:
+                cmdline = b""  # pid gone
+            if b"oracle_sweep" not in cmdline:
                 shutil.rmtree(stale, ignore_errors=True)
-            except PermissionError:
-                pass  # alive under another uid — leave it
         shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)  # legacy name
         spill_dir = f"/tmp/duckdb_spill.{os.getpid()}"
         con.execute(f"SET temp_directory='{spill_dir}'")

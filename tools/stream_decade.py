@@ -61,7 +61,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _chunk_events(sf_dir: str, out_dir: str, k: int) -> int:
     """Split the fixture's events table into ``k`` chronological
     parquet chunks (handles both physical layouts: the driver's
-    single file and the decade tooling's directory of parts)."""
+    single file and the decade tooling's directory of parts).
+
+    Driver-memory bound: pyarrow materializes the table twice (read +
+    sorted take) — fine through sf10 (10M events, ~2 GB peak); a
+    larger fixture should chunk via a Spark range-partitioned sort
+    instead of this helper."""
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
@@ -137,7 +142,14 @@ def main() -> int:
         tumbling_window_counts,
     )
 
-    extra = {}
+    # recentProgress retention must cover every micro-batch (plus
+    # zero-row flush batches) or the exactly-once row accounting
+    # undercounts on high --chunks runs; default retention is 100.
+    extra = {
+        "spark.sql.streaming.numRecentProgressUpdates": str(
+            4 * args.chunks + 100
+        )
+    }
     master = None
     if args.kill:
         # Executor death needs real executor processes; the worker
