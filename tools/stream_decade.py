@@ -58,25 +58,67 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _chunk_events(sf_dir: str, out_dir: str, k: int) -> int:
+# Above this row count the arrow chunker's 2x in-memory
+# materialization stops being reasonable and the Spark path takes
+# over (sf10 = 10M rows is fine at ~2 GB peak; sf100 = 100M is not).
+ARROW_CHUNK_MAX_ROWS = 20_000_000
+
+
+def _chunk_events(
+    sf_dir: str, out_dir: str, k: int, spark=None, chunker: str = "auto"
+) -> int:
     """Split the fixture's events table into ``k`` chronological
     parquet chunks (handles both physical layouts: the driver's
     single file and the decade tooling's directory of parts).
 
-    Driver-memory bound: pyarrow materializes the table twice (read +
-    sorted take) — fine through sf10 (10M events, ~2 GB peak); a
-    larger fixture should chunk via a Spark range-partitioned sort
-    instead of this helper."""
-    import pyarrow.compute as pc
+    Two implementations behind one contract (chronological files in
+    lexicographic name order):
+
+    * ``arrow`` — pyarrow read + sorted take; materializes the table
+      twice, fine through sf10 (10M events, ~2 GB peak);
+    * ``spark`` — range-partition by ``ts`` into ``k`` ranges, sort
+      within partitions, write once, rename the (range-ordered)
+      part files to chunk names. Never holds the table in one
+      process; this is the decade path for sf100 (100M events).
+
+    ``auto`` picks by row count (parquet footer metadata only).
+    """
     import pyarrow.dataset as ds
 
     src = f"{sf_dir}/events.parquet"
+    n = ds.dataset(src, format="parquet").count_rows()
+    if chunker == "auto":
+        chunker = (
+            "spark"
+            if spark is not None and n > ARROW_CHUNK_MAX_ROWS
+            else "arrow"
+        )
+    if chunker == "spark":
+        from pyspark.sql import functions as F  # noqa: F401
+
+        tmp = out_dir + ".spark"
+        (
+            spark.read.parquet(src)
+            .repartitionByRange(k, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # part-NNNNN order == range order under repartitionByRange,
+        # so renaming in name order preserves chronology
+        parts = sorted(glob.glob(f"{tmp}/part-*.parquet"))
+        for i, p in enumerate(parts):
+            shutil.move(p, f"{out_dir}/chunk-{i:03d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n
+
+    import pyarrow.compute as pc
+
     table = ds.dataset(src, format="parquet").to_table()
     order = pc.sort_indices(table, sort_keys=[("ts", "ascending")])
     table = table.take(order)
     import pyarrow.parquet as pq
 
-    n = table.num_rows
     for i in range(k):
         lo, hi = i * n // k, (i + 1) * n // k
         pq.write_table(
@@ -116,6 +158,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument(
+        "--chunker",
+        choices=("auto", "arrow", "spark"),
+        default="auto",
+        help="chunk builder: arrow (in-memory, <=sf10), spark "
+        "(range-partitioned sort, the decade path), auto by rows",
+    )
     ap.add_argument(
         "--kill",
         action="store_true",
@@ -166,7 +215,9 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="stream_decade_")
     chunk_dir = f"{work}/chunks"
     os.makedirs(chunk_dir)
-    n_events = _chunk_events(args.sf_dir, chunk_dir, args.chunks)
+    n_events = _chunk_events(
+        args.sf_dir, chunk_dir, args.chunks, spark=spark, chunker=args.chunker
+    )
 
     events = load_events(spark, args.sf_dir)
     max_us = events.select(
