@@ -184,6 +184,19 @@ def main() -> int:
         "sweep across a real executor-to-executor serialization "
         "boundary; default local[--threads])",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="extra Spark conf, repeatable — the execution-shape "
+        "perturbation hook (e.g. spark.sql.codegen.wholeStage=false, "
+        "spark.sql.execution.arrow.maxRecordsPerBatch=7, "
+        "spark.sql.session.timeZone=America/New_York). A query whose "
+        "answer CHANGES under any of these has a config-dependent "
+        "contract — the single-box analogue of shipping it to a "
+        "cluster tuned differently",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -209,6 +222,12 @@ def main() -> int:
         b = b.config(
             "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
         )
+    for kv in args.conf:
+        k, sep, v = kv.partition("=")
+        if not sep or not k:
+            print(f"bad --conf (expected KEY=VALUE): {kv!r}", file=sys.stderr)
+            return 2
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
