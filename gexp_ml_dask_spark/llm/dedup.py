@@ -60,13 +60,21 @@ def exact_dedup(
 
 def shingles(text_col: str, n: int = 3, sep: str = " ") -> F.Column:
     """Distinct word n-gram shingles of a text column — pure column
-    expression (no UDF): slice a token array at every offset."""
+    expression (no UDF): slice a token array at every offset.
+
+    NULL-safe: NULL text yields a NULL array (explode drops the doc
+    from every inverted index), matching SQL ``unnest(NULL)``
+    semantics. Before the guard, split(NULL) fell through
+    greatest()/concat_ws() null-swallowing into the shingle set
+    {''} — which inverted-joined NULL-text docs against EMPTY-text
+    docs as jaccard-1.0 pairs on Spark only (round-7 edge sweep,
+    ghost pair found by tools/edge_fixture.py)."""
     toks = F.split(F.col(text_col), sep)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.col(text_col).isNotNull(), F.array_distinct(grams))
 
 
 def ngram_jaccard_pairs(
@@ -1359,7 +1367,12 @@ def remove_duplicate_spans(
     a bounded array (list length <= doc token count); the rebuild is
     a JVM higher-order filter over the token array — no Python, no
     second pass over the grams.
+
+    Token-semantics contract (round-7 edge sweep): NULL-text docs
+    have no tokens to clean and are excluded, like every other
+    token/shingle operator.
     """
+    docs = docs.filter(F.col(text_col).isNotNull())
     toks = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col),
@@ -1546,6 +1559,7 @@ def embedding_neardup_pairs(
         dot_expr,
         hyperplane_buckets,
         norm_expr,
+        valid_vector_expr,
     )
 
     sel = [
@@ -1554,7 +1568,16 @@ def embedding_neardup_pairs(
     ]
     if block_col:
         sel.append(F.col(block_col))
-    docs = embeddings.select(*sel).withColumn("_n", norm_expr(F.col("_v")))
+    # Vector-validity gate (similarity.valid_vector_expr contract):
+    # the LSH path additionally pins the declared hyperplane dim;
+    # brute/blocked paths accept ragged corpora but only score
+    # equal-length pairs (condition added below).
+    lsh_path = block_col is None and method == "lsh"
+    docs = (
+        embeddings.select(*sel)
+        .filter(valid_vector_expr(F.col("_v"), dim=dim if lsh_path else None))
+        .withColumn("_n", norm_expr(F.col("_v")))
+    )
 
     if block_col is None and method == "lsh":
         cand = None
@@ -1602,7 +1625,9 @@ def embedding_neardup_pairs(
         raise ValueError(f"unknown embedding neardup method: {method}")
 
     a, b = docs.alias("a"), docs.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.size(F.col("a._v")) == F.size(F.col("b._v"))
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     cosine = F.try_divide(

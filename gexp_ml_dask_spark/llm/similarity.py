@@ -38,6 +38,50 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
+def finite_vector_expr(v: Column) -> Column:
+    """True iff every element is present and finite (no NULL / NaN /
+    ±inf elements)."""
+    return F.forall(
+        v,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+
+
+def valid_vector_expr(
+    v: Column, dim: int | None = None, max_abs: float | None = None
+) -> Column:
+    """The similarity family's vector-validity contract (declared,
+    not implicit): a vector participates in cosine math iff it is
+    non-NULL, has only finite elements, and has norm > 0 — plus
+    ``len == dim`` where the operator carries a declared dimension
+    (hyperplane LSH, IVF, JL projection). A 100 TB corpus is
+    guaranteed to contain NULLs, NaNs, ragged arrays, and
+    all-zero vectors; before this gate the engine silently dropped
+    them through null-propagation while the DuckDB oracle CRASHED
+    (``list_cosine_similarity`` dim mismatch, ``list_inner_product``
+    NULL input) and NaN vectors sorted as greater-than-everything —
+    found by the round-7 edge-data sweep (tools/edge_fixture.py).
+    Every value oracle carries the same predicate in SQL.
+
+    ``max_abs`` adds an element-magnitude bound for operators whose
+    OUTPUT is an absolute-6dp-rounded raw dot product (JL
+    projection): 6dp cross-engine exactness needs the accumulated
+    dot to stay where a double ULP is < 1e-6 (|dot| ≲ 2^52·1e-6 ≈
+    4.5e9) — a 1e20-magnitude vector is finite and cosine-safe
+    (normalization cancels magnitude) but its raw dot differs
+    between engines in the last ULPs, i.e. by thousands. Cosine
+    operators leave it None."""
+    cond = v.isNotNull()
+    if dim is not None:
+        cond = cond & (F.size(v) == F.lit(int(dim)))
+    cond = cond & finite_vector_expr(v)
+    if max_abs is not None:
+        cond = cond & F.forall(v, lambda x: F.abs(x) <= F.lit(float(max_abs)))
+    return cond & (dot_expr(v, v) > 0)
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,16 +95,20 @@ def knn_bruteforce(
     The query set broadcasts; the corpus is scanned once with no
     shuffle until the final per-query top-k (window over rounded
     cosine, deterministic id tie-break — ulp-stable across engines).
-    Self-matches (same id) are excluded.
+    Self-matches (same id) are excluded. Invalid vectors (see
+    :func:`valid_vector_expr`) are excluded on both sides, and a
+    (corpus, query) pair is scored only when the lengths match — the
+    corpus may be ragged, the pair math may not.
     """
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
+    ).filter(valid_vector_expr(F.col("_cv")))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
-    )
+    ).filter(valid_vector_expr(F.col("_qv")))
     scored = c.crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col(query_id_col)
+        (F.col(id_col) != F.col(query_id_col))
+        & (F.size(F.col("_cv")) == F.size(F.col("_qv")))
     )
     scored = scored.select(
         query_id_col,
@@ -99,17 +147,34 @@ def knn_bruteforce_pandas(
     """
     import numpy as np
 
-    q_rows = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>")
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .filter(valid_vector_expr(F.col("_qv")))
+        .collect()
+    )
     q_ids = [r[0] for r in q_rows]
+    dims = {len(r[1]) for r in q_rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"knn_bruteforce_pandas: query vectors must share one "
+            f"dimension for the matmul kernel, got lengths {sorted(dims)}; "
+            "use knn_bruteforce (per-pair fold) for ragged query sets"
+        )
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (nq, dim)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = np.nan  # 0-norm -> null cosine, like try_divide
 
+    # the batch kernel np.stack()s each Arrow batch — gate the corpus
+    # to valid vectors OF THE QUERY DIM so a single ragged row can't
+    # kill the stack (and so the scored pair set matches the JVM
+    # twin's size-equality gate)
+    qdim = next(iter(dims)) if dims else None
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
+    ).filter(valid_vector_expr(F.col("_cv"), dim=qdim))
 
     # Self-contained closure (numpy/pandas only — no package refs).
     def score(batches):
@@ -231,7 +296,19 @@ def knn_ivf(
 
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    ).withColumn("_fv", array_to_vector(F.col("_cv")))
+    ).filter(valid_vector_expr(F.col("_cv")))
+    # KMeans needs one homogeneous dimension; pick the corpus's most
+    # common length (one scalar agg at fit time — the documented
+    # estimator-fit pattern) and gate out ragged strays.
+    dim_row = (
+        c.groupBy(F.size("_cv").alias("_d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("_d"))
+        .first()
+    )
+    if dim_row is not None:
+        c = c.filter(F.size("_cv") == int(dim_row["_d"]))
+    c = c.withColumn("_fv", array_to_vector(F.col("_cv")))
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell"
     ).fit(c)
@@ -248,6 +325,11 @@ def knn_ivf(
 
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).filter(
+        valid_vector_expr(
+            F.col("_qv"),
+            dim=int(dim_row["_d"]) if dim_row is not None else None,
+        )
     )
     # Rank cells per query by euclidean distance to the centroid,
     # keep the n_probe nearest.
@@ -309,11 +391,11 @@ def knn_lsh(
     similarity-p pairs."""
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
+    ).filter(valid_vector_expr(F.col("_cv"), dim=dim))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
+    ).filter(valid_vector_expr(F.col("_qv"), dim=dim))
 
     cand = None
     for t in range(n_tables):
@@ -602,7 +684,12 @@ def random_projection(
     shuffle bytes on every downstream similarity op).
 
     Output columns: id, p0..p{k-1} DOUBLE rounded to 6dp
-    (engine-portable exactness for the value oracle).
+    (engine-portable exactness for the value oracle). Only valid
+    ``dim``-length vectors with elements |x| <= 1e6 project
+    (:func:`valid_vector_expr` with ``max_abs`` — the projection's
+    output is an absolute-6dp raw dot, so cross-engine exactness
+    needs the magnitude bound); NULL / ragged / non-finite /
+    over-magnitude rows are excluded.
     """
     import math
 
@@ -616,7 +703,9 @@ def random_projection(
         ).alias(f"p{j}")
         for j in range(k)
     ]
-    return df.select(F.col(id_col), *comps)
+    return df.filter(valid_vector_expr(v, dim=dim, max_abs=1e6)).select(
+        F.col(id_col), *comps
+    )
 
 
 def quantize_embeddings(
@@ -633,7 +722,12 @@ def quantize_embeddings(
 
     Output: (id, qvec ARRAY<INT> in [-127,127], scale DOUBLE 6dp).
     All-zero vectors get scale 0 and an all-zero qvec (try_divide
-    null -> 0 via coalesce) so the round trip stays total.
+    null -> 0 via coalesce) so the round trip stays total over every
+    FINITE vector (ragged included — quantization is row-local).
+    NULL vectors and vectors with NULL/NaN/±inf elements are
+    excluded: before the gate a single NaN element survived the
+    coalesce (round(NaN) is NaN, not NULL) and the int8 cast threw
+    CAST_OVERFLOW under ANSI — found by the round-7 edge-data sweep.
     """
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -644,7 +738,7 @@ def quantize_embeddings(
             F.round(F.try_divide(x, scale), 0), F.lit(0.0)
         ).cast("int"),
     )
-    return df.select(
+    return df.filter(v.isNotNull() & finite_vector_expr(v)).select(
         F.col(id_col),
         q.alias("qvec"),
         F.round(scale, 6).alias("scale"),

@@ -127,6 +127,11 @@ def language_id(
     evidence = matching-token count; argmax with lexicographic
     tie-break. One projection, no shuffle."""
     profiles = profiles or LANG_PROFILES
+    # Token-semantics contract (round-7 edge sweep): a NULL-text doc
+    # has no tokens to identify — it is excluded, the same rule the
+    # shingle/dedup family applies. (Keeping it produced engine NULL
+    # vs oracle CASE-fallthrough artifacts.)
+    docs = docs.filter(F.col(text_col).isNotNull())
     scores = F.array(
         *[
             F.struct(
@@ -161,6 +166,9 @@ def fingerprints(
 
     sh = shingles(text_col, n)
     hashes = F.transform(sh, lambda s: F.md5(s))
+    # token-semantics contract: NULL-text docs have no shingles to
+    # fingerprint — excluded (see language_id)
+    docs = docs.filter(F.col(text_col).isNotNull())
     return docs.select(
         F.col(id_col),
         F.array_min(hashes).alias("fp_min"),
@@ -219,11 +227,14 @@ def chunk_documents(
     overlapping fixed-token windows for context-window-bounded
     training/indexing: chunk i covers tokens
     [i*(chunk_tokens-overlap), i*(chunk_tokens-overlap)+chunk_tokens)
-    and every doc yields at least one chunk (short docs pass through
-    whole). Pure column expressions — the explode is row-local, so
-    chunking adds no shuffle at any scale."""
+    and every doc with non-NULL text yields at least one chunk
+    (short docs pass through whole; NULL-text docs have no tokens to
+    chunk and are excluded — the token-semantics contract, round-7
+    edge sweep). Pure column expressions — the explode is row-local,
+    so chunking adds no shuffle at any scale."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    docs = docs.filter(F.col(text_col).isNotNull())
     step = chunk_tokens - overlap
     # materialize the token array once, BELOW the explode (same
     # rationale as the shingle materialization in dedup) — n_chunks

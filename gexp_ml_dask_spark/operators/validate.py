@@ -178,7 +178,16 @@ def psi_drift(
     contributes exactly 0).
 
     Returns (key_col, n_before BIGINT, n_after BIGINT, psi@6dp).
+
+    Finite-values contract (round-7 edge sweep): NULL / NaN / ±inf
+    values carry no bin — they are excluded from both periods'
+    histograms (engines disagree on where greatest/least/floor land
+    non-finite inputs, so any other choice is engine-dependent).
     """
+    v = F.col(value_col)
+    df = df.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
+    )
     ev = df.select(
         key_col,
         F.col(ts_col).cast("double").alias("ep"),

@@ -1012,9 +1012,11 @@ def op_agg_12_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Equal-width histogram, fixed [0, 500) domain in 50-wide bins:
     # bucket = clamp(floor(value/50)) — identical float arithmetic
     # in both engines, one hash aggregate.
+    # finite-values contract: NULL/NaN/±inf carry no bin (engines
+    # disagree on where floor/greatest/least land them)
     "SELECT event_type, "
     "CAST(least(greatest(floor(value / 50), 0), 9) AS BIGINT) AS bin, "
-    "count(*) AS n FROM events GROUP BY 1, 2",
+    "count(*) AS n FROM events WHERE isfinite(value) GROUP BY 1, 2",
 )
 def op_agg_13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-13 (histogram twin): per-event-type equal-width value
@@ -1024,6 +1026,10 @@ def op_agg_13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain keeps it single-pass; a data-dependent domain adds one
     min/max pre-pass broadcast as literals."""
     ev = load_events(spark, sf_dir)
+    v = F.col("value")
+    ev = ev.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
+    )
     bin_ = (
         F.least(F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(9))
         .cast("long")
@@ -1563,9 +1569,10 @@ def op_agg_19_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty bins are defined, psi = sum (p_b - p_a) * ln(p_b / p_a).
     # The full type x bin grid is materialized so a bin empty on one
     # side still contributes its clamped term.
+    # finite-values contract: NULL/NaN/±inf rows join neither period
     "WITH e AS (SELECT event_type, epoch(ts) AS ep, "
     "CAST(least(greatest(floor(value / 50), 0), 9) AS BIGINT) AS bin "
-    "FROM events), "
+    "FROM events WHERE isfinite(value)), "
     "m AS (SELECT (min(ep) + max(ep)) / 2.0 AS mid FROM e), "
     "c AS (SELECT event_type, bin, "
     "sum(CASE WHEN ep < (SELECT mid FROM m) THEN 1 ELSE 0 END) AS n_a, "
@@ -1651,7 +1658,10 @@ def op_agg_18_cohort_retention(
     "FROM orders WHERE o_orderstatus IN ('O', 'F')), "
     "j AS (SELECT g.gene_id, lab.cls, g.value FROM g "
     "JOIN lab ON g.sample_id = lab.sample_id), "
-    "st AS (SELECT gene_id, cls, count(*) AS n, avg(value) AS m, "
+    # count(value), not count(*): n must count the same rows the
+    # mean/variance consume — a NULL value row inflated the oracle's
+    # n while var_samp skipped it (round-7 edge sweep)
+    "st AS (SELECT gene_id, cls, count(value) AS n, avg(value) AS m, "
     "var_samp(value) AS v FROM j GROUP BY 1, 2), "
     "w AS (SELECT a.gene_id, a.n AS n1, a.m AS m1, a.v AS v1, "
     "b.n AS n2, b.m AS m2, b.v AS v2 "
@@ -1789,8 +1799,16 @@ def op_agg_12_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).cast("bigint").alias("n_exact")
     )
-    return exact.join(merged, "event_type").select(
-        F.col("event_type"),
+    # eqNullSafe, not USING: a plain equi-join silently DROPS the
+    # NULL group key — both aggregations produce an event_type=NULL
+    # row (SQL GROUP BY groups NULLs together) but NULL = NULL never
+    # joins, so the composite lost the group the moment real data
+    # contained a NULL event_type (round-7 edge sweep). A group-key
+    # self-join in any composite must be null-safe.
+    return exact.join(
+        merged, exact["event_type"].eqNullSafe(merged["event_type"])
+    ).select(
+        exact["event_type"],
         F.col("n_exact"),
         (
             F.abs(F.col("approx_distinct") - F.col("n_exact"))
@@ -1815,7 +1833,9 @@ def op_agg_12_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_cont(0.90) WITHIN GROUP (ORDER BY value) AND "
     "percentile_cont(0.99) WITHIN GROUP (ORDER BY value) "
     "AS within_rank_band "
-    "FROM events GROUP BY event_type",
+    # finite-values contract: engines disagree on NaN/±inf rank
+    # placement inside percentile kernels
+    "FROM events WHERE isfinite(value) GROUP BY event_type",
 )
 def op_agg_12_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-12 (quantile-sketch twin): per-event-type approximate
@@ -1827,6 +1847,10 @@ def op_agg_12_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit inside the exact [p90, p99], plus the engine-independent
     exact p95 itself."""
     ev = load_events(spark, sf_dir)
+    v = F.col("value")
+    ev = ev.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
+    )
     return ev.groupBy("event_type").agg(
         F.round(agg.grouped_percentile("value", 0.95), 6).alias(
             "p95_exact"
@@ -3467,7 +3491,9 @@ def op_src_08(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Symmetric per-vector int8 quantization; qvec serialized to a
     # comma string so the value compare is engine-portable.
     "WITH b AS (SELECT vec_id, "
-    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings "
+    "WHERE embedding IS NOT NULL AND len(list_filter(embedding, "
+    "x -> x IS NULL OR NOT isfinite(x))) = 0), "
     "s AS (SELECT vec_id, v, "
     "list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM b) "
     "SELECT vec_id, array_to_string(list_transform(v, x -> "
@@ -4228,12 +4254,42 @@ def op_llm_02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _valid_vec_sql(
+    col: str = "embedding",
+    dim: int | None = None,
+    max_abs: float | None = None,
+) -> str:
+    """DuckDB twin of similarity.valid_vector_expr — the declared
+    vector-validity contract (non-NULL, finite elements, norm > 0,
+    optional declared dim, optional element-magnitude bound for
+    absolute-6dp raw-dot outputs). Written as a CASE so the dot
+    product is never evaluated on a NULL/non-finite vector (DuckDB's
+    list kernels ERROR on those rather than returning NULL, and
+    plain AND does not guarantee short-circuit evaluation)."""
+    checks = [f"{col} IS NOT NULL"]
+    if dim is not None:
+        checks.append(f"len({col}) = {dim}")
+    checks.append(
+        f"len(list_filter({col}, x -> x IS NULL OR NOT isfinite(x))) = 0"
+    )
+    if max_abs is not None:
+        checks.append(
+            f"len(list_filter({col}, x -> abs(x) > {max_abs!r})) = 0"
+        )
+    return (
+        f"CASE WHEN {' AND '.join(checks)} "
+        f"THEN list_dot_product({col}::DOUBLE[], {col}::DOUBLE[]) > 0 "
+        "ELSE FALSE END"
+    )
+
+
 @register(
     "op_llm_02_embedding_neardup",
-    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+    f"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+    f"WHERE {_valid_vec_sql()}) "
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
-    "FROM c a JOIN c b ON a.vec_id < b.vec_id "
+    "FROM c a JOIN c b ON a.vec_id < b.vec_id AND len(a.v) = len(b.v) "
     "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4",
 )
 def op_llm_02_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4280,7 +4336,8 @@ def _embedding_neardup_lsh_oracle(
         for t in range(n_tables)
     )
     return (
-        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        f"WHERE {_valid_vec_sql(dim=dim)}), "
         f"b AS (SELECT vec_id, v, {buckets} FROM c), "
         f"cand AS ({cand_union}) "
         "SELECT id_a, id_b, "
@@ -4358,11 +4415,12 @@ def op_llm_02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_ORACLE = (
-    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+    f"WHERE {_valid_vec_sql()}), "
     "q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5), "
     "s AS (SELECT q.query_id, c.vec_id, "
     "round(list_cosine_similarity(c.v, q.qv), 6) AS cosine "
-    "FROM c, q WHERE c.vec_id <> q.query_id), "
+    "FROM c, q WHERE c.vec_id <> q.query_id AND len(c.v) = len(q.qv)), "
     "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
     "ORDER BY cosine DESC, vec_id ASC) AS rank FROM s) "
     "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10"
@@ -4389,14 +4447,15 @@ def op_llm_03_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lang='en'), queries stay unfiltered — the filter must reach
     # the candidate set BEFORE scoring, not post-filter the top-k
     # (post-filtering returns < k or misses closer eligible docs).
-    "WITH c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v "
+    f"WITH c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v "
     "FROM embeddings e JOIN documents d "
-    "ON d.doc_id = e.vec_id AND d.lang = 'en'), "
+    "ON d.doc_id = e.vec_id AND d.lang = 'en' "
+    f"WHERE {_valid_vec_sql('e.embedding')}), "
     "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
-    "FROM embeddings WHERE vec_id < 5), "
+    f"FROM embeddings WHERE vec_id < 5 AND {_valid_vec_sql()}), "
     "s AS (SELECT q.query_id, c.vec_id, "
     "round(list_cosine_similarity(c.v, q.qv), 6) AS cosine "
-    "FROM c, q WHERE c.vec_id <> q.query_id), "
+    "FROM c, q WHERE c.vec_id <> q.query_id AND len(c.v) = len(q.qv)), "
     "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
     "ORDER BY cosine DESC, vec_id ASC) AS rank FROM s) "
     "SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10",
@@ -4484,7 +4543,10 @@ def _random_projection_oracle(k: int = 8, dim: int = 64, seed: int = 42) -> str:
         f"[{', '.join(repr(x) for x in p)}]) * {inv}, 6) AS p{j}"
         for j, p in enumerate(planes)
     )
-    return f"SELECT vec_id, {comps} FROM embeddings"
+    return (
+        f"SELECT vec_id, {comps} FROM embeddings "
+        f"WHERE {_valid_vec_sql(dim=dim, max_abs=1e6)}"
+    )
 
 
 @register("op_llm_03_random_projection", _random_projection_oracle())
@@ -4518,7 +4580,8 @@ def _lsh_md5_oracle() -> str:
     b0 = bucket_expr(md5_hyperplanes(4, 64, 42))
     b1 = bucket_expr(md5_hyperplanes(4, 64, 43))
     return (
-        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        f"WHERE {_valid_vec_sql(dim=64)}), "
         "q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id < 20), "
         f"cb AS (SELECT vec_id, {b0} AS bucket0, {b1} AS bucket1 FROM c), "
         f"qb AS (SELECT query_id, {b0} AS bucket0, {b1} AS bucket1 FROM q), "
@@ -4796,7 +4859,9 @@ def op_llm_04_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus has no natural PII, so the query PLANTS deterministic
     # PII derived from doc_id in both engines before scrubbing — the
     # oracle exercises every regex rule on every row, not an identity.
-    "WITH planted AS (SELECT doc_id, concat(text, ' contact user', "
+    # coalesce: Spark concat is NULL-swallowing while DuckDB concat
+    # skips NULLs — plant onto '' so both engines see the same text
+    "WITH planted AS (SELECT doc_id, concat(coalesce(text, ''), ' contact user', "
     "CAST(doc_id AS VARCHAR), '@example.com or 555-123-4567 see "
     "https://ex', CAST(doc_id AS VARCHAR), '.org/a from 10.0.0.1 "
     "ssn 123-45-6789 b') AS t "
@@ -4832,7 +4897,7 @@ def op_llm_04_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com or 555-123-4567 see https://ex"),
@@ -4955,9 +5020,11 @@ def op_llm_07_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_llm_04_chunk_documents",
     # chunk i covers tokens [i*48, i*48 + 64); at least one chunk per
-    # doc; DuckDB's inclusive list slice toks[a : a+63] clamps at the
-    # end exactly like Spark's slice(toks, a, 64).
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    # non-NULL-text doc (token-semantics contract); DuckDB's
+    # inclusive list slice toks[a : a+63] clamps at the end exactly
+    # like Spark's slice(toks, a, 64).
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents WHERE text IS NOT NULL), "
     "n AS (SELECT doc_id, toks, "
     "greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)) AS n_chunks "
     "FROM t), "
@@ -5804,7 +5871,10 @@ def op_llm_08_incremental_ingest(
 
 @register(
     "op_llm_04_language_id",
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    # token-semantics contract: NULL-text docs excluded (engine twin
+    # filters identically)
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents WHERE text IS NOT NULL), "
     "s AS (SELECT doc_id, "
     "len(list_filter(toks, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de, "
     "len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS s_en, "
@@ -5827,7 +5897,9 @@ def op_llm_04_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_llm_04_fingerprints",
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    # token-semantics contract: NULL-text docs excluded
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents WHERE text IS NOT NULL), "
     "sh AS (SELECT doc_id, list_distinct(list_transform("
     "range(1, greatest(len(toks) - 5, 0) + 2), "
     "i -> array_to_string(toks[i:i+4], ' '))) AS shs FROM t) "

@@ -286,19 +286,42 @@ def streaming_static_enrich(
     )
 
 
+# Buckets per generated sequence() array in resample_events — the
+# explode streams rows out of each array, so this bounds the largest
+# in-memory array at 8192 longs (64 KB) no matter how wide a key's
+# time span is. Before chunking, ONE corrupt timestamp (epoch-0 from
+# a bad parse, year-2100 from a ms-vs-s confusion) made the per-key
+# array |span|-sized — measured as a driver-JVM heap OOM at sf0.001
+# under the vanilla 1g heap the moment the edge fixture added a
+# 2100-01-01 event (tools/edge_fixture.py; the round-7 data-edge
+# sweep's hardest finding).
+_SPINE_CHUNK = 8192
+
+
 def resample_events(
     events: DataFrame,
     bucket_s: int = 600,
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    max_buckets_per_key: int | None = 10_000_000,
 ) -> DataFrame:
     """Time-series resample with GAP FILLING: per-key fixed buckets
     from the key's first to last event, empty buckets materialized
     with n=0 / total=0 (the downsample-then-gap-fill shape every
     telemetry/feature pipeline needs; Spark has no generate_series
-    per group, so the bin spine is sequence() + explode on the
-    per-key [min, max] range — row-local, one array per key).
+    per group, so the bin spine is generated per key — two-level:
+    sequence() over CHUNK STARTS, explode, then a bounded
+    sequence() per chunk, so no array ever exceeds ``_SPINE_CHUNK``
+    elements regardless of the key's span).
+
+    ``max_buckets_per_key`` is the corrupt-timestamp guard: gap-fill
+    output is |span|-sized by SEMANTICS, so one mis-parsed timestamp
+    (epoch 0, year 56000) silently turns a key into billions of
+    rows. If any key's span exceeds the cap this raises
+    ``ValueError`` naming the worst offenders instead of scheduling
+    the blowup; pass ``None`` to disable (the span check is one
+    extra key-dimension aggregate, negligible next to the fact agg).
 
     Shuffle shape: one (key, bucket) hash agg over the facts, one
     small per-key min/max agg, and a join of the generated spine
@@ -320,10 +343,47 @@ def resample_events(
     rng = agg.groupBy(key_col).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )
-    spine = rng.select(
+    if max_buckets_per_key is not None:
+        n_buckets = (
+            (F.col("_hi") - F.col("_lo")) / F.lit(int(bucket_s)) + 1
+        ).cast("long")
+        offenders = (
+            rng.select(key_col, n_buckets.alias("_nb"))
+            .filter(F.col("_nb") > max_buckets_per_key)
+            .orderBy(F.desc("_nb"))
+            .limit(5)
+            .collect()
+        )
+        if offenders:
+            worst = ", ".join(
+                f"{r[key_col]}={r['_nb']:,} buckets" for r in offenders
+            )
+            raise ValueError(
+                f"resample_events: key span exceeds max_buckets_per_key="
+                f"{max_buckets_per_key:,} (worst: {worst}) — usually one "
+                "corrupt timestamp (epoch 0 / far future) stretching the "
+                "gap-fill spine; clean the timestamps, widen bucket_s, or "
+                "raise/disable the cap"
+            )
+    chunk_step = int(bucket_s) * _SPINE_CHUNK
+    chunk = rng.select(
+        F.col(key_col),
+        F.col("_hi"),
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(chunk_step))
+        ).alias("_c"),
+    )
+    spine = chunk.select(
         F.col(key_col),
         F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(bucket_s)))
+            F.sequence(
+                F.col("_c"),
+                F.least(
+                    F.col("_hi"),
+                    F.col("_c") + F.lit(chunk_step - int(bucket_s)),
+                ),
+                F.lit(int(bucket_s)),
+            )
         ).alias("_b"),
     )
     return (
