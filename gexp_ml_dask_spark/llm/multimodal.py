@@ -438,7 +438,13 @@ def extract_features(
     (Arrow batches of whole rows; one Python roundtrip per batch,
     never per row). ``fake=False`` routes to the real decoders and
     raises in this container — the flag is the clearly-marked stub
-    boundary, not a hidden fallback."""
+    boundary, not a hidden fallback.
+
+    NULL payloads are excluded BEFORE the Python boundary (there is
+    nothing to decode; a NULL previously reached sha256()/len() in
+    the closure and killed the worker — round-7 edge sweep). The
+    filter is Spark-side so it prunes the Arrow transfer too."""
+    media = media.filter(F.col("payload").isNotNull())
     schema = (
         "asset_id long, modality string, n_bytes long, features array<double>"
     )
@@ -507,6 +513,9 @@ def transform_payloads(
     (videos) — keeping the data movement, Arrow batch shape, and
     memory profile of a real transcode; ``fake=False`` routes to the
     stubbed decoders and raises."""
+    # NULL payloads: nothing to transform — excluded before the
+    # Python boundary (see extract_features)
+    media = media.filter(F.col("payload").isNotNull())
     schema = (
         "asset_id long, modality string, payload binary, "
         "n_bytes_in long, n_bytes_out long"

@@ -45,7 +45,24 @@ def incremental_linear_fit(
 
     Returns driver-side state ``{"n": …, "w": …}`` — the model is
     the state, as with sklearn's partial_fit estimators.
+
+    Complete-rows contract (round-7 edge sweep): only rows where
+    both x and y are present, finite, AND within |·| <= 1e6 are
+    fitted. The NULL/NaN half: ``count`` previously included a
+    NULL-x row the gradient sum silently skipped, so n disagreed
+    with the rows the model actually saw (and one NaN would have
+    poisoned w for every later epoch). The magnitude half: a single
+    1e9-scale outlier makes fixed-lr GD diverge to |w| ~ 1e34, where
+    the iterative trajectory and the closed-form oracle differ in
+    final ULPs — the 6dp-exact contract (like the JL projection's
+    max_abs bound) only holds where the math is numerically sane,
+    and an un-winsorized 1e9 outlier in a fixed-lr fit is not.
     """
+    x, y = F.col(x_col), F.col(y_col)
+    fin = lambda c: c.isNotNull() & ~F.isnan(c) & (  # noqa: E731
+        F.abs(c) <= F.lit(1e6)
+    )
+    df = df.filter(fin(x) & fin(y))
     w = float(w0)
     n = None
     for _ in range(epochs):

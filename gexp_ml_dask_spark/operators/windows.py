@@ -103,8 +103,16 @@ def ntile_in_key(
 ) -> DataFrame:
     """Per-key NTILE bucketing of ``order_col`` (ties broken by id so
     bucket assignment is total and engine-portable). Same single
-    key-shuffle window as :func:`rank_in_key`."""
-    w = Window.partitionBy(key_col).orderBy(F.asc(order_col), F.asc(id_col))
+    key-shuffle window as :func:`rank_in_key`.
+
+    NULLS LAST explicitly: Spark's default ascending order is NULLS
+    FIRST while DuckDB/ANSI default NULLS LAST, so an implicit order
+    silently reshuffles every bucket the moment a NULL value appears
+    (round-7 edge sweep). NaN needs no pin — both engines already
+    sort it above every number."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc_nulls_last(order_col), F.asc(id_col)
+    )
     return events.withColumn(out_col, F.ntile(n).over(w).cast("long"))
 
 
@@ -156,7 +164,16 @@ def rolling_percentile(
     single-reducer cliff — operators/aggregates.py owns that case),
     and linear interpolation matches ANSI percentile_cont /
     DuckDB quantile_cont exactly, so the result value-oracles after
-    the standard round(,6)."""
+    the standard round(,6).
+
+    Finite-values contract (round-7 edge sweep): engines disagree on
+    how NaN/±inf interpolate inside a percentile kernel, so
+    non-finite rows are excluded — from the output and from their
+    neighbors' frames."""
+    v = F.col(value_col)
+    events = events.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
+    )
     w = (
         _ordered_window(key_col, ts_col, id_col)
         .rowsBetween(-(frame_rows - 1), Window.currentRow)

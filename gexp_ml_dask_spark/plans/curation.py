@@ -327,7 +327,13 @@ def ingest_increment(
     corpus side collapses to DISTINCT hashes before the join — the
     smallest possible probe side, with no static broadcast hint (the
     corpus scales with the data; AQE picks broadcast-hash only while
-    the distinct-hash side actually fits)."""
+    the distinct-hash side actually fits).
+
+    Content-semantics contract (round-7 edge sweep): a NULL-text doc
+    has no content hash, so it is inadmissible by definition — and
+    before this filter its NULL hash silently fell out of the final
+    equi-join on one engine while the other admitted it."""
+    batch = batch.filter(F.col(text_col).isNotNull())
     bh = batch.select(
         F.col(id_col),
         F.col(source_col),

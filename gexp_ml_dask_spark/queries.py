@@ -1894,10 +1894,12 @@ def op_win_01(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing exact p95 over a 5-row frame — percentile_cont's
     # linear interpolation == Spark's percentile == DuckDB's
     # quantile_cont on the identical constant-sized value set
+    # finite-values contract: engines disagree on NaN/±inf
+    # percentile interpolation
     "SELECT event_id, user_id, round(quantile_cont(value, 0.95) OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_p "
-    "FROM events",
+    "FROM events WHERE isfinite(value)",
 )
 def op_win_05_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-WIN-05 `[mandate]`: trailing exact p95 per user over a
@@ -2018,9 +2020,11 @@ def op_win_01_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_win_04_ntile",
+    # NULLS LAST pinned on both sides (Spark defaults NULLS FIRST
+    # ascending, DuckDB/ANSI NULLS LAST)
     "SELECT event_id, user_id, CAST(ntile(10) OVER "
-    "(PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS BIGINT) "
-    "AS decile FROM events",
+    "(PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id ASC) "
+    "AS BIGINT) AS decile FROM events",
 )
 def op_win_04_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-WIN-04 `[mandate]` (NTILE twin): per-user decile bucketing
@@ -2345,8 +2349,12 @@ def op_scl_06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_scl_07_json_extract",
+    # json_valid gate: malformed JSON yields NULL (Spark's lenient
+    # get_json_object semantics — the only sane contract for dirty
+    # data); DuckDB's json_extract_string ERRORS on it otherwise
     "SELECT event_type, count(*) AS n, "
-    "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS mean_k "
+    "round(avg(CAST(CASE WHEN json_valid(props) THEN "
+    "json_extract_string(props, '$.k') END AS BIGINT)), 6) AS mean_k "
     "FROM events GROUP BY event_type",
 )
 def op_scl_07(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2410,7 +2418,10 @@ def op_scl_08_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_scl_07_variant",
-    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+    # json_valid gate — see op_scl_07_json_extract (the engine twin
+    # uses try_parse_json: malformed -> NULL, never an abort)
+    "SELECT event_id, CAST(CASE WHEN json_valid(props) THEN "
+    "json_extract(props, '$.k') END AS BIGINT) AS k "
     "FROM events",
 )
 def op_scl_07_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2421,9 +2432,14 @@ def op_scl_07_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     read (one parse, many O(1) binary lookups) and beats a rigid
     from_json schema when shapes drift."""
     ev = load_events(spark, sf_dir)
+    # try_parse_json: malformed rows -> NULL variant (parse_json
+    # ABORTS the job on the first bad record — a single corrupt
+    # props string killed the whole query, round-7 edge sweep)
     return ev.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr("variant_get(try_parse_json(props), '$.k', 'long')").alias(
+            "k"
+        ),
     )
 
 
@@ -2852,7 +2868,10 @@ def op_ml_10_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score with a deterministic tie order, AUC = (sum of positive
     # ranks - n_pos(n_pos+1)/2) / (n_pos * n_neg).
     f"WITH g AS ({G_QTY}), "
-    "tot AS (SELECT sample_id, sum(value) AS score FROM g GROUP BY 1), "
+    "tot AS (SELECT sample_id, sum(value) AS score FROM g GROUP BY 1 "
+    # NULL scores are rank-unorderable portably (engines disagree on
+    # NULL placement): a sample with no defined score is excluded
+    "HAVING sum(value) IS NOT NULL), "
     "lab AS (SELECT o_orderkey AS sample_id, "
     "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS y FROM orders "
     "WHERE o_orderstatus IN ('O', 'F')), "
@@ -2870,7 +2889,13 @@ def op_ml_10_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the global sort is the cost; sampling or the bucketed
     approximate-rank form replaces it when exactness is waived."""
     g = gexp(spark, sf_dir)
-    tot = g.groupBy("sample_id").agg(F.sum("value").alias("score"))
+    # NULL scores are rank-unorderable portably (Spark sorts NULLS
+    # FIRST ascending, DuckDB NULLS LAST) — excluded by contract
+    tot = (
+        g.groupBy("sample_id")
+        .agg(F.sum("value").alias("score"))
+        .filter(F.col("score").isNotNull())
+    )
     lab = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus").isin("O", "F"))
@@ -2900,7 +2925,9 @@ def op_ml_10_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reliability bins: score deciles (deterministic NTILE order) vs
     # observed positive rate — the calibration diagnostic.
     f"WITH g AS ({G_QTY}), "
-    "tot AS (SELECT sample_id, sum(value) AS score FROM g GROUP BY 1), "
+    "tot AS (SELECT sample_id, sum(value) AS score FROM g GROUP BY 1 "
+    # NULL scores excluded — see op_ml_10_auc
+    "HAVING sum(value) IS NOT NULL), "
     "lab AS (SELECT o_orderkey AS sample_id, "
     "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS y FROM orders "
     "WHERE o_orderstatus IN ('O', 'F')), "
@@ -2917,7 +2944,13 @@ def op_ml_10_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether a scorer's magnitudes are trustworthy, not just its
     ranking (AUC)."""
     g = gexp(spark, sf_dir)
-    tot = g.groupBy("sample_id").agg(F.sum("value").alias("score"))
+    # NULL scores are rank-unorderable portably (Spark sorts NULLS
+    # FIRST ascending, DuckDB NULLS LAST) — excluded by contract
+    tot = (
+        g.groupBy("sample_id")
+        .agg(F.sum("value").alias("score"))
+        .filter(F.col("score").isNotNull())
+    )
     lab = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus").isin("O", "F"))
@@ -3141,7 +3174,10 @@ def op_ml_11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Closed form of 4 full-batch GD steps on least squares, w0=0:
     # w_{t+1} = a*w_t + b with a = 1 - 2·lr·Sxx/n, b = 2·lr·Sxy/n
     # => w_4 = b·(1 + a + a² + a³).
-    "WITH d AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem), "
+    # complete-rows contract: only finite (x, y) pairs within the
+    # |.| <= 1e6 magnitude bound are fitted (ml/incremental.py)
+    "WITH d AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem "
+    "WHERE abs(l_quantity) <= 1e6 AND abs(l_extendedprice) <= 1e6), "
     "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x*x) AS sxx, "
     "sum(x*y) AS sxy FROM d), "
     "c AS (SELECT n, 1 - 0.0002 * sxx / n AS a, 0.0002 * sxy / n AS b FROM s) "
@@ -5841,8 +5877,11 @@ def op_llm_08_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Continual-crawl admission: corpus = doc_id % 10 < 8, batch =
     # the rest; admit batch docs that are first-in-batch by content
     # hash AND unseen in the corpus.
+    # batch excludes NULL text: no content, no content hash, not
+    # admissible (content-semantics contract, round-7 edge sweep)
     "WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 < 8), "
-    "batch AS (SELECT * FROM documents WHERE doc_id % 10 >= 8), "
+    "batch AS (SELECT * FROM documents "
+    "WHERE doc_id % 10 >= 8 AND text IS NOT NULL), "
     "bh AS (SELECT doc_id, source, sha256(text) AS text_hash FROM batch), "
     "keep AS (SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id "
     "FROM bh GROUP BY 1), "
@@ -6339,7 +6378,15 @@ def op_llm_05_stream_stream_join(
     # dropDuplicatesWithinWatermark keeps, the surviving values equal
     # the original event rows — a full value oracle, not just a
     # row-count invariant (event_id is unique in the source).
-    "SELECT event_id, event_type, user_id FROM events",
+    # ts > epoch 0: Structured Streaming's watermark is born at
+    # epoch 0 and dropDuplicatesWithinWatermark filters rows at or
+    # below the current watermark — an event stamped exactly
+    # 1970-01-01 00:00:00 (the classic failed-parse sentinel) is
+    # silently dropped in the very first batch (round-7 edge sweep).
+    # The contract declares such sentinels out of scope on both
+    # sides instead of letting one engine eat them silently.
+    "SELECT event_id, event_type, user_id FROM events "
+    "WHERE ts > TIMESTAMP '1970-01-01 00:00:00'",
 )
 def op_llm_05_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-LLM-05: built-in bounded-state streaming dedup — the stream
@@ -6354,6 +6401,11 @@ def op_llm_05_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = _open_event_stream(
         spark, f"{sf_dir}/events.parquet", raw_schema, "ts"
+    )
+    # epoch-0 sentinel guard — see the oracle comment: rows at the
+    # born watermark are silently eaten by the late filter
+    stream = stream.filter(
+        F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp")
     )
     deduped = streaming_watermark_dedup(
         stream.union(stream), ["event_id"], watermark="100 days"
@@ -6491,12 +6543,14 @@ def op_llm_05_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's sha256(VARCHAR) hashes the same UTF-8 bytes Spark's
     # encode(text,'UTF-8') produces — so f0 = digest[0]/255.0 is
     # reproducible bit-for-bit in SQL (hex pair -> byte via strpos).
+    # text IS NOT NULL: a NULL text yields a NULL payload, which the
+    # engine excludes before decode (nothing to hash)
     "WITH m AS (SELECT doc_id, "
     "['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality, "
     "octet_length(encode(text)) AS n_bytes, "
     "(16 * (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) "
     " + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) / 255.0 AS f0 "
-    "FROM documents) "
+    "FROM documents WHERE text IS NOT NULL) "
     "SELECT modality, count(*) AS n_assets, "
     "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, "
     "round(avg(f0), 6) AS mean_f0 FROM m GROUP BY modality",
@@ -6530,7 +6584,7 @@ def op_llm_06(spark: SparkSession, sf_dir: str) -> DataFrame:
     # octet_length in SQL.
     "WITH m AS (SELECT doc_id, "
     "['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality, "
-    "octet_length(encode(text)) AS nb FROM documents) "
+    "octet_length(encode(text)) AS nb FROM documents WHERE text IS NOT NULL) "
     "SELECT modality, count(*) AS n_assets, "
     "CAST(sum(nb) AS BIGINT) AS in_bytes, "
     "CAST(sum(CASE modality "
@@ -6594,8 +6648,10 @@ def op_llm_06_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without `quality`, v2 with it — read back via mergeSchema: v1
     # rows surface NULL quality, v2 rows carry the deterministic
     # value, counts and the quality sum pin both.
+    # count(n_chars), not count(*): quality = n_chars/1000 is NULL
+    # wherever n_chars is, even in v2 files (round-7 edge sweep)
     "SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_rows, "
-    "CAST(count(*) AS BIGINT) AS n_with_quality, "
+    "CAST(count(n_chars) AS BIGINT) AS n_with_quality, "
     "round(sum(n_chars / 1000.0), 6) AS sum_quality "
     "FROM documents GROUP BY lang",
 )

@@ -236,3 +236,90 @@ def test_histogram_psi_quantile_exclude_nonfinite(spark):
         assert [(r["n_before"], r["n_after"]) for r in psi] == [(1, 1)]
         qsk = qs["op_agg_12_quantile_sketch"](spark, d).collect()
         assert len(qsk) == 1 and qsk[0]["p95_exact"] <= 60.0
+
+
+# ------------------------------------------------ malformed JSON props
+def test_variant_and_json_extract_survive_malformed_props(spark):
+    import __spark_entry__ as entry
+    import datetime as dt
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 1.0, '{"k": 7}'),
+        (2, dt.datetime(2024, 1, 2), 2, "click", 1.0, "{bad json"),
+        (3, dt.datetime(2024, 1, 3), 3, "click", 1.0, ""),
+        (4, dt.datetime(2024, 1, 4), 4, "click", 1.0, None),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        qs = entry.queries()
+        var = {
+            r["event_id"]: r["k"]
+            for r in qs["op_scl_07_variant"](spark, d).collect()
+        }
+        assert var == {1: 7, 2: None, 3: None, 4: None}
+        jx = qs["op_scl_07_json_extract"](spark, d).collect()
+        assert len(jx) == 1 and jx[0]["n"] == 4 and jx[0]["mean_k"] == 7.0
+
+
+# --------------------------------------------------- ordering contracts
+def test_ntile_null_values_bucket_last(spark):
+    from gexp_ml_dask_spark.operators.windows import ntile_in_key
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "click", v, None)
+        for i, v in enumerate([5.0, None, 1.0, 3.0])
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = {r["event_id"]: r["decile"] for r in ntile_in_key(ev, n=4).collect()}
+    # ascending NULLS LAST: 1.0 < 3.0 < 5.0 < NULL
+    assert out == {2: 1, 3: 2, 0: 3, 1: 4}
+
+
+def test_rolling_percentile_excludes_nonfinite(spark):
+    from gexp_ml_dask_spark.operators.windows import rolling_percentile
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "click", v, None)
+        for i, v in enumerate([1.0, NAN, INF, None, 2.0])
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = rolling_percentile(ev, q=0.95, frame_rows=5).collect()
+    assert {r["event_id"] for r in out} == {0, 4}
+    assert all(r["rolling_p"] is not None for r in out)
+
+
+# -------------------------------------------------- complete-rows fit
+def test_incremental_fit_complete_rows_contract(spark):
+    from gexp_ml_dask_spark.ml.incremental import incremental_linear_fit
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (None, 9.0), (NAN, 1.0), (1e9, 1.0)],
+        "x double, y double",
+    )
+    state = incremental_linear_fit(df, "x", "y", lr=1e-4, epochs=2)
+    assert state["n"] == 2.0  # NULL, NaN, and over-magnitude rows excluded
+    assert abs(state["w"]) < 10  # convergent on the sane rows
+
+
+# ------------------------------------------- watermark epoch-0 sentinel
+def test_watermark_dedup_epoch_zero_contract(spark):
+    import __spark_entry__ as entry
+    import datetime as dt
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(1970, 1, 1), 1, "click", 1.0, None),  # sentinel
+        (2, dt.datetime(2024, 1, 1), 2, "click", 1.0, None),
+        (3, dt.datetime(2024, 1, 2), 3, "click", 1.0, None),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = entry.queries()["op_llm_05_watermark_dedup"](spark, d).collect()
+    # the epoch-0 sentinel is out of contract on BOTH sides; the rest
+    # deduplicate exactly once
+    assert sorted(r["event_id"] for r in got) == [2, 3]
