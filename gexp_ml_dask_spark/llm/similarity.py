@@ -155,6 +155,14 @@ def knn_bruteforce_pandas(
         .filter(valid_vector_expr(F.col("_qv")))
         .collect()
     )
+    if not q_rows:
+        # every query filtered out (NULL/NaN/ragged) — the kNN of an
+        # empty query set is empty; np.linalg.norm on a (0,) matrix
+        # would raise AxisError instead
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine double, rank long"
+        )
     q_ids = [r[0] for r in q_rows]
     dims = {len(r[1]) for r in q_rows}
     if len(dims) > 1:

@@ -58,7 +58,10 @@ def incremental_linear_fit(
     max_abs bound) only holds where the math is numerically sane,
     and an un-winsorized 1e9 outlier in a fixed-lr fit is not.
     """
-    x, y = F.col(x_col), F.col(y_col)
+    # cast to double BEFORE the isnan/abs checks — F.isnan on an
+    # integer-typed column is a DATATYPE_MISMATCH under ANSI, and any
+    # numeric input type is in-contract for the fit
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
     fin = lambda c: c.isNotNull() & ~F.isnan(c) & (  # noqa: E731
         F.abs(c) <= F.lit(1e6)
     )

@@ -108,23 +108,39 @@ def make_hpo_classifier(
     n_folds: int = 2,
     parallelism: int = 4,
     seed: int = 42,
+    n_iter: int = 20,
 ):
-    """OP-ML-09 — linear-model HPO: the reference's SGDClassifier +
-    RandomizedSearchCV(cv=2) (functions/dask_pipeline.py:107-120)
-    maps to LogisticRegression + a sampled ParamGrid under
-    CrossValidator(numFolds=2, parallelism) — MLlib evaluates grid
-    points concurrently the way dask_ml evaluated sampled params."""
+    """OP-ML-09 — linear-model HPO with honest RandomizedSearchCV
+    semantics: the reference samples ``n_iter=100`` points from
+    CONTINUOUS distributions (functions/dask_pipeline.py:107-120 —
+    RandomizedSearchCV over SGDClassifier alpha/l1_ratio), not a
+    fixed grid. Here ``n_iter`` (default 20, the container-budget
+    scaling of the reference's 100) points are drawn from a seeded
+    log-uniform over regParam ∈ [1e-4, 1e1] and a seeded uniform
+    over elasticNetParam ∈ [0, 1] — sampling happens driver-side
+    with ``random.Random(seed)``, so the search is reproducible
+    bit-for-bit, then the sampled points run as a ParamGrid under
+    CrossValidator(numFolds, parallelism): MLlib evaluates the
+    sampled params concurrently the way dask_ml did."""
+    import math
+    import random
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+    from pyspark.ml.tuning import CrossValidator
 
     lr = LogisticRegression(featuresCol=features_col, labelCol=label_col)
-    grid = (
-        ParamGridBuilder()
-        .addGrid(lr.regParam, [0.001, 0.01, 0.1, 1.0])
-        .addGrid(lr.elasticNetParam, [0.0, 0.5, 1.0])
-        .build()
-    )
+    rng = random.Random(seed)
+    lo, hi = math.log(1e-4), math.log(1e1)
+    # a ParamGrid IS a list of {Param: value} maps — build the
+    # sampled points directly instead of a cartesian GridBuilder
+    grid = [
+        {
+            lr.regParam: math.exp(rng.uniform(lo, hi)),
+            lr.elasticNetParam: rng.uniform(0.0, 1.0),
+        }
+        for _ in range(n_iter)
+    ]
     evaluator = MulticlassClassificationEvaluator(
         labelCol=label_col, predictionCol="prediction", metricName="accuracy"
     )

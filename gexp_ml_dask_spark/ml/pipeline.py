@@ -14,12 +14,31 @@ from pyspark.sql import functions as F
 
 
 def gene_index(gexp: DataFrame, gene_col: str = "gene_id") -> DataFrame:
-    """Sorted gene dim with dense ordinal positions. Tiny (one row
-    per gene) — the window sort is over the dim, never the fact."""
-    return (
-        gexp.select(gene_col)
-        .distinct()
-        .withColumn("_gidx", F.row_number().over(Window.orderBy(gene_col)) - 1)
+    """Sorted gene dim with dense ordinal positions.
+
+    The feature dimension is BOUNDED by contract (~60k genes —
+    functions/dask_pipeline.py:48-52 materializes it as an array
+    axis), so the dim is collected, sorted driver-side, and
+    re-broadcast as a literal DataFrame. This replaces the previous
+    ``row_number().over(Window.orderBy(...))`` form, whose empty
+    partition spec funneled the (tiny) sort through one task and
+    fired the single-partition WARN in every pipeline run. The
+    distinct is still distributed; only the dim-sized result ever
+    reaches the driver — same contract as the estimator-fit
+    collects. NULL gene ids sort first, matching the old window's
+    NULLS FIRST order."""
+    from pyspark.sql import types as T
+
+    rows = gexp.select(gene_col).distinct().collect()
+    ids = sorted((r[0] for r in rows), key=lambda v: (v is not None, v))
+    dim_schema = T.StructType(
+        [
+            gexp.schema[gene_col],
+            T.StructField("_gidx", T.IntegerType(), False),
+        ]
+    )
+    return gexp.sparkSession.createDataFrame(
+        [(g, i) for i, g in enumerate(ids)], dim_schema
     )
 
 

@@ -2883,11 +2883,18 @@ def op_ml_10_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT round((rpos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc FROM s",
 )
 def op_ml_10_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-ML-10 (ROC AUC): Mann-Whitney rank form — one global rank
-    window over the scored samples (deterministic tie order so both
-    engines assign identical ranks), then a single aggregate. At
-    100 TB the global sort is the cost; sampling or the bucketed
-    approximate-rank form replaces it when exactness is waived."""
+    """OP-ML-10 (ROC AUC): Mann-Whitney rank form — the scored
+    samples get an EXACT global rank from the bucketed distributed
+    :func:`~gexp_ml_dask_spark.operators.sorts.global_rank`
+    (boundary-literal buckets + offset map), NOT a bare
+    ``Window.orderBy`` — the prediction table is data-scaled
+    (sample_id = orderkey), so a partitionless window would funnel
+    the whole table through one task at 100 TB. Deterministic tie
+    order (score, sample_id) so both engines assign identical ranks,
+    then a single aggregate. Reference scoring surface:
+    functions/dask_cv.py:36-38."""
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
     g = gexp(spark, sf_dir)
     # NULL scores are rank-unorderable portably (Spark sorts NULLS
     # FIRST ascending, DuckDB NULLS LAST) — excluded by contract
@@ -2904,11 +2911,9 @@ def op_ml_10_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("y"),
         )
     )
-    w = Window.orderBy(F.asc("score"), F.asc("sample_id"))
-    r = (
-        tot.join(lab, "sample_id")
-        .withColumn("rk", F.row_number().over(w).cast("double"))
-    )
+    r = global_rank(
+        tot.join(lab, "sample_id"), "score", "sample_id", out_col="rk"
+    ).withColumn("rk", F.col("rk").cast("double"))
     s = r.agg(
         F.sum(F.when(F.col("y") == 1, F.col("rk")).otherwise(0.0)).alias("rpos"),
         F.sum("y").alias("np"),
@@ -2939,10 +2944,20 @@ def op_ml_10_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_ml_10_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-ML-10 (calibration): reliability bins — samples dealt into
-    score deciles (deterministic NTILE) and each bin reduced to mean
-    score + observed positive rate; the diagnostic that shows
-    whether a scorer's magnitudes are trustworthy, not just its
-    ranking (AUC)."""
+    score deciles and each bin reduced to mean score + observed
+    positive rate; the diagnostic that shows whether a scorer's
+    magnitudes are trustworthy, not just its ranking (AUC).
+
+    Scale shape: NTILE is derived arithmetically from the bucketed
+    distributed :func:`global_rank` (exact 1..n rank + the total n
+    attached as a 1-row broadcast scalar) instead of a partitionless
+    ``ntile() OVER (ORDER BY ...)`` window — the prediction table is
+    data-scaled, so the bare window's single-partition funnel is the
+    classic 100 TB cliff. The closed form reproduces SQL NTILE
+    exactly: the first ``n % k`` tiles hold ``ceil(n/k)`` rows, the
+    rest ``floor(n/k)``."""
+    from gexp_ml_dask_spark.operators.sorts import global_rank
+
     g = gexp(spark, sf_dir)
     # NULL scores are rank-unorderable portably (Spark sorts NULLS
     # FIRST ascending, DuckDB NULLS LAST) — excluded by contract
@@ -2959,10 +2974,22 @@ def op_ml_10_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("y"),
         )
     )
-    w = Window.orderBy(F.asc("score"), F.asc("sample_id"))
-    r = (
-        tot.join(lab, "sample_id")
-        .withColumn("bin", F.ntile(10).over(w).cast("long"))
+    ranked = global_rank(
+        tot.join(lab, "sample_id"), "score", "sample_id", out_col="rk"
+    )
+    # ranks are dense 1..n, so n == max(rk): a 1-row broadcast attach
+    n_row = ranked.agg(F.max("rk").alias("_n"))
+    k = F.lit(10)
+    rk, n = F.col("rk"), F.col("_n")
+    base, rem = F.floor(n / k), n % k
+    big = base + F.lit(1)
+    bin_col = F.when(
+        rk <= rem * big, F.floor((rk - 1) / big) + 1
+    ).otherwise(
+        rem + F.floor((rk - rem * big - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+    r = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "bin", bin_col.cast("long")
     )
     return r.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

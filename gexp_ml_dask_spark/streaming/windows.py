@@ -318,10 +318,13 @@ def resample_events(
     ``max_buckets_per_key`` is the corrupt-timestamp guard: gap-fill
     output is |span|-sized by SEMANTICS, so one mis-parsed timestamp
     (epoch 0, year 56000) silently turns a key into billions of
-    rows. If any key's span exceeds the cap this raises
-    ``ValueError`` naming the worst offenders instead of scheduling
-    the blowup; pass ``None`` to disable (the span check is one
-    extra key-dimension aggregate, negligible next to the fact agg).
+    rows. The cap is enforced LAZILY, in-plan (``assert_true`` on
+    the per-key span feeding the spine build), so the operator stays
+    a pure transformation — no eager action at plan-construction
+    time, no double scan of the fact aggregate, and the guard
+    composes with streaming inputs. An offending key fails the
+    triggering action with a message naming the key and its bucket
+    count; pass ``None`` to disable.
 
     Shuffle shape: one (key, bucket) hash agg over the facts, one
     small per-key min/max agg, and a join of the generated spine
@@ -347,24 +350,27 @@ def resample_events(
         n_buckets = (
             (F.col("_hi") - F.col("_lo")) / F.lit(int(bucket_s)) + 1
         ).cast("long")
-        offenders = (
-            rng.select(key_col, n_buckets.alias("_nb"))
-            .filter(F.col("_nb") > max_buckets_per_key)
-            .orderBy(F.desc("_nb"))
-            .limit(5)
-            .collect()
+        msg = F.concat(
+            F.lit("resample_events: key span exceeds max_buckets_per_key="),
+            F.lit(f"{max_buckets_per_key:,} ("),
+            F.col(key_col).cast("string"),
+            F.lit("="),
+            F.format_number(n_buckets, 0),
+            F.lit(
+                " buckets) — usually one corrupt timestamp (epoch 0 / "
+                "far future) stretching the gap-fill spine; clean the "
+                "timestamps, widen bucket_s, or raise/disable the cap"
+            ),
         )
-        if offenders:
-            worst = ", ".join(
-                f"{r[key_col]}={r['_nb']:,} buckets" for r in offenders
-            )
-            raise ValueError(
-                f"resample_events: key span exceeds max_buckets_per_key="
-                f"{max_buckets_per_key:,} (worst: {worst}) — usually one "
-                "corrupt timestamp (epoch 0 / far future) stretching the "
-                "gap-fill spine; clean the timestamps, widen bucket_s, or "
-                "raise/disable the cap"
-            )
+        guard = F.assert_true(
+            n_buckets <= F.lit(int(max_buckets_per_key)), msg
+        )
+        # assert_true yields NULL when it passes; folding it into the
+        # consumed _lo keeps the check in the optimized plan (a bare
+        # projected-away column would be pruned)
+        rng = rng.withColumn(
+            "_lo", F.when(guard.isNull(), F.col("_lo"))
+        )
     chunk_step = int(bucket_s) * _SPINE_CHUNK
     chunk = rng.select(
         F.col(key_col),

@@ -54,8 +54,12 @@ def test_resample_guard_names_offending_key(spark):
     from gexp_ml_dask_spark.streaming.windows import resample_events
 
     ev = _mk_events(spark, [(0, 7), (600 * 2_000, 7), (0, 8)])
-    with pytest.raises(ValueError, match=r"max_buckets_per_key.*7="):
-        resample_events(ev, bucket_s=600, max_buckets_per_key=1000).count()
+    # the cap is enforced lazily in-plan (assert_true), so building
+    # the plan never runs a job; the triggering ACTION fails with a
+    # message naming the key and its bucket count
+    df = resample_events(ev, bucket_s=600, max_buckets_per_key=1000)
+    with pytest.raises(Exception, match=r"max_buckets_per_key.*7="):
+        df.count()
 
 
 def test_resample_chunked_spine_exact_across_chunk_boundary(spark):
@@ -163,6 +167,35 @@ def test_pandas_knn_rejects_mixed_dim_queries(spark):
     )
     with pytest.raises(ValueError, match="share one dimension"):
         knn_bruteforce_pandas(emb, q, k=2)
+
+
+def test_pandas_knn_empty_query_set_returns_empty(spark):
+    """ADVICE r7: an all-invalid query set (NULL/NaN/ragged) must
+    yield an EMPTY result, not an AxisError from norm on a (0,)
+    matrix."""
+    from gexp_ml_dask_spark.llm.similarity import knn_bruteforce_pandas
+
+    emb = _mk_emb(spark)
+    q = spark.createDataFrame(
+        [(1, None), (2, [float("nan"), 1.0, 1.0])],
+        "query_id long, embedding array<double>",
+    )
+    out = knn_bruteforce_pandas(emb, q, k=3)
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert out.count() == 0
+
+
+def test_incremental_fit_integer_typed_columns(spark):
+    """ADVICE r7: integer-typed x/y must fit (cast-before-isnan) —
+    F.isnan on an int column is a DATATYPE_MISMATCH under ANSI."""
+    from gexp_ml_dask_spark.ml.incremental import incremental_linear_fit
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 6)], "x int, y bigint"
+    )
+    state = incremental_linear_fit(df, "x", "y", lr=1e-3, epochs=8)
+    assert state["n"] == 3.0
+    assert 0 < state["w"] < 2.5  # heading toward the true slope 2
 
 
 def test_quantize_contract(spark):

@@ -708,3 +708,24 @@ def test_psi_drift_plan_shape(spark, registry):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_auc_and_calibration_no_global_window(spark, registry):
+    """op_ml_10_auc / op_ml_10_calibration: the prediction table is
+    data-scaled (one row per orderkey), so the scoring rank MUST come
+    from the bucketed global_rank — no Window node with an empty
+    partition spec may survive in either physical plan (the
+    "Moving all data to a single partition" funnel)."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    spark.catalog.clearCache()
+    for name in ("op_ml_10_auc", "op_ml_10_calibration"):
+        df = registry[name](spark, SF_SMOKE)
+        ptxt = df._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", ptxt):
+            assert m.group(1).strip() != "", (name, ptxt)
+        # and the bucketed rank machinery is actually in the plan
+        assert "_gr_k" in ptxt or "Window" not in ptxt, name
+    spark.catalog.clearCache()

@@ -134,6 +134,12 @@ def main() -> None:
     src = os.environ.get("SRC_SF_DIR", "/root/testdata/sf0.1")
     out = os.environ.get("OUT_SF_DIR", "/root/repo/.scratch/sf1")
     perturb = os.environ.get("PERTURB", "vowel")  # vowel | rot | perm
+    # ONLY_TABLES=events (comma-list) scales a subset — the streaming
+    # sf100 decade needs 100M events (~2 GB) without paying for the
+    # 60 GB full-suite fixture chain
+    only = {
+        t for t in os.environ.get("ONLY_TABLES", "").split(",") if t
+    }
     spark = get_spark(app_name="make_sf1")
     os.makedirs(out, exist_ok=True)
 
@@ -145,6 +151,8 @@ def main() -> None:
         return F.translate(col, VOWELS, _subst(i))
 
     for table, keys in SHIFT_COLS.items():
+        if only and table not in only:
+            continue
         df = spark.read.parquet(f"{src}/{table}.parquet")
         if table in ("nation", "region", "supplier"):
             df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
