@@ -1036,15 +1036,13 @@ def tf_cosine_pairs_dense(
 
     spark = docs.sparkSession
     tf = _tf_table(docs, id_col, text_col)
-    vocab = (
-        tf.select("term")
-        .distinct()
-        .withColumn(
-            "tid",
-            F.row_number().over(Window.orderBy("term")) - 1,
-        )
-    )
-    v_size = vocab.count()
+    # Distributed size gate FIRST (nothing dim-sized touches the
+    # driver until the max_vocab contract holds), then the bounded
+    # vocab is sorted driver-side and re-broadcast as a literal dim —
+    # not a partitionless row_number window (single-task sort +
+    # single-partition WARN). tf is persisted by _tf_table, so the
+    # second action re-reads the cached term table, not the corpus.
+    v_size = tf.select("term").distinct().count()
     if v_size > max_vocab:
         tf.unpersist()
         raise ValueError(
@@ -1052,6 +1050,13 @@ def tf_cosine_pairs_dense(
             f"max_vocab={max_vocab}; this corpus is sparse — use the "
             "prefix or inverted strategy"
         )
+    terms = sorted(
+        (r[0] for r in tf.select("term").distinct().collect()),
+        key=lambda v: (v is not None, v),
+    )
+    vocab = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, tid int"
+    )
     tfj = tf.join(F.broadcast(vocab), "term")
     docvec = (
         tfj.groupBy("doc_id")

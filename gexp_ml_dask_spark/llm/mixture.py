@@ -114,17 +114,27 @@ def temperature_weights(
     that normalizes the weights runs over dim-sized input; the fact
     table is scanned exactly once and never shuffled wider than the
     (source) key."""
-    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # persist the dim-sized per-source table so the corpus is scanned
+    # once, then attach the two totals as a 1-row broadcast scalar —
+    # a partial+final aggregate instead of the whole-frame window
+    # (which plans as a single-partition WindowExec even over a dim).
+    # Release is the caller's (unpersist / clearCache), the same
+    # contract as global_rank.
     per = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok).alias("n_tokens"),
-    )
-    w = Window.partitionBy()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
-    tot_pw = F.sum(pw).over(w)
-    tot_tok = F.sum("n_tokens").over(w).cast("double")
+    tot = per.agg(
+        F.sum(pw).alias("_tot_pw"),
+        F.sum("n_tokens").cast("double").alias("_tot_tok"),
+    )
+    per = per.crossJoin(F.broadcast(tot))
+    tot_pw = F.col("_tot_pw")
+    tot_tok = F.col("_tot_tok")
     weight = pw / tot_pw
     return per.select(
         F.col(source_col),

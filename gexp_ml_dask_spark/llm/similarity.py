@@ -498,18 +498,6 @@ def kmeans_lloyd(
 
     dims = dims.persist(StorageLevel.MEMORY_AND_DISK)
 
-    init_ids = (
-        embeddings.select(F.col(id_col))
-        .orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col),
-            (F.row_number().over(Window.orderBy(id_col)) - 1)
-            .cast("long")
-            .alias("cluster"),
-        )
-    )
-
     def _replant(cent_df: DataFrame) -> DataFrame:
         # k*dim rounded rows -> driver -> literal DataFrame: lineage
         # truncation, NOT computation (everything is pre-rounded)
@@ -521,9 +509,27 @@ def kmeans_lloyd(
             spark.createDataFrame(rows, "cluster long, pos int, c double")
         )
 
-    cent = _replant(
-        dims.join(init_ids, id_col).select(
-            "cluster", "pos", F.col("x").alias("c")
+    # Seed centroids: the k lowest-id vectors, numbered 0..k-1 in id
+    # order. The seed SET comes from TakeOrderedAndProject
+    # (per-partition heaps) and the numbering happens driver-side
+    # inside the first lineage-truncation collect — no partitionless
+    # row_number window (single-partition WARN) and no extra job
+    # beyond the collect the init already paid.
+    seed = embeddings.select(F.col(id_col)).orderBy(id_col).limit(k)
+    seed_rows = dims.join(F.broadcast(seed), id_col).select(
+        F.col(id_col).alias("_sid"), "pos", F.col("x").alias("c")
+    ).collect()
+    sids = sorted(
+        {r["_sid"] for r in seed_rows}, key=lambda v: (v is not None, v)
+    )
+    cluster_of = {v: i for i, v in enumerate(sids)}
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [
+                (cluster_of[r["_sid"]], int(r["pos"]), float(r["c"]))
+                for r in seed_rows
+            ],
+            "cluster long, pos int, c double",
         )
     )
 

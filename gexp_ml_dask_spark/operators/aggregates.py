@@ -354,17 +354,21 @@ def symmetrize_factors(
     ``factor / exp(mean(log(factor.replace(0,1))))``
     (feature_selection_and_normalization.py:24).
 
-    Lazy form (default): single-pass empty-frame window, NOT a
-    scalar-agg cross join — Catalyst does not dedupe common subplans
-    across branches, so the cross-join form recomputes the
-    (potentially expensive) factors subplan once for the geomean and
-    once for the join side. The window computes factors exactly once
-    but funnels the factors table through ONE partition.
+    Lazy form (default): persist the factors subplan and attach the
+    geomean as a 1-row broadcast scalar (partial+final aggregate +
+    crossJoin). History: this used to be an empty-frame window to
+    dodge Catalyst's lack of common-subplan dedup (the cross-join
+    form evaluates factors once for the geomean and once for the
+    probe side) — but the per-sample factors table is DATA-scaled,
+    so the window's single-partition funnel was the round-8 plan
+    audit's last real flag; the persist closes the double-evaluation
+    objection instead. Release is the caller's (unpersist /
+    clearCache), the same contract as global_rank.
 
     ``eager=True`` (the estimator-fit path): persist factors, run the
-    geomean as a partial+final aggregate (no single-partition stage),
-    and inline the scalar as a literal — the scale-safe form when the
-    per-sample factors table is itself large.
+    geomean as a partial+final aggregate, COLLECT the scalar and
+    inline it as a literal — same plan shape, but the lineage is
+    truncated for multi-round consumers.
 
     ``geomean_quantize`` (opt-in, default None = reference parity):
     floor-bucket the LOG-mean at ``10^-d`` before exponentiating —
@@ -397,10 +401,15 @@ def symmetrize_factors(
         gm = factors.agg(_geo(F.avg(logs))).collect()[0][0]
         return factors.withColumn(out_col, F.col(factor_col) / F.lit(gm))
 
-    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    geo = _geo(F.avg(logs).over(Window.partitionBy()))
-    return factors.withColumn(out_col, F.col(factor_col) / geo)
+    factors = factors.persist(StorageLevel.MEMORY_AND_DISK)
+    gm_df = factors.agg(_geo(F.avg(logs)).alias("_gm"))
+    return (
+        factors.crossJoin(F.broadcast(gm_df))
+        .withColumn(out_col, F.col(factor_col) / F.col("_gm"))
+        .drop("_gm")
+    )
 
 
 def per_sample_sum(gexp: DataFrame, sample_col: str = "sample_id", value_col: str = "value") -> DataFrame:
@@ -422,17 +431,28 @@ def nan_ignoring_quantile(
 
 def distinct_sorted_codes(labels: DataFrame, label_col: str = "label") -> DataFrame:
     """OP-AGG-09 — sklearn LabelEncoder contract: distinct labels,
-    sorted, coded 0..k-1 (functions/dask_pipeline.py:64-66). The
-    window runs over the tiny distinct-labels dim, not the fact."""
-    from pyspark.sql import Window
+    sorted, coded 0..k-1 (functions/dask_pipeline.py:64-66).
 
-    return (
-        labels.select(label_col)
-        .distinct()
-        .withColumn(
-            "code",
-            F.row_number().over(Window.orderBy(label_col)) - 1,
-        )
+    The label vocabulary is a bounded dimension by contract (a
+    classifier target), so the distinct is computed distributed and
+    the dim-sized result is sorted driver-side and re-broadcast as a
+    literal DataFrame — the same shape as
+    :func:`~gexp_ml_dask_spark.ml.pipeline.gene_index`. This replaces
+    the previous partitionless ``row_number`` window (single-task
+    sort + the single-partition WARN in every pipeline run). NULL
+    labels sort first, matching the old window's NULLS FIRST order."""
+    from pyspark.sql import types as T
+
+    rows = labels.select(label_col).distinct().collect()
+    vals = sorted((r[0] for r in rows), key=lambda v: (v is not None, v))
+    schema = T.StructType(
+        [
+            labels.schema[label_col],
+            T.StructField("code", T.IntegerType(), False),
+        ]
+    )
+    return labels.sparkSession.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], schema
     )
 
 

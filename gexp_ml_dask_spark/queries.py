@@ -990,19 +990,23 @@ def op_agg_12_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     row = ex.agg(F.expr("approx_top_k(term, 1000, 10000)").alias("tk"))
-    tk = row.select(F.explode("tk").alias("s")).select(
-        F.col("s.item").alias("term"), F.col("s.count").alias("n")
+    # the trim statistics come off the 1-row sketch ARRAY before the
+    # explode (size + array_min are plain column folds), so the
+    # sketch is evaluated once and no whole-frame window — not even
+    # a dim-bounded one — appears in the plan
+    stats = row.select(
+        "tk",
+        F.size("tk").alias("_k"),
+        F.array_min(F.transform("tk", lambda s: s["count"])).alias("_min"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
+    tk = stats.select(F.explode("tk").alias("s"), "_k", "_min").select(
+        F.col("s.item").alias("term"), F.col("s.count").alias("n"), "_k", "_min"
+    )
     return (
-        tk.withColumn("_k", F.count(F.lit(1)).over(w))
-        .withColumn("_min", F.min("n").over(w))
         # fewer than k items returned => no truncation happened =>
         # keep everything; else drop the (possibly partial) tie
         # block at the boundary, whose count == the sketch's min
-        .filter((F.col("_k") < 1000) | (F.col("n") > F.col("_min")))
+        tk.filter((F.col("_k") < 1000) | (F.col("n") > F.col("_min")))
         .select("term", "n")
     )
 
@@ -1182,10 +1186,13 @@ def op_agg_14_coexpression(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical float algebra."""
     g = gexp(spark, sf_dir)
     v = g.groupBy("gene_id").agg(F.var_samp("value").alias("v"))
-    w = Window.orderBy(F.desc("v"), F.asc("gene_id"))
+    # top-10 on a total order == orderBy().limit(): Spark plans it as
+    # TakeOrderedAndProject (per-partition heaps), not the
+    # partitionless row_number window whose single-task sort fires
+    # the "Moving all data to a single partition" WARN.
     topg = (
-        v.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        v.orderBy(F.desc("v"), F.asc("gene_id"))
+        .limit(10)
         .select("gene_id")
     )
     gg = (
@@ -1387,10 +1394,11 @@ def op_agg_14_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra over the ranks."""
     g = gexp(spark, sf_dir)
     v = g.groupBy("gene_id").agg(F.var_samp("value").alias("v"))
-    w = Window.orderBy(F.desc("v"), F.asc("gene_id"))
+    # TakeOrderedAndProject, not a partitionless rank window (see
+    # op_agg_14_coexpression).
     topg = (
-        v.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        v.orderBy(F.desc("v"), F.asc("gene_id"))
+        .limit(10)
         .select("gene_id")
     )
     gg = (

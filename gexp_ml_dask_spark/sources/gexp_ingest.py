@@ -66,14 +66,17 @@ def load_gexp_dataset(
             .withColumn("sample_file", F.coalesce("_map_id", "sample_file"))
             .drop("_map_id", "_map_file")
         )
-    # Dense ordinal sample ids: window over the distinct-files dim
-    # (tiny: one row per input file), then broadcast back.
-    from pyspark.sql import Window
-
-    files = raw.select("sample_file").distinct()
-    ids = files.withColumn(
-        "sample_id",
-        F.row_number().over(Window.orderBy("sample_file")).cast("long") - 1,
+    # Dense ordinal sample ids: the file dim is bounded (one row per
+    # input file), so the distinct is computed distributed, sorted
+    # driver-side, and re-broadcast as a literal dim — the same shape
+    # as ml.pipeline.gene_index, not a partitionless row_number
+    # window (single-task sort + the single-partition WARN). NULLs
+    # sort first, matching the old window's NULLS FIRST order.
+    rows = raw.select("sample_file").distinct().collect()
+    names = sorted((r[0] for r in rows), key=lambda v: (v is not None, v))
+    ids = raw.sparkSession.createDataFrame(
+        [(f, i) for i, f in enumerate(names)],
+        "sample_file string, sample_id long",
     )
     return raw.join(F.broadcast(ids), "sample_file").select(
         "sample_file", "sample_id", "gene_id", "value"

@@ -61,7 +61,52 @@ WHITELIST = {
     "op_llm_03_knn_filtered": {"BroadcastNestedLoopJoin"},
     "op_llm_03_knn_ivf": {"BroadcastNestedLoopJoin"},
     "op_llm_02_embedding_neardup": {"BroadcastNestedLoopJoin"},
+    # round-8 scalar attaches that replaced partitionless windows:
+    # 1-row totals broadcast onto a dim-sized (temperature: source
+    # dim) / data-sized (calibration: global_rank n) table
+    "op_llm_07_temperature_weights": {"BroadcastNestedLoopJoin"},
+    "op_ml_10_calibration": {"BroadcastNestedLoopJoin"},
+    # geomean 1-row scalar attach (normalize_by_geomean lazy path —
+    # the round-8 replacement for its empty-frame window)
+    "op_agg_05_symmetrize_factors": {"BroadcastNestedLoopJoin"},
 }
+
+
+# Queries allowed to keep a partitionless (single-partition) Window:
+# every entry must be DIM-bounded input by documented contract, never
+# the data-scaled fact table. Everything else flags — the round-8
+# audit removed the bare windows from coexpression/spearman top-k
+# (TakeOrderedAndProject), label encoding / file ids / dense vocab /
+# kmeans seeds (driver-sorted broadcast dims), AUC/calibration
+# (distributed global_rank).
+WINDOW_WHITELIST: dict[str, str] = {}
+
+
+def _windows_no_partition(jdf) -> list[str]:
+    """Exact partitionless-WindowExec detector: walks the physical
+    plan via py4j and asks each Window node for partitionSpec()
+    instead of parsing toString (2-bracket-group lines are ambiguous
+    between [order-only] and [partition-only] specs)."""
+    plan = jdf.queryExecution().executedPlan()
+    out: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("AdaptiveSparkPlan"):
+            walk(node.initialPlan())
+            return
+        if "Window" in cls and hasattr(node, "partitionSpec"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    out.append(cls)
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return out
 
 
 def main() -> int:
@@ -78,14 +123,18 @@ def main() -> int:
     bad_new: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         try:
-            p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+            jdf = fn(spark, sf)._jdf
+            p = jdf.queryExecution().executedPlan().toString()
+            no_part = _windows_no_partition(jdf)
         except Exception as ex:  # surface crashes too
             bad_new[name] = [f"ERR {type(ex).__name__}: {str(ex)[:100]}"]
             continue
         found = {b for b in BAD if b in p}
-        extra = found - WHITELIST.get(name, set())
+        extra = sorted(found - WHITELIST.get(name, set()))
+        if no_part and name not in WINDOW_WHITELIST:
+            extra.append(f"PartitionlessWindow x{len(no_part)}")
         if extra:
-            bad_new[name] = sorted(extra)
+            bad_new[name] = extra
     for k, v in sorted(bad_new.items()):
         print("FLAG", k, v)
     print(f"audited {len(QUERIES)}, new flags {len(bad_new)}")

@@ -340,17 +340,25 @@ def main() -> int:
         agg = streaming_session_counts(
             spark, chunk_dir, raw_schema, max_files_per_trigger=1
         )
+        # Parquet sink, NOT memory: the emitted-session table is
+        # data-scaled (sf100 = ~99M sessions), and the memory sink
+        # serializes every sink row to the driver — the sf100 run
+        # died on spark.driver.maxResultSize before this switch. The
+        # digest compare below is fully distributed either way.
+        sess_sink = f"{work}/sessions_out"
+        sess_chk = f"{work}/sessions_chk"
         q = (
             agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("sd_mb_sessions")
+            .format("parquet")
+            .option("path", sess_sink)
+            .option("checkpointLocation", sess_chk)
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-        emitted = spark.table("sd_mb_sessions")
+        emitted = spark.read.parquet(sess_sink)
         n_rows = emitted.count()
         n_keys = emitted.select(
             "user_id", "session_start", "session_end"
