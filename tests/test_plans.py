@@ -671,7 +671,10 @@ def test_new_training_ops_stay_jvm_side(spark, registry):
         ("op_llm_04_bpe_merges", 26),
         ("op_llm_04_bpe_tokenize", 31),
         ("op_llm_03_kmeans", 0),
-        ("op_llm_07_temperature_weights", 0),
+        # the corpus-total attach is a documented 1-row broadcast
+        # scalar (it replaced the partitionless total-sum window the
+        # round-8 audit flagged; see queries.py op_llm_07)
+        ("op_llm_07_temperature_weights", 1),
         ("op_llm_08_curation_funnel", 0),
     ]:
         p = plan(registry[name](spark, SF_ORACLE))
