@@ -3819,12 +3819,20 @@ def op_llm_02_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r6 item 4): one bounded stats job measures posting
     density over <=100k docs and routes dense corpora (vocab <= 4k,
     density >= 0.2) to the exact tiled-GEMM form, Zipf corpora to the
-    inverted/prefix sparse forms. The driver fixtures probe DENSE
-    (density ~0.76, vocab 31), so this entry value-checks the dense
-    route end-to-end; op_llm_02_tf_cosine_inverted/_prefix keep the
-    sparse forms value-checked against the SAME oracle. All strategies
-    emit identical rows by construction (integer-exact dot + one
-    shared finish), pinned in tests/test_llm_ops.py."""
+    inverted/prefix sparse forms. Since round 8 the probe is gated by
+    a small-corpus cheap-out (VERDICT r7 item 3): under
+    ``probe_min_docs`` (20k) documents, the inverted index finishes
+    in seconds regardless of density and the probe itself was the
+    dominant cost, so small corpora — including the driver fixtures
+    (500–5,000 docs) — route straight to the sparse resolution and
+    this entry times the gate's PRODUCTION small-input path. The
+    dense tiled-GEMM route keeps value evidence via
+    tests/test_llm_ops.py::test_dense_tf_cosine_identical_pairs (row
+    parity vs inverted on the probe-dense fixture) and the sf1 dense
+    bench in SCALING.md §2e; op_llm_02_tf_cosine_inverted/_prefix
+    keep the sparse forms value-checked against the SAME oracle. All
+    strategies emit identical rows by construction (integer-exact
+    dot + one shared finish), pinned in tests/test_llm_ops.py."""
     from gexp_ml_dask_spark.llm.dedup import tf_cosine_pairs_auto
 
     return tf_cosine_pairs_auto(

@@ -95,6 +95,15 @@ def get_spark(
         )
     if shuffle_partitions is not None:
         configs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    elif os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        # Scale-adaptive override: the 32 default is sized for the
+        # local[32] bench box (AQE coalesces below it via the 64 MB
+        # advisory). A cluster run sets this to ~2-3x total cores (or
+        # lets AQE start high and coalesce) WITHOUT touching code —
+        # shuffle width must never be a constant baked for one box.
+        configs["spark.sql.shuffle.partitions"] = os.environ[
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS"
+        ]
     if extra_configs:
         configs.update(extra_configs)
     for key, value in configs.items():

@@ -1299,7 +1299,9 @@ def test_tf_cosine_auto_gate_boundary(spark, docs, hot_shingle_docs):
         auto = {
             (r["id_a"], r["id_b"], r["cosine"])
             for r in tf_cosine_pairs_auto(
-                corpus, threshold=t, probe=True
+                # probe_min_docs=0 defeats the small-corpus cheap-out
+                # (r8) so this test still exercises the probe itself
+                corpus, threshold=t, probe=True, probe_min_docs=0
             ).collect()
         }
         assert inv == auto and inv
@@ -1343,6 +1345,7 @@ def test_tf_cosine_probed_dense_falls_back_on_big_vocab(spark):
             threshold=0.9,
             probe=True,
             probe_docs=20,  # the probe sees only the dense head
+            probe_min_docs=0,  # defeat the small-corpus cheap-out (r8)
             dense_max_vocab=50,
         ).collect()
     }
