@@ -105,10 +105,23 @@ def _chunk_events(
             .parquet(tmp)
         )
         # part-NNNNN order == range order under repartitionByRange,
-        # so renaming in name order preserves chronology
+        # so renaming in name order preserves chronology — in NAME.
+        # But rename (same-fs shutil.move) PRESERVES the source
+        # mtime, which is task-COMPLETION order, and Spark's file
+        # stream source orders new files by modification time, not
+        # name: without restamping, chunk-003 written by a fast task
+        # arrives before chunk-000 and the watermark silently drops
+        # the "late" earlier chunks (the sf100 sessions check emitted
+        # 61M of ~97M sessions exactly this way; complete-mode checks
+        # are arrival-order-insensitive and masked it). Stamp
+        # strictly increasing mtimes in chunk order so arrival ==
+        # chronology, deterministically.
         parts = sorted(glob.glob(f"{tmp}/part-*.parquet"))
+        base = time.time()
         for i, p in enumerate(parts):
-            shutil.move(p, f"{out_dir}/chunk-{i:03d}.parquet")
+            dst = f"{out_dir}/chunk-{i:03d}.parquet"
+            shutil.move(p, dst)
+            os.utime(dst, (base + i, base + i))
         shutil.rmtree(tmp, ignore_errors=True)
         return n
 
@@ -119,11 +132,15 @@ def _chunk_events(
     table = table.take(order)
     import pyarrow.parquet as pq
 
+    base = time.time()
     for i in range(k):
         lo, hi = i * n // k, (i + 1) * n // k
-        pq.write_table(
-            table.slice(lo, hi - lo), f"{out_dir}/chunk-{i:03d}.parquet"
-        )
+        dst = f"{out_dir}/chunk-{i:03d}.parquet"
+        pq.write_table(table.slice(lo, hi - lo), dst)
+        # same arrival-order contract as the spark chunker: the file
+        # stream orders by mtime, so stamp chunk order explicitly
+        # rather than relying on sequential-write timestamps
+        os.utime(dst, (base + i, base + i))
     return n
 
 
