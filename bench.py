@@ -388,31 +388,30 @@ def prep_pipeline_cell(
             )
         )
     else:
-        labels = (
-            dg.groupBy("sample_id")
-            .agg(
-                (
-                    F.sum(
-                        F.when(
-                            F.col("gene_id") < "g00050", F.col("value")
-                        ).otherwise(0.0)
-                    )
-                    / F.sum("value")
-                ).alias("share")
-            )
-            .select(
-                "sample_id",
-                F.when(
-                    F.col("share")
-                    > F.expr(
-                        "percentile_cont(0.5) WITHIN GROUP (ORDER BY share)"
-                        " OVER ()"
-                    ),
-                    "hi",
+        shares = dg.groupBy("sample_id").agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("gene_id") < "g00050", F.col("value")
+                    ).otherwise(0.0)
                 )
-                .otherwise("lo")
-                .alias("label"),
-            )
+                / F.sum("value")
+            ).alias("share")
+        )
+        # median split as a collected scalar, not a whole-frame
+        # percentile_cont window: the window form was the LAST
+        # "Moving all data to a single partition" WARN in the bench
+        # tail (7 executions per prep under AQE) after round 8
+        # removed every engine-side partitionless window. percentile
+        # (the exact interpolated aggregate) computes the identical
+        # value, so the hi/lo labels are bit-for-bit unchanged; prep
+        # is outside the timed region either way.
+        med_share = shares.agg(F.expr("percentile(share, 0.5)")).first()[0]
+        labels = shares.select(
+            "sample_id",
+            F.when(F.col("share") > F.lit(med_share), "hi")
+            .otherwise("lo")
+            .alias("label"),
         )
     labels.coalesce(1).write.mode("overwrite").parquet(f"{out}/labels")
 
