@@ -93,6 +93,12 @@ HEADLINE = [
     "op_llm_03_kmeans",             # exact-contract Lloyd k-means (3 rounds, pos-join distances)
     "op_agg_18_cohort_retention",   # cohort retention (2 fact aggs + user-key join)
     "op_agg_19_constraints",        # data-quality gate (1 fused scan + keyed agg + FK anti-join)
+    # round-8 additions (entries may be ADDED, never removed/renamed):
+    # the two queries VERDICT r7 named perf-weak, rewritten this round
+    # from a single-partition Window.orderBy onto the bucketed
+    # distributed global_rank — in the suite so the fix stays measured
+    "op_ml_10_auc",                 # Mann-Whitney AUC over global_rank
+    "op_ml_10_calibration",         # reliability bins: closed-form NTILE over global_rank
 ]
 
 # The reference's benchmark grid (singlemachine_dataset_samplewise
