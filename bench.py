@@ -630,6 +630,9 @@ def run_suite(sf_dir: str, sf: float, host: dict, degraded: bool) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # The session's ACTUAL scheduling width (== local[N]): proves
+        # $SPARK_GRAFT_CPUS was honored without stage-width forensics
+        "cpus": spark.sparkContext.defaultParallelism,
         "host": host,
         # host_end is informational only: a multi-minute
         # 32-thread bench drives its OWN loadavg past any
@@ -766,6 +769,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Echo the honored core count (VERDICT r8 item 3: the driver's
+        # low-core scaling probe could not SEE that local[$CPUS] was
+        # respected because the compact line never said so; stage
+        # widths in BENCH_r08_c8.json proved it after the fact).
+        "cpus": full["cpus"],
         "degraded": bool(degraded),
         "host_load": host["loadavg_1m"],
         "job_overhead_ms": host.get("job_overhead_ms"),

@@ -331,13 +331,17 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    n_docs = docs.select(F.count("*")).collect()[0][0]
+    # corpus N enters as a lazy 1-row broadcast scalar (parquet
+    # count-pushdown scan), not an eager collect — the operator is a
+    # pure transformation and the timed path loses a driver action
+    # (round 9; guide §5: the driver does no data work)
+    n_row = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     df_counts = doc_terms.groupBy("term").agg(
         F.count("*").alias("df")
     )
-    idf = df_counts.select(
+    idf = df_counts.crossJoin(F.broadcast(n_row)).select(
         "term",
-        F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"),
+        F.log(F.col("_n_docs") / F.col("df")).alias("idf"),
     )
     scored = doc_terms.join(F.broadcast(idf), "term").withColumn(
         "score", F.col("tf") * F.col("idf")

@@ -49,23 +49,34 @@ def global_rank(
     descending: bool = False,
     n_buckets: int = 16,
     out_col: str = "rank",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact global row_number by (key, tie) WITHOUT the
     single-partition window cliff (``Window.orderBy`` with no
     partitionBy funnels the whole table through one task — the
     classic 100 TB non-starter).
 
-    Same shape as the estimator fits (TMM/UQ): two tiny actions whose
-    scalars are inlined as plan literals, then one deterministic
-    distributed plan.
+    One tiny action whose scalars are inlined as plan literals, then
+    one deterministic distributed plan (the estimator-fit shape):
 
       1. collect ~``n_buckets`` approx-percentile boundaries of the
          key and FREEZE them as literals (the sketch is only advisory
          — boundaries shift bucket sizes, never correctness);
-      2. count rows per boundary bucket (an O(n_buckets)-row action)
-         and turn the running totals into a literal offset map;
+      2. count rows per boundary bucket IN-PLAN (an
+         O(n_buckets)-row aggregate folded to a 1-row offset map and
+         attached as a broadcast scalar — round 9 replaced the
+         second driver action here: the suite is dispatch-bound, and
+         a broadcast build inside the consumer's own action is one
+         less driver round-trip and lets AQE overlap it with the
+         fact-side stages);
       3. rank inside each bucket with a bucket-partitioned window and
          add the bucket's offset.
+
+    ``total_col``: when set, the frame's total row count (== the max
+    rank, already summed in the same 1-row offset row) is attached as
+    an extra column FOR FREE — consumers that need ``n`` (NTILE,
+    normalized ranks) would otherwise re-execute the whole ranked
+    plan inside their own 1-row aggregate broadcast.
 
     Buckets are contiguous (key, tie)-order ranges and the bucket id
     is a pure FUNCTION of the row's values (not of physical layout or
@@ -85,10 +96,11 @@ def global_rank(
     the sub-split (a non-castable tie degrades to one sub-bucket,
     still exact).
 
-    The input is persisted (MEMORY_AND_DISK) because the two boundary
-    actions and the returned plan would otherwise re-run the upstream
-    pipeline three times; release is the caller's (unpersist /
-    clearCache), the same contract as the dedup pair operators.
+    The input is persisted (MEMORY_AND_DISK) because the boundary
+    action, the in-plan bucket-count branch and the returned plan
+    would otherwise re-run the upstream pipeline three times; release
+    is the caller's (unpersist / clearCache), the same contract as
+    the dedup pair operators.
 
     Documented domain (cf. the Morton-code cliff): keys must be
     exactly representable as doubles (ids, counts, sizes < 2^53).
@@ -158,30 +170,54 @@ def global_rank(
         "_gr_k", (pid * F.lit(k_span) + sub).cast("long")
     )
 
-    counts = {
-        r["_gr_k"]: r["c"]
-        for r in tmp.groupBy("_gr_k")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    if offsets:
-        mapping = F.create_map(
-            *[
-                lit
-                for p, o in sorted(offsets.items())
-                for lit in (F.lit(p), F.lit(o))
-            ]
+    # Bucket counts -> exclusive running totals, all IN-PLAN: the
+    # O(n_buckets^2)-row count table folds (sorted by bucket key) to
+    # ONE row holding {bucket -> offset} plus the grand total, and
+    # that row rides a broadcast crossJoin — the whitelisted 1-row
+    # scalar-attach shape. No second driver action, no partitionless
+    # window, no data-sized nested loop.
+    ent = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("_gr_k").alias("k"), F.col("_c").alias("c"))
         )
-        off = F.coalesce(mapping[F.col("_gr_k")], F.lit(0))
-    else:
-        off = F.lit(0)
+    )
+    meta = (
+        tmp.groupBy("_gr_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(ent.alias("_e"))
+        .select(
+            F.map_from_arrays(
+                F.transform("_e", lambda e: e["k"]),
+                F.aggregate(
+                    "_e",
+                    F.struct(
+                        F.lit(0).cast("long").alias("acc"),
+                        F.array().cast("array<long>").alias("offs"),
+                    ),
+                    lambda st, e: F.struct(
+                        (st["acc"] + e["c"]).alias("acc"),
+                        F.concat(st["offs"], F.array(st["acc"])).alias(
+                            "offs"
+                        ),
+                    ),
+                    lambda st: st["offs"],
+                ),
+            ).alias("_gr_off"),
+            F.aggregate(
+                "_e", F.lit(0).cast("long"), lambda a, e: a + e["c"]
+            ).alias("_gr_n"),
+        )
+    )
+    tmp = tmp.crossJoin(F.broadcast(meta))
+    off = F.coalesce(
+        F.try_element_at(F.col("_gr_off"), F.col("_gr_k")), F.lit(0)
+    )
 
     key_order = F.col(key_col).desc() if descending else F.col(key_col).asc()
     w = Window.partitionBy("_gr_k").orderBy(key_order, F.col(tie_col).asc())
-    return tmp.withColumn(
+    out = tmp.withColumn(
         out_col, (F.row_number().over(w) + off).cast("long")
-    ).drop("_gr_k")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_gr_n"))
+    return out.drop("_gr_k", "_gr_off", "_gr_n")

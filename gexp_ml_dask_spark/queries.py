@@ -2982,11 +2982,17 @@ def op_ml_10_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("y"),
         )
     )
+    # ranks are dense 1..n, so n rides along from global_rank's own
+    # 1-row offset broadcast (total_col) — attaching it via a second
+    # max(rk) aggregate would re-execute the whole ranked plan inside
+    # the broadcast build (measured: +3 jobs at sf0.1, round 9)
     ranked = global_rank(
-        tot.join(lab, "sample_id"), "score", "sample_id", out_col="rk"
+        tot.join(lab, "sample_id"),
+        "score",
+        "sample_id",
+        out_col="rk",
+        total_col="_n",
     )
-    # ranks are dense 1..n, so n == max(rk): a 1-row broadcast attach
-    n_row = ranked.agg(F.max("rk").alias("_n"))
     k = F.lit(10)
     rk, n = F.col("rk"), F.col("_n")
     base, rem = F.floor(n / k), n % k
@@ -2996,9 +3002,7 @@ def op_ml_10_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         rem + F.floor((rk - rem * big - 1) / F.greatest(base, F.lit(1))) + 1
     )
-    r = ranked.crossJoin(F.broadcast(n_row)).withColumn(
-        "bin", bin_col.cast("long")
-    )
+    r = ranked.withColumn("bin", bin_col.cast("long"))
     return r.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("score"), 6).alias("mean_score"),

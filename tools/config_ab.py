@@ -143,6 +143,8 @@ def main() -> None:
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if args.rounds < 1:
+        ap.error("--rounds must be >= 1")
 
     names = args.queries.split(",")
     variants = {v: VARIANTS[v] for v in args.variants.split(",")}
@@ -162,7 +164,16 @@ def main() -> None:
             record["variants"][v]["rounds"].append(res)
             for q, s in res["timings"].items():
                 best[v][q] = min(best[v].get(q, float("inf")), s)
-            rows_seen.setdefault(v, res["rows"])
+            # Row-count cross-check EVERY round (not only the first:
+            # setdefault let later-round drift pass silently), and a
+            # real exception rather than an assert that python -O
+            # strips (ADVICE r8).
+            if v in rows_seen and rows_seen[v] != res["rows"]:
+                raise RuntimeError(
+                    f"row-count drift in variant {v} round {rnd + 1}: "
+                    f"{res['rows']} vs {rows_seen[v]}"
+                )
+            rows_seen[v] = res["rows"]
             print(
                 f"# round {rnd + 1} {v}: job_ms={res['job_overhead_ms']} "
                 f"sum={sum(res['timings'].values()):.2f}s "
@@ -171,12 +182,19 @@ def main() -> None:
             )
     base_rows = next(iter(rows_seen.values()))
     for v, rr in rows_seen.items():
-        assert rr == base_rows, f"row-count drift in variant {v}: {rr} vs {base_rows}"
+        if rr != base_rows:
+            raise RuntimeError(
+                f"row-count drift in variant {v}: {rr} vs {base_rows}"
+            )
     record["best"] = best
-    base = best.get("base", next(iter(best.values())))
+    # Denominator variant: 'base' when present, else the FIRST listed
+    # variant — and it is skipped in the summary either way (its own
+    # all-1.0 ratio entry was a misleading artifact, ADVICE r8).
+    base_name = "base" if "base" in best else next(iter(best))
+    base = best[base_name]
     summary = {}
     for v in best:
-        if v == "base":
+        if v == base_name:
             continue
         ratios = {q: round(best[v][q] / base[q], 3) for q in base if base[q] > 0}
         gm = 1.0

@@ -61,14 +61,20 @@ WHITELIST = {
     "op_llm_03_knn_filtered": {"BroadcastNestedLoopJoin"},
     "op_llm_03_knn_ivf": {"BroadcastNestedLoopJoin"},
     "op_llm_02_embedding_neardup": {"BroadcastNestedLoopJoin"},
-    # round-8 scalar attaches that replaced partitionless windows:
-    # 1-row totals broadcast onto a dim-sized (temperature: source
-    # dim) / data-sized (calibration: global_rank n) table
-    "op_llm_07_temperature_weights": {"BroadcastNestedLoopJoin"},
+    # round-9: global_rank attaches its 1-row offset-map/total row by
+    # broadcast crossJoin (the in-plan replacement for its second
+    # driver action) — every global_rank consumer carries the scalar
+    # BNLJ shape now (build side is always the 1-row fold of the
+    # O(n_buckets^2)-row bucket-count aggregate, never data-sized)
+    "op_ml_10_auc": {"BroadcastNestedLoopJoin"},
     "op_ml_10_calibration": {"BroadcastNestedLoopJoin"},
+    "op_llm_07_balanced_shards": {"BroadcastNestedLoopJoin"},
     # geomean 1-row scalar attach (normalize_by_geomean lazy path —
     # the round-8 replacement for its empty-frame window)
     "op_agg_05_symmetrize_factors": {"BroadcastNestedLoopJoin"},
+    # round-9: corpus-N 1-row scalar attach onto the vocab-sized idf
+    # table (the lazy replacement for tfidf's eager n_docs collect)
+    "op_llm_04_tfidf": {"BroadcastNestedLoopJoin"},
 }
 
 
