@@ -1487,7 +1487,47 @@ def decontaminate(
     pass ``broadcast_eval=False`` to let the planner pick (it falls
     back to a shuffled hash join on the gram key — same semantics,
     still one pass over training).
+
+    Consumers that only need the CONTAMINATED ids (the curation
+    plans' anti-join probe) should call :func:`contamination_hits`
+    directly — it is this operator minus the final left join that
+    re-attaches zero-hit documents (round 9: that join shuffled the
+    whole training id column per run just to produce rows a
+    downstream ``filter(is_contaminated)`` dropped again).
     """
+    hits = contamination_hits(
+        docs, eval_docs, n, id_col, text_col, broadcast_eval
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The contaminated subset only: (doc_id, n_contaminated_ngrams)
+    for every training document sharing >= 1 token n-gram with the
+    eval set — :func:`decontaminate` without the zero-hit re-attach
+    join (every returned row has a positive count by construction).
+    Same plan shape: eval reduces to distinct grams (broadcast by
+    default), training pays one scan + explode + probe + per-doc
+    agg."""
     def doc_grams(df: DataFrame, keep_pos: bool) -> DataFrame:
         toks = F.split(F.col(text_col), " ")
         base = df.select(
@@ -1509,24 +1549,11 @@ def decontaminate(
     eval_grams = doc_grams(eval_docs, keep_pos=False)
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    hits = (
+    return (
         doc_grams(docs, keep_pos=True)
         .join(eval_grams, "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
-    )
-    return (
-        docs.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_contaminated_ngrams", F.lit(0))
-            .cast("long")
-            .alias("n_contaminated_ngrams"),
-            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias(
-                "is_contaminated"
-            ),
-        )
     )
 
 

@@ -461,11 +461,16 @@ def kmeans_lloyd(
       engines enter the next round with bit-identical centroids.
 
     Everything is long-form relational — vectors and centroids
-    explode to (id, pos, x) rows, distance is one (vec, cluster)
-    hash agg over the pos join, the argmin is a per-vector window —
-    so nothing depends on array-fold evaluation order. A cluster
-    that loses all members drops out (standard Lloyd degeneracy),
-    identically in both engines.
+    explode to (id, pos, x) rows, distance + argmin are ONE
+    per-vector hash agg over the pos join (a k-column pivot on the
+    cluster id: the per-cluster sums land in one shuffle on vec_id,
+    then the argmin is a row-local fold over the k pivot columns —
+    round 9 replaced the (vec, cluster) agg + per-vector window
+    pair, halving the exchanges per Lloyd round) — so nothing
+    depends on array-fold evaluation order. A cluster that loses
+    all members drops out (standard Lloyd degeneracy: its pivot
+    column is NULL everywhere and the argmin skips it), identically
+    in both engines.
 
     Returns final assignments: (vec_id, cluster, dist) with dist
     the rounded squared L2 to the winning centroid.
@@ -496,7 +501,13 @@ def kmeans_lloyd(
     )
     from pyspark.storagelevel import StorageLevel
 
-    dims = dims.persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist PRE-PARTITIONED on the vector id (guide §2.4: ops keyed
+    # the same way share one exchange): every Lloyd round both
+    # aggregates distances by id and joins the assignment back by id —
+    # with the cache already hash-partitioned on id, neither needs a
+    # shuffle, so each round is ONE exchange (the k*dim centroid agg)
+    # instead of three.
+    dims = dims.repartition(id_col).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _replant(cent_df: DataFrame) -> DataFrame:
         # k*dim rounded rows -> driver -> literal DataFrame: lineage
@@ -510,15 +521,25 @@ def kmeans_lloyd(
         )
 
     # Seed centroids: the k lowest-id vectors, numbered 0..k-1 in id
-    # order. The seed SET comes from TakeOrderedAndProject
-    # (per-partition heaps) and the numbering happens driver-side
-    # inside the first lineage-truncation collect — no partitionless
-    # row_number window (single-partition WARN) and no extra job
-    # beyond the collect the init already paid.
-    seed = embeddings.select(F.col(id_col)).orderBy(id_col).limit(k)
-    seed_rows = dims.join(F.broadcast(seed), id_col).select(
-        F.col(id_col).alias("_sid"), "pos", F.col("x").alias("c")
-    ).collect()
+    # order. One TakeOrderedAndProject collect straight off the
+    # embeddings table (id + vector, exploded DRIVER-side — the
+    # vectors are k*dim doubles) — round 9 dropped the previous
+    # dims-join seed collect, which paid a full scan of the exploded
+    # dims table just to pick up k vectors' elements. No
+    # partitionless row_number window (single-partition WARN); the
+    # numbering stays driver-side exactly as before. NULL/empty seed
+    # vectors contribute no rows (posexplode semantics) and drop out
+    # of the numbering, identically to the join form.
+    seed_rows = (
+        embeddings.select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_sid")
+        .limit(k)
+        .collect()
+    )
+    seed_rows = [r for r in seed_rows if r["_v"]]
     sids = sorted(
         {r["_sid"] for r in seed_rows}, key=lambda v: (v is not None, v)
     )
@@ -526,30 +547,47 @@ def kmeans_lloyd(
     cent = F.broadcast(
         spark.createDataFrame(
             [
-                (cluster_of[r["_sid"]], int(r["pos"]), float(r["c"]))
+                (cluster_of[r["_sid"]], pos, float(x))
                 for r in seed_rows
+                for pos, x in enumerate(r["_v"])
             ],
             "cluster long, pos int, c double",
         )
     )
 
+    clusters = list(range(k))
+
     assign = None
     for it in range(n_iter):
-        dist = (
+        # One shuffle per assignment: per-cluster squared-L2 sums
+        # pivot to k columns keyed by vec alone; the argmin is then a
+        # row-local fold (min over struct(dist, cluster) — the same
+        # (dist asc, cluster asc) tie order the window form used).
+        sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+        dist_wide = (
             dims.join(cent, "pos")
-            .groupBy(id_col, "cluster")
-            .agg(
-                F.round(
-                    F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
-                    6,
-                ).alias("dist")
+            .groupBy(id_col)
+            .pivot("cluster", clusters)
+            .agg(F.round(F.sum(sq), 6))
+        )
+        best = F.array_min(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(str(j)).alias("dist"),
+                            F.lit(j).cast("long").alias("cluster"),
+                        )
+                        for j in clusters
+                    ]
+                ),
+                lambda s: s["dist"].isNotNull(),
             )
         )
-        w = Window.partitionBy(id_col).orderBy("dist", "cluster")
-        assign = (
-            dist.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "cluster", "dist")
+        assign = dist_wide.select(
+            F.col(id_col),
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("dist"),
         )
         if it < n_iter - 1:
             cent = _replant(

@@ -405,6 +405,7 @@ def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    score_docs: DataFrame | None = None,
 ) -> DataFrame:
     """OP-LLM-04 (bigram-LM quality score, [mandate]) — per-document
     mean log-probability under the corpus's own MLE bigram model:
@@ -417,31 +418,49 @@ def bigram_lm_scores(
     low.
 
     Plan: one (w1,w2) hash agg builds the model, one w1 agg folds it
-    to prefix counts (both |vocab|-bounded, broadcast); the fact
-    side (exploded doc bigrams) shuffles once on the final per-doc
-    agg. Docs with <2 tokens carry no bigrams and are absent.
+    to prefix counts, and the prefix total is joined back INTO the
+    model before broadcasting — ONE |vocab|-bounded broadcast table
+    (bigram, c12, c1), so the fact side (exploded doc bigrams) pays
+    one broadcast probe instead of two and never re-derives the w1
+    key per row (round 9; the model exchange inside the broadcast
+    build is reused between its two consumers). The fact side
+    shuffles once on the final per-doc agg. Docs with <2 tokens
+    carry no bigrams and are absent.
+
+    ``score_docs``: optionally score a DIFFERENT document set under
+    the model fitted on ``docs`` — the curation plans pass the
+    already-gated survivors here so the (heavy) per-doc explode +
+    probe + agg runs over the rows the downstream inner join would
+    keep anyway, while the model stays fitted on the full deduped
+    corpus (round 9; output-identical by construction).
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    doc_bigrams = docs.filter(n >= 2).select(
-        F.col(id_col), F.explode(bigrams).alias("bigram")
-    )
-    model = doc_bigrams.groupBy("bigram").agg(F.count("*").alias("c12"))
-    prefix = model.groupBy(
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("_w1")
-    ).agg(F.sum("c12").alias("c1"))
-    scored = (
-        doc_bigrams.join(F.broadcast(model), "bigram")
-        .join(
-            F.broadcast(prefix),
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
-            == F.col("_w1"),
+    def doc_bigram_rows(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        n = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
+        return df.filter(n >= 2).select(
+            F.col(id_col), F.explode(bigrams).alias("bigram")
+        )
+
+    doc_bigrams = doc_bigram_rows(docs)
+    target_bigrams = (
+        doc_bigrams if score_docs is None else doc_bigram_rows(score_docs)
+    )
+    model = (
+        doc_bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("c12"))
+        .withColumn(
+            "_w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+    )
+    prefix = model.groupBy("_w1").agg(F.sum("c12").alias("c1"))
+    modelp = model.join(prefix, "_w1").select("bigram", "c12", "c1")
+    scored = (
+        target_bigrams.join(F.broadcast(modelp), "bigram")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),

@@ -60,13 +60,17 @@ def connected_components(
     closed with a driver-side union-find — one job instead of
     O(log n) multi-stage rounds. Above the threshold the fully
     distributed label-propagation + pointer-jump loop runs (set
-    ``driver_threshold=0`` to force it); each round runs one count
-    action (the convergence check — only the neighbor-min step needs
-    checking: at its fixpoint the label map is idempotent, so the
-    jump step is a no-op too), and the loop exits as soon as no
-    label changed, or after ``max_iter`` rounds (raising — silent
-    non-convergence would silently merge too few duplicates
-    downstream).
+    ``driver_threshold=0`` to force it); each round runs ONE action
+    whose only work is materializing the round's checkpoint — the
+    convergence count rides along as an ``observe()`` metric over
+    the carried previous-label column (round 9: the count was
+    previously a separate join of the new labels against the old
+    table, re-shuffling both node tables every round just to
+    compare; only the neighbor-min step needs checking: at its
+    fixpoint the label map is idempotent, so the jump step is a
+    no-op too). The loop exits as soon as no label changed, or
+    after ``max_iter`` rounds (raising — silent non-convergence
+    would silently merge too few duplicates downstream).
     """
     # Symmetric, deduped edge list: u<->v once in each direction.
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -94,10 +98,14 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # Round part 1 — neighbor min: the edge list keyed by v picks
         # up v's current label, then the min over each u's neighbors
-        # folds with u's own label.
+        # folds with u's own label. The previous label rides along as
+        # ``_prev`` so the convergence check needs no re-join against
+        # the old table.
         nbr_min = (
             sym.join(comp, sym["v"] == comp["node"])
             .groupBy("u")
@@ -110,6 +118,7 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("_prev"),
             )
         )
         # Round part 2 — pointer jump: follow the label once
@@ -124,23 +133,29 @@ def connected_components(
             .select(
                 "node",
                 F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
+                "_prev",
             )
         )
         # Truncate lineage: without this each round's plan embeds all
         # previous rounds and the optimizer cost explodes by ~2^r.
-        # Lazy checkpoint: the convergence count below is the first
-        # action, so it materializes AND measures in ONE job —
-        # iterative loops live and die by actions-per-round.
+        # Lazy checkpoint FIRST, observe() on the checkpointed frame:
+        # the count() below is then the round's ONLY action — it
+        # materializes the checkpoint, and the change count is an
+        # observed metric over the rows it materializes (a linear
+        # scan-time accumulator; the pre-round-9 form re-joined the
+        # new labels against the old node table, paying two extra
+        # node-sized exchanges per round just to count differences).
         jumped = jumped.localCheckpoint(eager=False)
-
-        changed = (
-            jumped.alias("n")
-            .join(comp.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        obs = Observation()
+        jumped.observe(
+            obs,
+            F.sum(
+                (F.col("component") != F.col("_prev")).cast("long")
+            ).alias("changed"),
+        ).count()
+        changed = obs.get["changed"] or 0
         comp.unpersist()
-        comp = jumped
+        comp = jumped.drop("_prev")
         if changed == 0:
             sym.unpersist()
             return comp

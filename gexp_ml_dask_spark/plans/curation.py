@@ -87,11 +87,17 @@ def curate_documents_full(
     deduped = exact_dedup(scrubbed, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    scores = bigram_lm_scores(deduped, id_col, text_col)
+    pre_gated = deduped.withColumn(
+        "quality", F.round(quality_expr(text_col), 6)
+    ).filter(F.col("quality") >= min_quality)
+    # model fitted on all deduped survivors; scoring runs only over
+    # the quality-gated rows the inner join keeps (round 9 —
+    # output-identical, see curate_documents_max)
+    scores = bigram_lm_scores(
+        deduped, id_col, text_col, score_docs=pre_gated
+    )
     gated = (
-        deduped.withColumn("quality", F.round(quality_expr(text_col), 6))
-        .filter(F.col("quality") >= min_quality)
-        .join(scores.select(id_col, "avg_logp"), id_col)
+        pre_gated.join(scores.select(id_col, "avg_logp"), id_col)
         .filter(F.col("avg_logp") >= min_fluency)
         .select(id_col, source_col, "quality", "avg_logp")
     )
@@ -127,7 +133,7 @@ def curate_documents_max(
     """
     from pyspark.storagelevel import StorageLevel
 
-    from gexp_ml_dask_spark.llm.dedup import decontaminate
+    from gexp_ml_dask_spark.llm.dedup import contamination_hits
     from gexp_ml_dask_spark.llm.text import PII_RULES, bigram_lm_scores
 
     clean = F.col(text_col)
@@ -143,7 +149,6 @@ def curate_documents_max(
     deduped = exact_dedup(train, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    scores = bigram_lm_scores(deduped, id_col, text_col)
 
     toks = F.split(F.col(text_col), " ")
     nt = F.size(toks)
@@ -162,20 +167,34 @@ def curate_documents_max(
         F.lit(0.0),
     )
 
-    contaminated = (
-        decontaminate(deduped, eval_docs, decontam_n, id_col, text_col)
-        .filter(F.col("is_contaminated"))
-        .select(id_col)
-    )
+    # hits-only probe: the anti-join needs just the contaminated ids;
+    # the full decontaminate() operator would left-join every deduped
+    # id back in only for the filter to drop the zero-hit rows again
+    # (one node-sized shuffle per run saved — round 9)
+    contaminated = contamination_hits(
+        deduped, eval_docs, decontam_n, id_col, text_col
+    ).select(id_col)
 
-    gated = (
+    pre_gated = (
         deduped.withColumn("quality", F.round(quality_expr(text_col), 6))
         .withColumn("rep_ratio", F.round(rep, 6))
         .filter(
             (F.col("quality") >= min_quality)
             & (F.col("rep_ratio") <= max_repetition)
         )
-        .join(scores.select(id_col, "avg_logp"), id_col)
+    )
+    # model fitted on the FULL deduped corpus; the per-doc scoring
+    # pass (the heavy explode + probe + agg) runs only over the
+    # quality/rep-gated survivors — the inner join below would drop
+    # the rest anyway, so the output is identical row-for-row and the
+    # fact-side scoring work shrinks to the gates' selectivity
+    # (round 9)
+    scores = bigram_lm_scores(
+        deduped, id_col, text_col, score_docs=pre_gated
+    )
+
+    gated = (
+        pre_gated.join(scores.select(id_col, "avg_logp"), id_col)
         .filter(F.col("avg_logp") >= min_fluency)
         .join(F.broadcast(contaminated), id_col, "left_anti")
         .select(id_col, source_col, "quality", "avg_logp", "rep_ratio")
@@ -219,7 +238,7 @@ def curation_funnel(
     from pyspark.storagelevel import StorageLevel
     from pyspark.sql import Window
 
-    from gexp_ml_dask_spark.llm.dedup import decontaminate
+    from gexp_ml_dask_spark.llm.dedup import contamination_hits
     from gexp_ml_dask_spark.llm.mixture import RESOLUTION
     from gexp_ml_dask_spark.llm.text import PII_RULES, bigram_lm_scores
     from gexp_ml_dask_spark.ml.pipeline import hash_bucket
@@ -239,11 +258,9 @@ def curation_funnel(
     scores = bigram_lm_scores(deduped, id_col, text_col).select(
         id_col, "avg_logp"
     )
-    contaminated = (
-        decontaminate(deduped, eval_docs, decontam_n, id_col, text_col)
-        .filter(F.col("is_contaminated"))
-        .select(F.col(id_col), F.lit(True).alias("_cont"))
-    )
+    contaminated = contamination_hits(
+        deduped, eval_docs, decontam_n, id_col, text_col
+    ).select(F.col(id_col), F.lit(True).alias("_cont"))
 
     toks = F.split(F.col(text_col), " ")
     nt = F.size(toks)
